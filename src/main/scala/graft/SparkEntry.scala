@@ -1,13 +1,136 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or the
+  * extended LLM-pipeline surface) expressed Spark-first; `oracleSql`
+  * holds the equivalent DuckDB SQL over the same parquet tables.
+  * Column names and types are aligned on both sides (the driver's
+  * compare sorts columns by name and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q20_star_join(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"    -> (Relational.q01_pricing_summary _),
+    "q02_filter_project"     -> (Relational.q02_filter_project _),
+    "q03_enum_broadcast_join" -> (Relational.q03_enum_broadcast_join _),
+    "q04_strict_lookup"      -> (Relational.q04_strict_lookup _),
+    "q05_lookup_ref_join"    -> (Relational.q05_lookup_ref_join _),
+    "q06_reverse_ref_assembly" -> (Relational.q06_reverse_ref_assembly _),
+    "q07_upsert_merge"       -> (Relational.q07_upsert_merge _),
+    "q08_ledger_anti_join"   -> (Relational.q08_ledger_anti_join _),
+    "q09_semi_join"          -> (Relational.q09_semi_join _),
+    "q10_batch_numbering"    -> (Relational.q10_batch_numbering _),
+    "q11_distinct"           -> (Relational.q11_distinct _),
+    "q12_regex_frequencies"  -> (Relational.q12_regex_frequencies _),
+    "q13_tempid"             -> (Relational.q13_tempid _),
+    "q14_topk"               -> (Relational.q14_topk _),
+    "q15_validation"         -> (Relational.q15_validation _),
+    "q16_metrics_fold"       -> (Relational.q16_metrics_fold _),
+    "q17_minmax_by"          -> (Relational.q17_minmax_by _),
+    "q18_window_rank"        -> (Relational.q18_window_rank _),
+    "q19_time_window"        -> (Relational.q19_time_window _),
+    "q20_star_join"          -> (Relational.q20_star_join _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0""".stripMargin,
+    "q03_enum_broadcast_join" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q04_strict_lookup" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_misses
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q05_lookup_ref_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q06_reverse_ref_assembly" ->
+      """SELECT l_orderkey, COUNT(*) AS track_count,
+        |  MIN(l_linenumber) AS first_line, MAX(l_linenumber) AS last_line,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q07_upsert_merge" ->
+      """SELECT l_orderkey,
+        |  list_sort(list(DISTINCT l_suppkey)) AS supp_keys,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q08_ledger_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 3)""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q10_batch_numbering" ->
+      """WITH numbered AS (
+        |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+        |SELECT 'orders-' || CAST(((rn - 1) // 100) + 1 AS VARCHAR) AS batch_id,
+        |  COUNT(*) AS batch_size, MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |FROM numbered GROUP BY 1""".stripMargin,
+    "q11_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders",
+    "q12_regex_frequencies" ->
+      """SELECT regexp_replace(o_orderpriority, '^\d+-', '') AS prio_name, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q13_tempid" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT concat_ws('-', 't', l_orderkey, l_linenumber)) AS BIGINT) AS n_ids
+        |FROM lineitem""".stripMargin,
+    "q14_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q15_validation" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flag,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate
+        |FROM lineitem""".stripMargin,
+    "q16_metrics_fold" ->
+      """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS txes, COUNT(*) AS datoms
+        |FROM lineitem""".stripMargin,
+    "q17_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS cheapest_order,
+        |  first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS priciest_order
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q18_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 2""".stripMargin,
+    "q19_time_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS hour_ms, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q20_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+  )
 }

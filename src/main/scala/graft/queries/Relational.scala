@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Core relational operator inventory (SURVEY.md §2) re-expressed on
+  * the harness testdata. Each `qNN_*` below is one `SparkEntry.queries`
+  * entry with a DuckDB oracle in `SparkEntry.oracleSql`.
+  *
+  * Determinism rules (driver hash-compares vs DuckDB):
+  *  - money/double aggregates go through decimal (exact, associative —
+  *    safe under any partitioning / AQE re-plan; double sums are not);
+  *  - every output row set is keyed (no SELECT without a natural key);
+  *  - LIMIT always follows a total ORDER BY;
+  *  - timestamps are compared as epoch millis (long), never as
+  *    engine-local timestamp types.
+  */
+object Relational {
+
+  /** Exact money arithmetic: cast to decimal before aggregation so the
+    * sum is order-independent (100 TB = thousands of partial aggs; a
+    * double sum would be nondeterministic in the last bits). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = sum(dec(c)).cast("decimal(38,2)")
+
+  // ── P1/A-family: scan → filter → project → hash aggregate ──────────
+  // TPC-H Q1 shape (partial agg map-side, 2-col group key; the scan
+  // reads only 6 of 16 lineitem columns — check ReadSchema).
+  def q01_pricing_summary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  // Projection + filter with parquet pushdown (PushedFilters in plan).
+  def q02_filter_project(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0)
+      .select(
+        col("o_orderkey"),
+        dec(col("o_totalprice")).as("price"),
+        col("o_orderpriority"))
+
+  // ── J1: enum/dictionary broadcast join (P2/P3) ─────────────────────
+  // Small dim → explicit broadcast(): at 100 TB the fact side never
+  // shuffles for this join.
+  def q03_enum_broadcast_join(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+
+  // Strict lookup semantics (reference throws on enum miss,
+  // importer.clj:212-214): left join + null check → count misses.
+  def q04_strict_lookup(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val n = nation(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_nationkey").isNull, 1L).otherwise(0L)).as("n_misses"))
+  }
+
+  // ── J2: lookup-ref FK join (fact ⋈ entity on unique key) ──────────
+  def q05_lookup_ref_join(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        money(col("o_totalprice")).as("total_price"))
+
+  // ── J3/A1: reverse-ref assembly — children grouped under parent ───
+  def q06_reverse_ref_assembly(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("track_count"),
+        min(col("l_linenumber")).as("first_line"),
+        max(col("l_linenumber")).as("last_line"),
+        money(col("l_quantity")).as("sum_qty"))
+
+  // ── J4: upsert-merge — collect refs into the entity's array ───────
+  def q07_upsert_merge(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("supp_keys"))
+      .select(col("l_orderkey"), col("supp_keys"),
+        size(col("supp_keys")).cast("long").as("n_supp"))
+
+  // ── J5/P8: ledger anti-join (idempotent resume) ───────────────────
+  def q08_ledger_anti_join(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val ledger = o.filter(pmod(col("o_orderkey"), lit(10)) < 3)
+      .select(col("o_orderkey").as("batch_id"))
+    o.join(ledger, o("o_orderkey") === ledger("batch_id"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  // Left-semi companion (EXISTS): customers that have orders.
+  def q09_semi_join(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  // ── A2: deterministic batch numbering (tx-data->batches) ──────────
+  // row_number over an explicit total order replaces the reference's
+  // inherited file order (batch.clj:31-40). The window is a single
+  // partition — fine for batch *numbering* of bounded metadata, and the
+  // heavy payload stays distributed; at 100 TB you'd number batches per
+  // import type (each a bounded stream), exactly like the reference.
+  def q10_batch_numbering(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id",
+        concat(lit("orders-"), (((col("rn") - 1) / lit(100)).cast("long") + 1)))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("batch_size"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+  }
+
+  // ── A3: distinct set build ────────────────────────────────────────
+  def q11_distinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderpriority")).distinct()
+
+  // ── A6/A7 + P10: regex projection + frequencies ───────────────────
+  def q12_regex_frequencies(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("prio_name", regexp_replace(col("o_orderpriority"), "^\\d+-", ""))
+      .groupBy(col("prio_name"))
+      .agg(count(lit(1)).as("n"))
+
+  // ── P4: deterministic composite tempid ────────────────────────────
+  def q13_tempid(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(concat_ws("-", lit("t"), col("l_orderkey"), col("l_linenumber")).as("tempid"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("tempid")).as("n_ids"))
+
+  // ── S3: limit with explicit total order (top-k) ───────────────────
+  def q14_topk(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+      .limit(10)
+
+  // ── V: validation stage — violations counted per rule ─────────────
+  // (reference: spec validate transducer, transducers.clj:11-21; here
+  // the checks run as one pass over the fact table, no shuffle)
+  def q15_validation(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L).otherwise(0L)).as("bad_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("bad_discount"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_flag"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"))
+
+  // ── A5: loader metrics fold {txes, datoms} ────────────────────────
+  def q16_metrics_fold(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_orderkey")).as("txes"),
+      count(lit(1)).as("datoms"))
+
+  // ── min_by / max_by (argmin-style projection inside groups) ───────
+  def q17_minmax_by(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("priciest_order"))
+
+  // ── Windowed analytics (A2 generalization): rank within group ─────
+  def q18_window_rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("price"))
+  }
+
+  // ── Tumbling time window over events ──────────────────────────────
+  // `ts` arrives as epoch nanos (see Tables.events); the hour bucket is
+  // integer arithmetic — exact and timezone-free on both engines.
+  def q19_time_window(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        (floor(col("ts") / lit(3600000000000L)) * lit(3600000L)).cast("long").as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("sum_value"))
+
+  // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
+  def q20_star_join(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("decimal(38,4)").as("revenue"),
+        count(lit(1)).as("n_lines"))
+}

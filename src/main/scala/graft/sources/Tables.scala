@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table reader for the harness testdata (TESTDATA.md).
+  *
+  * Mirrors the reference's source layer (`src/cognitect/xform/async_edn.clj:27-51`
+  * streams records from a file): here the "stream" is a partitioned
+  * parquet scan — Catalyst prunes columns and pushes filters into it,
+  * so callers should `.select`/`.filter` directly on the returned
+  * DataFrame rather than materializing.
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects; read it as epoch-nanos LongType
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and let callers derive
+    * coarser time grains arithmetically (exact, tz-free). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
