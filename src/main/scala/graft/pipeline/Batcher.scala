@@ -27,8 +27,19 @@ final class Batcher(spark: SparkSession, basedir: String, val outDir: String, ba
   lazy val dims: Transform.Dims = Transform.Dims.load(spark, entitiesDir)
   new java.io.File(outDir).mkdirs()
 
+  /** Skips types whose entity file is absent (e.g. the stripped
+    * media.edn, `.MISSING_LARGE_BLOBS`) — dictionary-derived types
+    * (schema/enums/super-enums) are checked against their own files. */
   def runAll(types: Seq[String] = Mbrainz.importOrder): Map[String, Long] =
-    types.map(t => t -> createBatchFile(t)).toMap
+    types.flatMap { t =>
+      val file = t match {
+        case "enums" => "enums.edn"
+        case "super-enums" => "countries.edn"
+        case other => s"$other.edn"
+      }
+      if (new java.io.File(s"$entitiesDir/$file").exists()) Some(t -> createBatchFile(t))
+      else None
+    }.toMap
 
   /** Returns the number of batches written for `tpe`. */
   def createBatchFile(tpe: String): Long = tpe match {

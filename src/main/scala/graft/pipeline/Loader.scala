@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Mbrainz, SchemaRegistry}
+import graft.store.{Datoms, Store}
+
+/** Row shape of the EAV log (matches Store.schema column names). */
+final case class DatomRow(e: String, a: String, v: String, v_long: Option[Long],
+    is_ref: Boolean, tx: Long)
+
+/** E2 — the loader pipeline (reference `-main`/`load-type`,
+  * importer.clj:298-352): batch EDN → anti-join already-applied →
+  * transact into the store → fold `{txes, datoms}` metrics.
+  *
+  * Spark shape per type: distributed line parse (one batch per line →
+  * `spark.read.text` splits cleanly), `left_anti` against the applied
+  * set (J5), datom expansion on executors, ONE append to the EAV log
+  * wrapped in retry/backoff. The reference's `pipeline-blocking n`
+  * bounded parallelism maps to `repartition(concurrency)` on the
+  * write; per-batch transactional conflicts can't arise because the
+  * whole type-load is a single atomic append (conflict-as-success,
+  * batch.clj:97-101, degenerates to the anti-join).
+  * Types stay sequential — FK/upsert dependencies (importer.clj:343-348).
+  */
+final class Loader(spark: SparkSession, registry: SchemaRegistry, store: Store,
+    concurrency: Int = 8) {
+
+  final case class LoadStats(txes: Long, datoms: Long)
+
+  def loadBatchFile(tpe: String, path: String): LoadStats = {
+    val typeIdx = math.max(Mbrainz.importOrder.indexOf(tpe), 0)
+    val reg = registry
+    val lines = spark.read.textFile(path).filter(length(trim(col("value"))) > 0)
+
+    val applied = store.appliedBatchIds
+    val parsed = lines.map { line =>
+      val (batchId, _) = Datoms.batchDatoms(line, reg, typeIdx)
+      (batchId, line)
+    }(Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("batch_id", "line")
+
+    val fresh = parsed.join(applied, Seq("batch_id"), "left_anti")
+      .repartition(concurrency)
+      .persist()
+    try {
+      val txes = fresh.count()
+      if (txes == 0) return LoadStats(0, 0)
+
+      val datoms = fresh.select("line").as(Encoders.STRING).flatMap { line =>
+        Datoms.batchDatoms(line, reg, typeIdx)._2.map(d =>
+          DatomRow(d.e, d.a, d.v, d.vLong, d.isRef, d.tx))
+      }(Encoders.product[DatomRow])
+        .toDF()
+        .persist()
+      val nDatoms = datoms.count()
+      Retry.retrying(() => { store.append(datoms); () }, Retry.transientIo)
+      datoms.unpersist()
+      LoadStats(txes, nDatoms)
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Sequential import order over a directory of batch files. */
+  def loadAll(batchesDir: String, types: Seq[String] = Mbrainz.importOrder): Map[String, LoadStats] =
+    types.flatMap { tpe =>
+      val f = new java.io.File(s"$batchesDir/$tpe.edn")
+      if (f.exists()) Some(tpe -> loadBatchFile(tpe, f.getPath)) else None
+    }.toMap
+}

@@ -1,0 +1,60 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.SchemaRegistry
+import graft.store.Store
+
+/** E3 — the analytics/exploration surface
+  * (`/root/reference/examples/explore_db.clj`), re-expressed as
+  * DataFrame programs over the EAV store. Datomic executes these
+  * Datalog queries remotely; here the whole query runs in the engine.
+  */
+object Explore {
+
+  /** Query 1 (explore_db.clj:13-21): unique attributes —
+    * `[?e :db/unique ?u][?e :db/ident ?attr]` — the classic Datalog
+    * self-join on ?e (J6). Both sides prune to one attribute partition
+    * before the join. */
+  def uniqueAttrs(store: Store): DataFrame = {
+    val eav = store.eav
+    val unique = eav.filter(col("a") === "db/unique")
+      .select(col("e"), col("v").as("unique_kind"))
+    val ident = eav.filter(col("a") === "db/ident")
+      .select(col("e"), col("v").as("attr"))
+    unique.join(ident, "e").select(col("attr"), col("unique_kind"))
+  }
+
+  /** Query 2 (explore_db.clj:24-31): entity count per unique attr.
+    * The reference folds N parameterized query round-trips client-side;
+    * here it's ONE groupBy over the attr-pruned scan (A6). */
+  def entityCountsByUniqueAttr(store: Store, registry: SchemaRegistry): DataFrame = {
+    val uniques = registry.uniqueAttrs.toSeq
+    store.eav.filter(col("a").isInCollection(uniques))
+      .groupBy(col("a").as("attr"))
+      .agg(countDistinct(col("e")).as("n_entities"))
+  }
+
+  /** Query 3 (explore_db.clj:37-45): batch frequencies by entity-type
+    * prefix (A7 + P10). Faithful to the reference's
+    * `(str/replace b #"-.*" "")`, which strips from the FIRST dash —
+    * so "areleases-artists-3" counts under "areleases", merging types
+    * that share a prefix. */
+  def batchFrequencies(store: Store): DataFrame =
+    store.appliedBatchIds
+      .withColumn("batch_entity", regexp_replace(col("batch_id"), "-.*", ""))
+      .groupBy(col("batch_entity"))
+      .agg(count(lit(1)).as("n_batches"))
+
+  /** FK integrity (beyond the reference, which defers to Datomic's
+    * transact-time resolution): ref datoms whose target e-key never
+    * appears as an entity. */
+  def danglingRefs(store: Store): DataFrame = {
+    val eav = store.eav
+    val entities = eav.select(col("e")).distinct()
+    eav.filter(col("is_ref") && !col("v").startsWith("ident|"))
+      .select(col("v").as("target"), col("a"))
+      .join(entities, col("target") === col("e"), "left_anti")
+      .groupBy(col("a")).agg(count(lit(1)).as("n_dangling"))
+  }
+}
