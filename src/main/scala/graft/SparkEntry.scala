@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Llm, Multimodal, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,22 @@ object SparkEntry {
     "q18_window_rank"        -> (Relational.q18_window_rank _),
     "q19_time_window"        -> (Relational.q19_time_window _),
     "q20_star_join"          -> (Relational.q20_star_join _),
+    // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
+    "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
+    "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
+    "d03_minhash_lsh_pairs"  -> (Llm.d03_minhash_lsh_pairs _),
+    "d04_ngram_jaccard"      -> (Llm.d04_ngram_jaccard _),
+    "d05_simhash"            -> (Llm.d05_simhash _),
+    "d06_simhash_pairs"      -> (Llm.d06_simhash_pairs _),
+    "d07_cosine_topk"        -> (Llm.d07_cosine_topk _),
+    "d08_ann_lsh"            -> (Llm.d08_ann_lsh _),
+    "d09_lang_id"            -> (Llm.d09_lang_id _),
+    "d10_quality_score"      -> (Llm.d10_quality_score _),
+    "d11_token_count"        -> (Llm.d11_token_count _),
+    "d12_fingerprint"        -> (Llm.d12_fingerprint _),
+    "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
+    "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
+    "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,5 +148,79 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // LLM-pipeline oracles (hash-dependent ops — minhash/simhash/LSH —
+    // use Spark's xxhash64 and have no DuckDB equivalent → rows-only)
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d07_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        |m AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm FROM n),
+        |q AS (SELECT vec_id AS query_id, vec AS q_vec, norm AS q_norm FROM m WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, m.vec_id,
+        |    list_inner_product(m.vec, q.q_vec) / (m.norm * q.q_norm) AS cosine
+        |  FROM m CROSS JOIN q WHERE m.vec_id >= 8),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank,
+        |    cosine
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "d09_lang_id" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT) AS score_en,
+        |  CAST((length(lower(text)) - length(replace(lower(text), ' der ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' und ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' die ', ''))) / 5 AS BIGINT) AS score_de,
+        |  CAST((length(lower(text)) - length(replace(lower(text), ' le ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' et ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' la ', ''))) / 4 AS BIGINT) AS score_fr,
+        |  CAST((length(lower(text)) - length(replace(lower(text), ' el ', ''))) / 4 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' y ', ''))) / 3 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' de ', ''))) / 4 AS BIGINT) AS score_es,
+        |  CASE
+        |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |    WHEN score_fr >= score_es THEN 'fr'
+        |    ELSE 'es' END AS predicted
+        |FROM documents""".stripMargin,
+    "d10_quality_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_len,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS words
+        |  FROM documents)
+        |SELECT doc_id, n_len, n_punct,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT) AS n_stop,
+        |  round(n_punct / greatest(n_len, 1), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(words, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT)
+        |        / greatest(CAST(len(words) AS BIGINT), 1), 6) AS stop_ratio
+        |FROM w""".stripMargin,
+    "d11_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0)) AS BIGINT) AS n_ws_tokens,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0),
+        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_est
+        |FROM documents""".stripMargin,
+    "d12_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  struct_pack(mime := 'application/octet-stream',
+        |              width := CAST(n_chars % 640 AS BIGINT),
+        |              height := CAST(doc_id % 480 AS BIGINT)) AS meta
+        |FROM documents""".stripMargin,
   )
 }

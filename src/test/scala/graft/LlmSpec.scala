@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Llm, Multimodal}
+
+/** Property tests for the LLM-pipeline operators on a fixture with
+  * KNOWN duplicates (the driver testdata has none): near-dup pair,
+  * formatting-only dup, exact dup, and an embedding pointing the same
+  * direction as a query. */
+class LlmSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "this is a long shared document about spark engines " * 8
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("llmfix").toString
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base.replace("spark engines", "spork engines"), "en", "src0",
+        base.length.toLong), // near-dup of 0
+      (2L, "completely different content entirely unrelated to anything here " * 7,
+        "en", "src1", 400L),
+      (3L, base, "en", "src2", base.length.toLong), // exact dup of 0
+      (4L, base.toUpperCase.replace(" ", "  ") + "!!!", "en", "src3", 500L), // formatting dup of 0
+      (5L, "short text", "fr", "src4", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val dim = 16
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val embs = Seq(
+      (0L, vec(i => if (i == 0) 1f else 0f), 0),
+      (1L, vec(i => if (i == 1) 1f else 0f), 0),
+      (8L, vec(i => if (i == 0) 5f else 0f), 1),  // same direction as query 0
+      (9L, vec(i => if (i == 1) -1f else 0f), 1), // opposite of query 1
+      (10L, vec(i => (i % 3).toFloat - 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    embs.write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("d01: exact dedup groups identical texts") {
+    val groups = Llm.d01_exact_dedup(spark, fixtureDir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(0L) == 2, "doc 0 and 3 share a hash group")
+    assert(groups.values.sum == 6)
+  }
+
+  test("d03: minhash LSH finds the near-dup pair, not unrelated docs") {
+    val pairs = Llm.d03_minhash_lsh_pairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 1L)), s"near-dup pair missing: ${pairs.keys}")
+    assert(pairs((0L, 1L)) > 0.5)
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 1.0, "exact dup = jaccard 1")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      "unrelated doc must not be a candidate")
+  }
+
+  test("d04: exact n-gram jaccard confirms candidates") {
+    val j = Llm.d04_ngram_jaccard(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 3L)) == 1.0)
+    // the edit touches 2 of every 9 words, so word-3-gram overlap is
+    // genuinely moderate (≈ 0.43) — well above unrelated, below exact
+    assert(j((0L, 1L)) > 0.3 && j((0L, 1L)) < 1.0)
+  }
+
+  test("d05/d06: simhash near-dups have small hamming distance") {
+    val sh = Llm.d05_simhash(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L), "identical text, identical simhash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) <= 12, s"near-dup hamming ${hamming(sh(0L), sh(1L))}")
+    assert(hamming(sh(0L), sh(2L)) > 12, s"unrelated hamming ${hamming(sh(0L), sh(2L))}")
+    val pairs = Llm.d06_simhash_pairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("d07: cosine top-k ranks the aligned vector first") {
+    val rows = Llm.d07_cosine_topk(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows((0L, 1L)) == (8L, 1.0), "query 0's nearest = vec 8 (same direction)")
+    val (n1, c1) = rows((1L, 3L)) // query 1, worst rank of 3 candidates
+    assert(n1 == 9L && c1 == -1.0, "opposite vector ranks last")
+  }
+
+  test("d12: fingerprint collapses formatting-only differences") {
+    val fp = Llm.d12_fingerprint(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L) == fp(4L), "case/whitespace/punct differences collapse")
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("d09-d11: text stats are sane") {
+    val q = Llm.d10_quality_score(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(5L).getAs[Long]("n_words") == 2)
+    val t = Llm.d11_token_count(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(5L) == 2)
+    val lang = Llm.d09_lang_id(spark, fixtureDir).collect()
+    assert(lang.length == 6)
+  }
+
+  test("mm2: batched decode features match the stub on driver") {
+    val feats = Multimodal.mm2_decode_features(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = Multimodal.decodeStub("short text".getBytes("UTF-8"))
+    assert(feats(5L) == ((expected._1, expected._2, 10L)))
+  }
+
+  test("mm3: frame sampling yields deterministic slices") {
+    val frames = Multimodal.mm3_frame_sample(spark, fixtureDir)
+    val f5 = frames.filter(col("doc_id") === 5L).collect()
+    assert(f5.length == 1, "10-byte payload → single frame")
+    assert(f5(0).getAs[Long]("frame_len") == 10L)
+  }
+}
