@@ -38,6 +38,7 @@ object SparkEntry {
     "q18_window_rank"        -> (Relational.q18_window_rank _),
     "q19_time_window"        -> (Relational.q19_time_window _),
     "q20_star_join"          -> (Relational.q20_star_join _),
+    "q21_session_window"     -> (Relational.q21_session_window _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -148,6 +149,22 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q21_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |x AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |y AS (
+        |  SELECT user_id, us, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM y GROUP BY user_id, sess""".stripMargin,
     // LLM-pipeline oracles (hash-dependent ops — minhash/simhash/LSH —
     // use Spark's xxhash64 and have no DuckDB equivalent → rows-only)
     "d01_exact_dedup" ->

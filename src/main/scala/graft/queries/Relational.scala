@@ -200,6 +200,19 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), money(col("value")).as("sum_value"))
 
+  // ── Session windows over events (batch form of the streaming op) ──
+  // Micros precision end-to-end so the gap decision is identical on
+  // both engines; end = last event + gap (Spark session_window shape).
+  def q21_session_window(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), money(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

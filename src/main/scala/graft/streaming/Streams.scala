@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference pipeline is genuinely
+  * streaming (bounded memory over arbitrary files, SURVEY §2.6) but has
+  * no event-time semantics; this module supplies the streaming shapes a
+  * production engine needs: watermarked windowed aggregation, session
+  * windows, custom state (flatMapGroupsWithState), and an idempotent
+  * foreachBatch sink that reuses the loader's ledger anti-join
+  * semantics (exactly-once-ish resume, batch.clj:42-60).
+  */
+object Streams {
+
+  /** events parquet schema, declared (never inferred — streaming
+    * requires it anyway). `ts` is epoch NANOS (see Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+  }
+
+  /** Epoch-nanos → event-time timestamp column. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window aggregate: late data beyond 1 hour is
+    * dropped, state is bounded — the 100 TB streaming posture (state
+    * size ∝ open windows × event types, not stream length). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Built-in session windows (30-minute gap) per user. */
+  def userSessions(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", "1 hour")
+      .groupBy(session_window(col("ets"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("sum_value"))
+
+  // ── Custom state: hand-rolled sessionizer ──────────────────────────
+  final case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, sum_value: Double)
+
+  /** flatMapGroupsWithState sessionizer — the shape for session logic
+    * the built-in window can't express (per-session custom predicates,
+    * early emission, enrichment). Sessions close when a later event
+    * arrives past the gap; state per user is O(1). */
+  def statefulSessions(ds: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(_.ts_ms)
+          val out = Seq.newBuilder[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ms - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, e.ts_ms, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(user, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Idempotent foreachBatch sink: micro-batches append to a parquet
+    * table only if their batch id is NOT already in the ledger — the
+    * streaming form of the loader's anti-join resume. Restarted
+    * queries replay the last uncommitted micro-batch; the ledger makes
+    * the replay a no-op. */
+  def idempotentParquetSink(df: DataFrame, outPath: String, ledgerPath: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyMicroBatch(batch.toDF(), batchId, outPath, ledgerPath); ()
+      }
+      .start()
+
+  /** One micro-batch application; returns true if the batch was new.
+    * Replays of an already-ledgered batch id are no-ops. */
+  def applyMicroBatch(batch: DataFrame, batchId: Long, outPath: String,
+      ledgerPath: String): Boolean = {
+    val spark = batch.sparkSession
+    val applied =
+      if (new java.io.File(ledgerPath).exists())
+        spark.read.parquet(ledgerPath).filter(col("batch_id") === batchId).count() > 0
+      else false
+    if (!applied) {
+      batch.write.mode("append").parquet(outPath)
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerPath)
+    }
+    !applied
+  }
+}

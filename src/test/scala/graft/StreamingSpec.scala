@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("streaming hourly counts equal the batch computation") {
+    val dir = "/root/testdata/sf0.001"
+    // file-stream sources need a directory; stage the single file
+    val streamDir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = Streams.hourlyCounts(Streams.readEvents(spark, streamDir.toString))
+    val qname = "hourly_out"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table(qname)
+      .select("hour_ms", "event_type", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy((floor(col("ts") / lit(3600000000000L)) * lit(3600000L)).cast("long").as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+  }
+
+  test("stateful sessionizer closes sessions on gap, keeps state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = Streams.statefulSessions(mem.toDS(), gapMs = 1000)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      mem.addData(Ev(1, 100, 1.0), Ev(1, 500, 2.0), Ev(2, 100, 5.0))
+      q.processAllAvailable()
+      // user 1: event far past the gap → closes [100,500], opens new
+      mem.addData(Ev(1, 5000, 3.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").as[SessionOut].collect().toSet
+      assert(sessions == Set(SessionOut(1, 100, 500, 2, 3.0)))
+      // user 2 session is still open (no later event) — not emitted
+    } finally q.stop()
+  }
+
+  test("built-in session windows match the stateful sessionizer on closed sessions") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchSessions = graft.queries.Relational.q21_session_window(spark, dir)
+      .select(col("user_id"), col("start_us"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // same result via the hand-rolled sessionizer run in batch mode
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_ms"), col("value"))
+      .as[Ev].collect().toSeq
+    val byUser = evs.groupBy(_.user_id)
+    val manual = byUser.flatMap { case (u, es) =>
+      val sorted = es.sortBy(_.ts_ms)
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var start = -1L; var last = -1L; var n = 0L
+      sorted.foreach { e =>
+        if (start < 0 || e.ts_ms - last >= 1800000000L) { // gap in micros
+          if (start >= 0) sessions += ((u, start, n))
+          start = e.ts_ms; n = 0
+        }
+        last = e.ts_ms; n += 1
+      }
+      if (start >= 0) sessions += ((u, start, n))
+      sessions
+    }.map { case (u, s, n) => (u, s) -> n }.toMap
+    assert(batchSessions == manual)
+  }
+
+  test("idempotent micro-batch sink skips replayed batch ids") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sink").toString
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+    assert(Streams.applyMicroBatch(batch, 0L, s"$tmp/out", s"$tmp/ledger"))
+    assert(!Streams.applyMicroBatch(batch, 0L, s"$tmp/out", s"$tmp/ledger"), "replay is a no-op")
+    assert(Streams.applyMicroBatch(batch, 1L, s"$tmp/out", s"$tmp/ledger"))
+    assert(spark.read.parquet(s"$tmp/out").count() == 4)
+    assert(spark.read.parquet(s"$tmp/ledger").count() == 2)
+  }
+}
