@@ -39,6 +39,8 @@ object SparkEntry {
     "q19_time_window"        -> (Relational.q19_time_window _),
     "q20_star_join"          -> (Relational.q20_star_join _),
     "q21_session_window"     -> (Relational.q21_session_window _),
+    "q22_eav_self_join"      -> (Relational.q22_eav_self_join _),
+    "q23_eav_count_per_attr" -> (Relational.q23_eav_count_per_attr _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -165,6 +167,20 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
         |FROM y GROUP BY user_id, sess""".stripMargin,
+    "q22_eav_self_join" ->
+      """WITH eav AS (
+        |  SELECT n_nationkey AS e, 'n_name' AS a, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey AS e, 'n_regionkey' AS a, CAST(n_regionkey AS VARCHAR) AS v FROM nation)
+        |SELECT n.e, n.v AS nation_name, r.v AS region_key
+        |FROM (SELECT e, v FROM eav WHERE a = 'n_name') n
+        |JOIN (SELECT e, v FROM eav WHERE a = 'n_regionkey') r USING (e)""".stripMargin,
+    "q23_eav_count_per_attr" ->
+      """WITH eav AS (
+        |  SELECT n_nationkey AS e, 'n_name' AS a, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey AS e, 'n_regionkey' AS a, CAST(n_regionkey AS VARCHAR) AS v FROM nation)
+        |SELECT a, CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities FROM eav GROUP BY a""".stripMargin,
     // LLM-pipeline oracles (hash-dependent ops — minhash/simhash/LSH —
     // use Spark's xxhash64 and have no DuckDB equivalent → rows-only)
     "d01_exact_dedup" ->

@@ -30,20 +30,39 @@ object Llm {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   // ── d02: MinHash signatures + LSH banding ──────────────────────────
-  /** 5-char shingles → 32 minhashes (xxhash64 seeded by component
-    * index) → 8 bands of 4 (collision prob ≈ sim⁴ per band, so
-    * candidate volume stays near-linear even on a homogeneous corpus).
-    * All per-row expression work; only the band table shuffles. */
+  /** 5-char shingles → 32 minhashes → 8 bands of 4 (collision prob ≈
+    * sim⁴ per band, so candidate volume stays near-linear even on a
+    * homogeneous corpus). All per-row expression work; only the band
+    * table shuffles.
+    *
+    * Two deliberate expression-shape choices (found via thread-dump
+    * profiling — nested higher-order functions evaluate interpreted,
+    * outside codegen):
+    *  1. each shingle is string-hashed ONCE; the 32 components come
+    *     from cheap per-seed multiply-add mixing (universal hashing),
+    *     not 32 seeded string-hash passes;
+    *  2. every intermediate array is let-bound via a single-element
+    *     `transform(array(X), x -> ...)` wrapper — otherwise
+    *     CollapseProject inlines X into every downstream lambda and the
+    *     shingle scan re-runs 32×8 times per row. */
+  private def minhashExpr: String = {
+    // re-mix the per-shingle hash with a fixed-width long hash per
+    // component — wraparound multiply would trip ANSI overflow checks
+    val comps = (0 until 32).map(i =>
+      s"array_min(transform(hs, h -> xxhash64(h, ${i}L)))").mkString(", ")
+    s"""transform(array(transform(shingles, g -> xxhash64(g))), hs -> array($comps))[0]"""
+  }
+
   private def withMinhash(df: DataFrame): DataFrame =
-    df.withColumn("shingles",
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .withColumn("shingles",
         expr("array_distinct(transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))"))
-      .withColumn("minhash",
-        expr("transform(sequence(0, 31), s -> array_min(transform(shingles, g -> xxhash64(s, g))))"))
+      .withColumn("minhash", expr(minhashExpr))
 
   def d02_minhash_signatures(s: SparkSession, d: String): DataFrame =
     withMinhash(documents(s, d))
       .select(col("doc_id"), col("minhash"),
-        expr("transform(sequence(0, 7), b -> xxhash64(b, concat_ws(',', slice(minhash, b*4+1, 4))))")
+        expr("transform(array(minhash), mh -> transform(sequence(0, 7), b -> xxhash64(b, concat_ws(',', slice(mh, b*4+1, 4)))))[0]")
           .as("band_hashes"))
 
   /** Candidate pairs = docs sharing ≥1 band bucket; estimated Jaccard =
@@ -67,8 +86,11 @@ object Llm {
     * all-pairs). */
   def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     val grams = documents(s, d).select(col("doc_id"),
-      expr("""array_distinct(transform(sequence(1, greatest(size(split(lower(text), '[^a-z0-9]+'))-2, 1)),
-              i -> concat_ws(' ', slice(split(lower(text), '[^a-z0-9]+'), i, 3))))""").as("grams"))
+      // let-bind the token array: without the single-element-array
+      // wrapper the split() re-runs once per gram position
+      expr("""transform(array(split(lower(text), '[^a-z0-9]+')), ws ->
+              array_distinct(transform(sequence(1, greatest(size(ws)-2, 1)),
+              i -> concat_ws(' ', slice(ws, i, 3)))))[0]""").as("grams"))
     val pairs = d03_minhash_lsh_pairs(s, d).select("a_id", "b_id")
     pairs
       .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_g")), "a_id")
@@ -85,12 +107,15 @@ object Llm {
     * 16-bit chunks equal, so the join key is (chunk_idx, chunk). */
   def d05_simhash(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
+      // hash each token once, then 64 cheap bit votes over the hashes
       .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-           acc | if(aggregate(toks, 0, (s, t) ->
-                      s + if((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)) > 0,
-                    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"""))
+        """transform(array(transform(toks, t -> xxhash64(t))), ths ->
+             aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+               acc | if(aggregate(ths, 0, (s, h) ->
+                          s + if((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+                        shiftleft(cast(1 as bigint), i), cast(0 as bigint))))[0]"""))
       .select(col("doc_id"), col("simhash"))
 
   def d06_simhash_pairs(s: SparkSession, d: String): DataFrame = {
@@ -108,7 +133,8 @@ object Llm {
 
   // ── d07: embedding cosine near-dup + brute-force ANN top-k ─────────
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("norm", expr("sqrt(aggregate(vec, cast(0 as double), (acc, x) -> acc + x * x))"))
 
   /** Brute-force exact top-k for a bounded query set (the correctness
@@ -130,17 +156,24 @@ object Llm {
   }
 
   /** LSH-bucketed ANN — the 100 TB path: 6 deterministic pseudo-random
-    * hyperplanes (weights derived from xxhash64(plane, dim)) hash every
-    * vector to a 64-bucket code; neighbors are only scored within the
-    * query's bucket. Recall is traded for a shuffle keyed on the code
-    * instead of a broadcast of the whole corpus; bucket count scales
-    * with the plane count, tuned to corpus size. */
+    * hyperplanes (weight literals baked into the plan, zero per-row
+    * hashing) map every vector to a 64-bucket code; neighbors are only
+    * scored within the query's bucket. Recall is traded for a shuffle
+    * keyed on the code instead of a broadcast of the whole corpus;
+    * bucket count scales with the plane count, tuned to corpus size. */
+  private def annPlane(p: Int): String = (0 until 64).map { i =>
+    val h = (p * 131L + i + 7L) * 0x9E3779B97F4A7C15L
+    val v = ((h >>> 17) % 1000L) / 1000.0 - 0.5
+    s"${v}D"
+  }.mkString("array(", ", ", ")")
+
+  private def annCodeExpr: String = (0 until 6).map { p =>
+    s"""if(aggregate(zip_with(vec, slice(${annPlane(p)}, 1, size(vec)), (x, w) -> x * w),
+        cast(0 as double), (a, v) -> a + v) > 0, ${1 << p}, 0)"""
+  }.mkString("(", " + ", ")")
+
   def d08_ann_lsh(s: SparkSession, d: String): DataFrame = {
-    val emb = withNorm(embeddings(s, d)).withColumn("code", expr(
-      """aggregate(sequence(0, 5), 0, (acc, p) ->
-         acc | if(aggregate(zip_with(vec, sequence(0, size(vec)-1), (x, i) ->
-                    x * (cast(xxhash64(p, i) % 1000 as double) / 1000.0)),
-                  cast(0 as double), (s2, v) -> s2 + v) > 0, shiftleft(1, p), 0))"""))
+    val emb = withNorm(embeddings(s, d)).withColumn("code", expr(annCodeExpr))
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("code"), col("vec_id").as("query_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
     val scored = emb.filter(col("vec_id") >= 8).join(queries, "code")

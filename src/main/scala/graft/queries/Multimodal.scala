@@ -41,7 +41,9 @@ object Multimodal {
     * a deterministic FAKE (byte statistics standing in for pixel
     * statistics) — swap `decodeStub` for a real codec binding. */
   def mm2_decode_features(s: SparkSession, d: String): DataFrame = {
-    val src = documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val src = documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("byte_mean", DoubleType, nullable = false),

@@ -213,6 +213,26 @@ object Relational {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("sum_value"))
 
+  // ── EAV / Datalog shapes (J6, A6) on testdata ─────────────────────
+  // The store's long-format view built by unpivoting nation; the
+  // Datalog pattern [?e :n_name ?name][?e :n_regionkey ?rk] is a
+  // self-join on e. In the real store (graft.store.Store) the EAV scan
+  // prunes by attribute partition before this join.
+  private def nationEav(s: SparkSession, d: String): DataFrame =
+    nation(s, d).select(col("n_nationkey").as("e"),
+      expr("stack(2, 'n_name', n_name, 'n_regionkey', cast(n_regionkey as string))")
+        .as(Seq("a", "v")))
+
+  def q22_eav_self_join(s: SparkSession, d: String): DataFrame = {
+    val eav = nationEav(s, d)
+    val names = eav.filter(col("a") === "n_name").select(col("e"), col("v").as("nation_name"))
+    val regions = eav.filter(col("a") === "n_regionkey").select(col("e"), col("v").as("region_key"))
+    names.join(regions, "e").select(col("e").cast("int").as("e"), col("nation_name"), col("region_key"))
+  }
+
+  def q23_eav_count_per_attr(s: SparkSession, d: String): DataFrame =
+    nationEav(s, d).groupBy(col("a")).agg(countDistinct(col("e")).as("n_entities"))
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
