@@ -41,6 +41,8 @@ object SparkEntry {
     "q21_session_window"     -> (Relational.q21_session_window _),
     "q22_eav_self_join"      -> (Relational.q22_eav_self_join _),
     "q23_eav_count_per_attr" -> (Relational.q23_eav_count_per_attr _),
+    "q24_explode_unnest"     -> (Relational.q24_explode_unnest _),
+    "q25_quarantine"         -> (Relational.q25_quarantine _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -181,6 +183,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT n_nationkey AS e, 'n_regionkey' AS a, CAST(n_regionkey AS VARCHAR) AS v FROM nation)
         |SELECT a, CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities FROM eav GROUP BY a""".stripMargin,
+    "q24_explode_unnest" ->
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |  round(CAST(unnest(embedding) AS DOUBLE), 6) AS component
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q25_quarantine" ->
+      """SELECT (NOT (l_quantity <= 0 OR l_quantity > 50
+        |         OR l_discount < 0 OR l_discount > 1
+        |         OR l_returnflag IS NULL
+        |         OR l_extendedprice <= 0)) AS is_valid,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // LLM-pipeline oracles (hash-dependent ops — minhash/simhash/LSH —
     // use Spark's xxhash64 and have no DuckDB equivalent → rows-only)
     "d01_exact_dedup" ->

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the signature computations —
+  * preference order (b) from the builder brief: a custom Expression
+  * with codegen beats the nested higher-order-function formulation
+  * (which evaluates interpreted) and beats a Scala UDF (no
+  * serialization, no row boxing).
+  *
+  * Both are BIT-COMPATIBLE with the expression formulas they replace
+  * (same XXH64 seed chain as `xxhash64(...)`) — HashExprsSpec pins
+  * that equivalence, so LSH bucketing and all downstream pair tables
+  * are unchanged.
+  */
+object MinHash {
+  val K = 32
+  val SHINGLE = 5
+
+  /** minhash over 5-char shingles: shingle hash = xxhash64(shingle),
+    * component k = xxhash64(shingleHash, k) = hashLong(k, hashLong(h, 42)). */
+  def compute(s: UTF8String): ArrayData = {
+    val n = s.numChars()
+    val last = math.max(n - (SHINGLE - 1), 1)
+    val mins = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i < last) {
+      val sh = s.substring(i, i + SHINGLE)
+      val h = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+      val hh = XXH64.hashLong(h, 42L)
+      var k = 0
+      while (k < K) {
+        val v = XXH64.hashLong(k.toLong, hh)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+object SimHash {
+  private val splitPattern = UTF8String.fromString("[^a-z0-9]+")
+
+  /** 64-bit simhash: per-token xxhash64, ±1 bit votes, bit set when
+    * the vote sum is strictly positive. Tokenization matches
+    * `filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)`. */
+  def compute(s: UTF8String): Long = {
+    val parts = s.toLowerCase.split(splitPattern, -1)
+    val votes = new Array[Int](64)
+    var pi = 0
+    while (pi < parts.length) {
+      val p = parts(pi)
+      if (p.numBytes > 0) {
+        val h = XXH64.hashUnsafeBytes(p.getBaseObject, p.getBaseOffset, p.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      pi += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** SQL registration (idempotent): `minhash_sig(text)`, `simhash64(text)`. */
+object HashExprs {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSignature(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+  }
+}

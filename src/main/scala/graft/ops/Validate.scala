@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Validation stage (reference `validate` transducer,
+  * `src/cognitect/xform/transducers.clj:11-21`, and error-as-data
+  * anomaly maps, `src/cognitect/xform/async_edn.clj:16-22`).
+  *
+  * The reference halts on the first invalid record; at 100 TB the
+  * right default is a single pass that annotates each row with its
+  * violated rules and routes invalid rows to a quarantine side-channel
+  * while valid rows flow on — with a fail-fast toggle for the
+  * reference's semantics.
+  */
+object Validate {
+
+  /** checks: rule name → predicate that is TRUE when the rule is
+    * VIOLATED. Returns the input plus an `errors: array<string>`
+    * column (empty = valid). One projection, no shuffle. */
+  def annotate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame =
+    df.withColumn("errors",
+      array_compact(array(checks.map { case (name, bad) =>
+        when(bad, lit(name)) }: _*)))
+
+  /** (valid rows without `errors`, quarantined rows with reasons). */
+  def quarantine(df: DataFrame, checks: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val annotated = annotate(df, checks)
+    (annotated.filter(size(col("errors")) === 0).drop("errors"),
+      annotated.filter(size(col("errors")) > 0))
+  }
+
+  /** Fail-fast mode (the reference's halt-when): throws on the first
+    * violation with per-rule counts. */
+  def requireValid(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.map { case (name, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(name) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violations = checks.map(_._1).map(n => n -> row.getAs[Long](n)).filter(_._2 > 0)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(s"validation failed: ${violations.toMap}")
+    df
+  }
+}

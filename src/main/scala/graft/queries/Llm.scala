@@ -45,19 +45,11 @@ object Llm {
     *     `transform(array(X), x -> ...)` wrapper — otherwise
     *     CollapseProject inlines X into every downstream lambda and the
     *     shingle scan re-runs 32×8 times per row. */
-  private def minhashExpr: String = {
-    // re-mix the per-shingle hash with a fixed-width long hash per
-    // component — wraparound multiply would trip ANSI overflow checks
-    val comps = (0 until 32).map(i =>
-      s"array_min(transform(hs, h -> xxhash64(h, ${i}L)))").mkString(", ")
-    s"""transform(array(transform(shingles, g -> xxhash64(g))), hs -> array($comps))[0]"""
-  }
-
-  private def withMinhash(df: DataFrame): DataFrame =
+  private def withMinhash(df: DataFrame): DataFrame = {
+    graft.functions.HashExprs.register(df.sparkSession)
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .withColumn("shingles",
-        expr("array_distinct(transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))"))
-      .withColumn("minhash", expr(minhashExpr))
+      .withColumn("minhash", expr("minhash_sig(text)"))
+  }
 
   def d02_minhash_signatures(s: SparkSession, d: String): DataFrame =
     withMinhash(documents(s, d))
@@ -105,18 +97,12 @@ object Llm {
   /** Token-hash bit voting packed into one long; near-dup candidates
     * via the pigeonhole principle — hamming ≤ 3 ⇒ at least one of four
     * 16-bit chunks equal, so the join key is (chunk_idx, chunk). */
-  def d05_simhash(s: SparkSession, d: String): DataFrame =
+  def d05_simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     documents(s, d)
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .withColumn("toks", expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"))
-      // hash each token once, then 64 cheap bit votes over the hashes
-      .withColumn("simhash", expr(
-        """transform(array(transform(toks, t -> xxhash64(t))), ths ->
-             aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-               acc | if(aggregate(ths, 0, (s, h) ->
-                          s + if((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
-                        shiftleft(cast(1 as bigint), i), cast(0 as bigint))))[0]"""))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+  }
 
   def d06_simhash_pairs(s: SparkSession, d: String): DataFrame = {
     val sh = d05_simhash(s, d)

@@ -213,6 +213,33 @@ object Relational {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("sum_value"))
 
+  // ── P5/P6: explode / unnest (dictionary → tx-data shape) ──────────
+  def q24_explode_unnest(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "component")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        round(col("component").cast("double"), 6).as("component"))
+
+  // ── V/P12: validation with quarantine side-channel ────────────────
+  // The reference halts on the first invalid record (transducers.clj:
+  // 11-21) or wraps errors as data (async_edn.clj:16-22); at scale the
+  // right shape is one pass that routes bad rows to a quarantine with
+  // machine-readable reasons while good rows continue.
+  def rowChecks: Column = array(
+    when(col("l_quantity") <= 0 || col("l_quantity") > 50, lit("bad_qty")),
+    when(col("l_discount") < 0 || col("l_discount") > 1, lit("bad_discount")),
+    when(col("l_returnflag").isNull, lit("null_flag")),
+    when(col("l_extendedprice") <= 0, lit("bad_price")))
+
+  def q25_quarantine(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("errors", array_compact(rowChecks))
+      .withColumn("is_valid", size(col("errors")) === 0)
+      .groupBy(col("is_valid"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
   // ── EAV / Datalog shapes (J6, A6) on testdata ─────────────────────
   // The store's long-format view built by unpivoting nation; the
   // Datalog pattern [?e :n_name ?name][?e :n_regionkey ?rk] is a
