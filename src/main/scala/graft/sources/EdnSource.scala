@@ -63,7 +63,15 @@ object EdnSource {
     Iterator.continually(p.nextForm()).takeWhile(_.isDefined).map(_.get)
   }
 
-  def readEntities(spark: SparkSession, path: String, t: EntityType): DataFrame = {
+  /** Primary path: the DataSource V2 connector (graft.sources.v2) —
+    * executor-side streaming parse, column pruning, one partition per
+    * file. `row_idx` is dense 0-based for a single file. */
+  def readEntities(spark: SparkSession, path: String, t: EntityType): DataFrame =
+    spark.read.format("edn").schema(schemaFor(t)).load(path)
+
+  /** Driver-side parse, kept as the independent reference
+    * implementation the V2 connector is tested against. */
+  def readEntitiesDriver(spark: SparkSession, path: String, t: EntityType): DataFrame = {
     val rows = parseFile(path).zipWithIndex
       .map { case (form, i) => formToRow(i.toLong, form, t.inFields) }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, math.max(1, rows.size / 20000)),

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Mbrainz
+import graft.sources.EdnSource
+
+/** DataSource V2 EDN connector vs the driver-parse reference path. */
+class EdnSourceV2Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val artistsPath = "/root/reference/subsets/entities/artists.edn"
+
+  test("v2 scan equals driver-side parse on artists.edn") {
+    val v2 = EdnSource.readEntities(spark, artistsPath, Mbrainz.artists)
+    val drv = EdnSource.readEntitiesDriver(spark, artistsPath, Mbrainz.artists)
+    assert(v2.count() == 4601)
+    assert(v2.schema == drv.schema)
+    val a = v2.orderBy("row_idx").collect()
+    val b = drv.orderBy("row_idx").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("column pruning reaches the parser") {
+    val v2 = EdnSource.readEntities(spark, artistsPath, Mbrainz.artists).select(col("gid"))
+    val p = v2.queryExecution.executedPlan.toString
+    assert(p.contains("readSchema=[gid]"), p.take(800))
+    assert(v2.distinct().count() == 4601)
+  }
+
+  test("multi-file scan keeps total order via row_idx") {
+    val dir = java.nio.file.Files.createTempDirectory("multi")
+    java.nio.file.Files.write(dir.resolve("a.edn"), "{:gid \"g1\" :name \"n1\" :sortname \"s1\"}\n".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.edn"), "{:gid \"g2\" :name \"n2\" :sortname \"s2\"}\n".getBytes)
+    val df = spark.read.format("edn").schema(EdnSource.schemaFor(Mbrainz.artists))
+      .load(dir.resolve("a.edn").toString, dir.resolve("b.edn").toString)
+    val rows = df.orderBy("row_idx").select("name").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("n1", "n2"))
+  }
+
+  test("missing schema is a clear error") {
+    val e = intercept[Exception](spark.read.format("edn").load(artistsPath).count())
+    assert(e.getMessage.contains("explicit schema"))
+  }
+}
