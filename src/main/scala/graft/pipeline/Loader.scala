@@ -59,10 +59,30 @@ final class Loader(spark: SparkSession, registry: SchemaRegistry, store: Store,
     } finally { fresh.unpersist(); () }
   }
 
+  /** The import-schema the reference transacts before any data
+    * (importer.clj:271-277): the batch-id attribute itself. Loaded
+    * through the normal batch machinery, so it is idempotent via the
+    * same anti-join. */
+  def ensureImportSchema(): LoadStats = {
+    val line =
+      "{:batch-ident {:db/id \"datomic.tx\", :" + Mbrainz.batchIdAttr +
+        " \"import-schema-1\"}, :data [" +
+        "{:db/ident :" + Mbrainz.batchIdAttr + ", " +
+        ":db/valueType :db.type/string, :db/cardinality :db.cardinality/one, " +
+        ":db/unique :db.unique/value, " +
+        ":db/doc \"Identifies batches from the initial import\"}]}"
+    val f = java.nio.file.Files.createTempFile("import-schema", ".edn")
+    java.nio.file.Files.write(f, line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try loadBatchFile("import-schema", f.toString)
+    finally java.nio.file.Files.delete(f)
+  }
+
   /** Sequential import order over a directory of batch files. */
-  def loadAll(batchesDir: String, types: Seq[String] = Mbrainz.importOrder): Map[String, LoadStats] =
+  def loadAll(batchesDir: String, types: Seq[String] = Mbrainz.importOrder): Map[String, LoadStats] = {
+    ensureImportSchema()
     types.flatMap { tpe =>
       val f = new java.io.File(s"$batchesDir/$tpe.edn")
       if (f.exists()) Some(tpe -> loadBatchFile(tpe, f.getPath)) else None
     }.toMap
+  }
 }

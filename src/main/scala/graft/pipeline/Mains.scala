@@ -76,6 +76,7 @@ object ImportMain {
     val registry = SchemaRegistry.load(s"${manifest.basedir}/entities/schema.edn")
     val store = new Store(spark, manifest.storeDir)
     val loader = new Loader(spark, registry, store, manifest.concurrency)
+    loader.ensureImportSchema()
     manifest.importOrder.foreach { tpe =>
       val f = new java.io.File(s"${manifest.basedir}/batches/$tpe.edn")
       if (f.exists()) {

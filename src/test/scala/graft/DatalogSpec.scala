@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.edn.Edn
+import graft.edn.Edn._
+import graft.model.{Mbrainz, SchemaRegistry}
+import graft.pipeline.{Batcher, Loader}
+import graft.query.Datalog
+import graft.store.Store
+
+/** The Datalog front-end runs the reference's own example queries
+  * (`examples/explore_db.clj`) verbatim against a loaded store. */
+class DatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val basedir = "/root/reference/subsets"
+  private lazy val registry = SchemaRegistry.load(s"$basedir/entities/schema.edn")
+
+  private lazy val store: Store = {
+    val batches = java.nio.file.Files.createTempDirectory("dlbatches").toString
+    val b = new Batcher(spark, basedir, batches, batchSize = 1000)
+    val types = Seq("schema", "enums", "super-enums", "artists", "areleases",
+      "areleases-artists", "labels", "releases", "releases-artists")
+    types.foreach(b.createBatchFile)
+    val st = new Store(spark, java.nio.file.Files.createTempDirectory("dlstore").toString)
+    val loader = new Loader(spark, registry, st)
+    loader.ensureImportSchema()
+    types.foreach(t => loader.loadBatchFile(t, s"$batches/$t.edn"))
+    st
+  }
+
+  test("explore query 1: unique attributes (self-join on ?e)") {
+    val q = Datalog.parse(
+      """[:find ?attr ?unique
+        | :where [?e :db/unique ?unique]
+        |        [?e :db/ident ?attr]]""".stripMargin)
+    val rows = Datalog.run(store, registry, q).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("artist/gid") == "db.unique/identity")
+    assert(rows("mbrainz.initial-import/batch-id") == "db.unique/value")
+    assert(rows.size >= 7)
+  }
+
+  test("explore query 2: parameterized entity count per attr") {
+    val q = Datalog.parse(
+      """[:find (count ?e)
+        | :in $ ?attr
+        | :where [?e ?attr _]]""".stripMargin)
+    def countFor(attr: String): Long =
+      Datalog.run(store, registry, q, Map("attr" -> Edn.kw(attr))).collect()(0).getLong(0)
+    assert(countFor("artist/gid") == 4601)
+    assert(countFor("label/gid") == 1207)
+    assert(countFor("abstractRelease/gid") == 10180)
+  }
+
+  test("explore query 3: all batch ids (wildcard entity)") {
+    val q = Datalog.parse(
+      "[:find ?v :where [_ :mbrainz.initial-import/batch-id ?v]]")
+    val ids = Datalog.run(store, registry, q).collect().map(_.getString(0)).toSet
+    assert(ids.contains("artists-1") && ids.contains("schema-1"))
+    assert(ids.size == 1 + 1 + 1 + 9 + 5 + 11 + 11 + 2 + 12 + 12) // import-schema + size-1000 batches
+  }
+
+  test("constants in value position, including enum refs") {
+    val q = Datalog.parse(
+      """[:find ?name
+        | :where [?e :artist/country :country/IT]
+        |        [?e :artist/name ?name]]""".stripMargin)
+    val names = Datalog.run(store, registry, q).collect().map(_.getString(0))
+    assert(names.contains("Adamo"))
+    assert(names.length > 50)
+  }
+
+  test("aggregates: min/max/count-distinct with grouping") {
+    val q = Datalog.parse(
+      """[:find ?type (count ?e) (min ?year)
+        | :where [?e :artist/type ?type]
+        |        [?e :artist/startYear ?year]]""".stripMargin)
+    val rows = Datalog.run(store, registry, q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    val person = rows.find(_._1 == "ident|artist.type/person").get
+    assert(person._2 > 100)
+  }
+
+  test("cross-pattern join through a ref: artists of a release") {
+    val q = Datalog.parse(
+      """[:find ?release-name ?artist-name
+        | :where [?r :release/artists ?a]
+        |        [?r :release/name ?release-name]
+        |        [?a :artist/name ?artist-name]]""".stripMargin)
+    val rows = Datalog.run(store, registry, q).collect()
+    assert(rows.length > 10000)
+  }
+
+  test("unbound :in parameter is a clear error") {
+    val q = Datalog.parse("[:find (count ?e) :in $ ?attr :where [?e ?attr _]]")
+    val e = intercept[IllegalArgumentException](Datalog.run(store, registry, q))
+    assert(e.getMessage.contains("unbound"))
+  }
+}
