@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.edn.Edn
+import graft.edn.Edn._
+
+/** Property-based tests (the reference declared test.check intent,
+  * SURVEY §5.6): EDN print/parse round-trip over generated values, and
+  * batching invariants over arbitrary sizes. Raw ScalaCheck generators
+  * with fixed seeds (scalatestplus bridge isn't on the offline
+  * classpath). */
+class PropertySpec extends AnyFunSuite {
+
+  private val genScalar: Gen[Edn] = Gen.oneOf(
+    Gen.const(ENil),
+    Gen.oneOf(true, false).map(EBool),
+    Arbitrary.arbitrary[Long].map(ELong),
+    Gen.alphaNumStr.map(EStr),
+    Gen.asciiPrintableStr.map(EStr), // exercises escaping
+    Gen.identifier.map(n => EKw("", n)),
+    (for { ns <- Gen.identifier; n <- Gen.identifier } yield EKw(ns, n)),
+    Gen.uuid.map(u => EUuid(u.toString.toLowerCase)))
+
+  private def genEdn(depth: Int): Gen[Edn] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      4 -> genScalar,
+      1 -> Gen.listOfN(3, genEdn(depth - 1)).map(xs => EVec(xs.toVector)),
+      1 -> (for {
+        ks <- Gen.listOfN(3, Gen.identifier)
+        vs <- Gen.listOfN(3, genEdn(depth - 1))
+      } yield EMap(ks.distinct.map(k => (EKw("", k): Edn)).zip(vs).toVector)))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("EDN print/parse round-trip over 500 generated values") {
+    samples(genEdn(3), 500).foreach { v =>
+      assert(Edn.parse(Edn.print(v)) == v, s"round-trip failed for: ${Edn.print(v)}")
+    }
+  }
+
+  test("batching invariants: sizes, ids, order, content") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cases = samples(for {
+      size <- Gen.chooseNum(1, 50)
+      n <- Gen.chooseNum(0, 120)
+    } yield (size, n), 12)
+    cases.foreach { case (batchSize, n) =>
+      val df = (0 until n).map(i => (i.toLong, s"e$i")).toDF("row_idx", "edn")
+      val batches = graft.ops.Batching.batchTable(df, batchSize, "t")
+        .orderBy("batch_n").collect()
+      assert(batches.length == (n + batchSize - 1) / batchSize)
+      val all = batches.flatMap(_.getSeq[String](2))
+      assert(all.toSeq == (0 until n).map(i => s"e$i"), "order-preserving concat")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        assert(b.getString(1) == s"t-${i + 1}")
+        if (i < batches.length - 1) assert(b.getSeq[String](2).size == batchSize)
+      }
+    }
+  }
+
+  test("salted join equals plain join; salted agg equals plain agg") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // heavy skew: 90% of rows share one key
+    val big = (0 until 2000).map(i => (if (i % 10 == 0) i % 7 else 999, i.toLong))
+      .toDF("k", "x")
+    val dim = (0 until 1000).map(i => (i, s"d$i")).toDF("k", "label")
+    val plain = big.join(dim, Seq("k")).groupBy("k").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salted = graft.ops.Salt.saltedJoin(big, dim, Seq("k"), 8, col("x"))
+      .groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+
+    val plainAgg = big.groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val saltedAgg = graft.ops.Salt.saltedAgg(big, Seq("k"), 8, col("x"),
+      partial = Seq(sum("x").as("ps"), count(lit(1)).as("pn")),
+      fin = Seq(sum("ps").cast("long").as("s"), sum("pn").cast("long").as("n")))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(saltedAgg == plainAgg)
+  }
+}
