@@ -34,6 +34,49 @@ final class Store(spark: SparkSession, val dir: String) {
     eav.filter(col("a") === graft.model.Mbrainz.batchIdAttr)
       .select(col("v").as("batch_id")).distinct()
 
+  /** Wide relational view of one entity namespace (the reference's
+    * metaschema declares exactly this decomposition,
+    * `metaschema/mbrainz.edn` — attrs as tables, refs as joins):
+    * pivot the current-state EAV rows of `ns/...` attrs into one row
+    * per entity. Card-many attrs become sorted arrays. The pivot is a
+    * single groupBy(e); attribute partition pruning keeps the scan to
+    * the namespace's partitions. */
+  def entityTable(registry: SchemaRegistry, ns: String): DataFrame = {
+    val attrs = registry.attrs.values.filter(_.ident.startsWith(ns + "/")).toSeq.sortBy(_.ident)
+    require(attrs.nonEmpty, s"no attrs in namespace $ns")
+    val cur = current(registry).filter(col("a").isInCollection(attrs.map(_.ident)))
+    val aggs = attrs.map { ad =>
+      val picked = when(col("a") === ad.ident, col("v"))
+      val colName = ad.ident.substring(ns.length + 1)
+      if (ad.many) sort_array(collect_set(picked)).as(colName)
+      else max(picked).as(colName) // exactly one post-resolution value
+    }
+    cur.groupBy(col("e")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Offline compaction: rewrite the log to its resolved current state
+    * (collapses superseded card-one values and duplicate card-many
+    * assertions). Returns the compacted row count. */
+  def compact(registry: SchemaRegistry): Long = {
+    val resolved = current(registry)
+      .withColumn("tx", lit(0L))
+      .select(Store.schema.fieldNames.map(col): _*)
+      .cache()
+    val n = resolved.count()
+    val tmp = s"$dir/eav_compact"
+    resolved.write.partitionBy("a").parquet(tmp)
+    resolved.unpersist()
+    val old = new java.io.File(s"$dir/eav")
+    val bak = new java.io.File(s"$dir/eav_old")
+    require(old.renameTo(bak), "compact: could not move old log")
+    require(new java.io.File(tmp).renameTo(old), "compact: could not install new log")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(bak)
+    n
+  }
+
   /** Current-state view: card-many attrs accumulate (distinct union),
     * card-one attrs resolve last-writer-wins by tx — one shuffle,
     * grouped by (e, a). */

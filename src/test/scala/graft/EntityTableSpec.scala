@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.SchemaRegistry
+import graft.pipeline.{Batcher, Loader}
+import graft.store.Store
+
+/** Wide entity tables pivoted from the EAV store (the metaschema's
+  * relational view) + offline compaction. */
+class EntityTableSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val basedir = "/root/reference/subsets"
+  private lazy val registry = SchemaRegistry.load(s"$basedir/entities/schema.edn")
+
+  private lazy val store: Store = {
+    val batches = java.nio.file.Files.createTempDirectory("etbatches").toString
+    val b = new Batcher(spark, basedir, batches, batchSize = 1000)
+    Seq("schema", "enums", "super-enums", "artists").foreach(b.createBatchFile)
+    val st = new Store(spark, java.nio.file.Files.createTempDirectory("etstore").toString)
+    val loader = new Loader(spark, registry, st)
+    loader.ensureImportSchema()
+    Seq("schema", "enums", "super-enums", "artists").foreach(t =>
+      loader.loadBatchFile(t, s"$batches/$t.edn"))
+    st
+  }
+
+  test("artist entity table has one row per artist with typed columns") {
+    val artists = store.entityTable(registry, "artist")
+    assert(artists.count() == 4601)
+    val adamo = artists.filter(col("name") === "Adamo").collect()(0)
+    assert(adamo.getAs[String]("type") == "ident|artist.type/person")
+    assert(adamo.getAs[String]("gender") == "ident|artist.gender/male")
+    assert(adamo.getAs[String]("country") == "ident|country/IT")
+    assert(adamo.getAs[String]("startYear") == "1943")
+    assert(adamo.getAs[String]("startMonth") == null) // reference drops it (typo'd name-map)
+  }
+
+  test("compaction collapses history but preserves current state") {
+    // separate store so the shared fixture stays intact
+    val st = new Store(spark, java.nio.file.Files.createTempDirectory("cstore").toString)
+    val loader = new Loader(spark, registry, st)
+    def line(batch: String, name: String) =
+      s"""{:batch-ident {:db/id "datomic.tx", :mbrainz.initial-import/batch-id "$batch"}, :data [""" +
+        s"""{:artist/gid #uuid "55555555-5555-4555-8555-555555555555", :artist/name "$name", :artist/sortName "S"}]}"""
+    def load(batch: String, name: String): Unit = {
+      val f = java.nio.file.Files.createTempFile("c", ".edn")
+      java.nio.file.Files.write(f, line(batch, name).getBytes)
+      loader.loadBatchFile("artists", f.toString); ()
+    }
+    load("artists-1", "Old"); load("artists-2", "New")
+    val before = st.eav.filter(col("a") === "artist/name").count()
+    assert(before == 2)
+    st.compact(registry)
+    assert(st.eav.filter(col("a") === "artist/name").count() == 1)
+    val cur = st.current(registry).filter(col("a") === "artist/name").collect()
+    assert(cur.map(_.getAs[String]("v")).toSeq == Seq("New"))
+  }
+}
