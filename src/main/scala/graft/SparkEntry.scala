@@ -56,6 +56,7 @@ object SparkEntry {
     "d10_quality_score"      -> (Llm.d10_quality_score _),
     "d11_token_count"        -> (Llm.d11_token_count _),
     "d12_fingerprint"        -> (Llm.d12_fingerprint _),
+    "d13_dedup_corpus"       -> (Llm.d13_dedup_corpus _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -217,6 +218,11 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "d13_dedup_corpus" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT md5(text) AS h, min(doc_id) AS c FROM documents GROUP BY 1) x
+        |  ON md5(d.text) = x.h AND d.doc_id = x.c""".stripMargin,
     "d09_lang_id" ->
       """SELECT doc_id, lang AS labeled_lang,
         |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)

@@ -65,11 +65,25 @@ object Llm {
       .select(col("doc_id"), col("minhash"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
     val a = sig.select(col("band"), col("bh"), col("doc_id").as("a_id"), col("minhash").as("a_mh"))
     val b = sig.select(col("band"), col("bh"), col("doc_id").as("b_id"), col("minhash").as("b_mh"))
+    // estimate BEFORE dedup so the distinct shuffles (a, b, est) —
+    // never the 32-element signature arrays
     a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_mh"), col("b_mh")).distinct()
-      .withColumn("est_jaccard",
-        expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast(32 as double)"))
-      .select(col("a_id"), col("b_id"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .withColumn("est_jaccard", round(
+        expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast(32 as double)"),
+        6))
+      .select(col("a_id"), col("b_id"), col("est_jaccard")).distinct()
+  }
+
+  /** The deduplicated corpus itself: keep only each hash group's
+    * canonical (min-id) document — what a training pipeline actually
+    * feeds downstream. */
+  def d13_dedup_corpus(s: SparkSession, d: String): DataFrame = {
+    val canon = documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    documents(s, d).withColumn("content_hash", md5(col("text")))
+      .join(canon, Seq("content_hash", "doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
   // ── d04: n-gram Jaccard verification of LSH candidates ─────────────
