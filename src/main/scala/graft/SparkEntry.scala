@@ -43,6 +43,7 @@ object SparkEntry {
     "q23_eav_count_per_attr" -> (Relational.q23_eav_count_per_attr _),
     "q24_explode_unnest"     -> (Relational.q24_explode_unnest _),
     "q25_quarantine"         -> (Relational.q25_quarantine _),
+    "q26_batch_numbering_scalable" -> (Relational.q26_batch_numbering_scalable _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -184,6 +185,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT n_nationkey AS e, 'n_regionkey' AS a, CAST(n_regionkey AS VARCHAR) AS v FROM nation)
         |SELECT a, CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities FROM eav GROUP BY a""".stripMargin,
+    "q26_batch_numbering_scalable" ->
+      """WITH numbered AS (
+        |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+        |SELECT 'orders-' || CAST(((rn - 1) // 100) + 1 AS VARCHAR) AS batch_id,
+        |  COUNT(*) AS batch_size, MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |FROM numbered GROUP BY 1""".stripMargin,
     "q24_explode_unnest" ->
       """SELECT vec_id,
         |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,

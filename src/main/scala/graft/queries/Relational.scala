@@ -240,6 +240,21 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("l_orderkey")).as("n_orders"))
 
+  // ── A2 at scale: batch numbering WITHOUT the global window ────────
+  // Same output as q10, built on GlobalIndex (range-partition + count
+  // + offset broadcast) instead of a single-partition row_number —
+  // the shape that survives 100 TB. Shares q10's oracle semantics.
+  def q26_batch_numbering_scalable(s: SparkSession, d: String): DataFrame = {
+    val keys = orders(s, d).select(col("o_orderkey"))
+    graft.ops.GlobalIndex.withDenseIndex(keys, Seq(col("o_orderkey")), "rn0")
+      .withColumn("batch_id",
+        concat(lit("orders-"), ((col("rn0") / lit(100)).cast("long") + 1)))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("batch_size"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+  }
+
   // ── EAV / Datalog shapes (J6, A6) on testdata ─────────────────────
   // The store's long-format view built by unpivoting nation; the
   // Datalog pattern [?e :n_name ?name][?e :n_regionkey ?rk] is a
