@@ -58,6 +58,8 @@ object SparkEntry {
     "d11_token_count"        -> (Llm.d11_token_count _),
     "d12_fingerprint"        -> (Llm.d12_fingerprint _),
     "d13_dedup_corpus"       -> (Llm.d13_dedup_corpus _),
+    "d14_rolling_fingerprint" -> (Llm.d14_rolling_fingerprint _),
+    "d15_embedding_near_dup" -> (Llm.d15_embedding_near_dup _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -230,6 +232,22 @@ object SparkEntry {
         |FROM documents d
         |JOIN (SELECT md5(text) AS h, min(doc_id) AS c FROM documents GROUP BY 1) x
         |  ON md5(d.text) = x.h AND d.doc_id = x.c""".stripMargin,
+    "d14_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), ''),
+        |      c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+    "d15_embedding_near_dup" ->
+      """WITH s AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm FROM s)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_inner_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_inner_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.3""".stripMargin,
     "d09_lang_id" ->
       """SELECT doc_id, lang AS labeled_lang,
         |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)

@@ -74,6 +74,36 @@ object SimHash {
   }
 }
 
+object RollingHash {
+  /** Polynomial rolling hash over normalized bytes (lowercased,
+    * non-alphanumeric stripped): h = h*31 + b (mod 1e9+7). The
+    * classic document-fingerprint shape; modular so it is ANSI-safe
+    * and engine-portable. */
+  def compute(s: UTF8String): Long = {
+    val bytes = s.toLowerCase.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isAlnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (isAlnum) h = (h * 31L + (b & 0xffL)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+}
+
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash64"
+}
+
 case class MinHashSignature(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -102,5 +132,6 @@ object HashExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSignature(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "scala_udf")
   }
 }

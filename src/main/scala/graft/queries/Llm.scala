@@ -244,4 +244,28 @@ object Llm {
       col("doc_id"),
       md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
         .as("fingerprint"))
+
+  /** Rolling-hash fingerprint (polynomial, mod 1e9+7 over normalized
+    * bytes) via the native `rolling_hash64` expression — the cheap
+    * streaming fingerprint shape (one pass, no buffer). */
+  def d14_rolling_fingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    documents(s, d).select(col("doc_id"), expr("rolling_hash64(text)").as("fingerprint"))
+  }
+
+  /** Embedding-cosine near-dup pairs over a deterministic sample
+    * (vec_id % 10 = 0): exact all-pairs on the sample, threshold on
+    * rounded cosine. The sample bound keeps exactness affordable; the
+    * full-corpus path is the LSH-bucketed d08. */
+  def d15_embedding_near_dup(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(embeddings(s, d)).filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("vec"), col("norm"))
+    val a = emb.select(col("vec_id").as("a_id"), col("vec").as("a_vec"), col("norm").as("a_norm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("vec").as("b_vec"), col("norm").as("b_norm"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", round(expr(
+        "aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (a_norm * b_norm)"), 6))
+      .filter(col("cosine") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
 }
