@@ -63,15 +63,18 @@ object Llm {
   def d03_minhash_lsh_pairs(s: SparkSession, d: String): DataFrame = {
     val sig = d02_minhash_signatures(s, d)
       .select(col("doc_id"), col("minhash"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
-    val a = sig.select(col("band"), col("bh"), col("doc_id").as("a_id"), col("minhash").as("a_mh"))
-    val b = sig.select(col("band"), col("bh"), col("doc_id").as("b_id"), col("minhash").as("b_mh"))
-    // estimate BEFORE dedup so the distinct shuffles (a, b, est) —
-    // never the 32-element signature arrays
-    a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+    // true self-join (same plan aliased twice) so ReuseExchange
+    // computes the signature pipeline ONCE; estimate BEFORE dedup so
+    // the distinct shuffles (a, b, est) — never the signature arrays
+    val joined = sig.as("x").join(sig.as("y"),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+    joined
       .withColumn("est_jaccard", round(
-        expr("aggregate(zip_with(a_mh, b_mh, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast(32 as double)"),
+        expr("aggregate(zip_with(x.minhash, y.minhash, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast(32 as double)"),
         6))
-      .select(col("a_id"), col("b_id"), col("est_jaccard")).distinct()
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"), col("est_jaccard"))
+      .distinct()
   }
 
   /** The deduplicated corpus itself: keep only each hash group's

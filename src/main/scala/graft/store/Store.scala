@@ -54,6 +54,19 @@ final class Store(spark: SparkSession, val dir: String) {
     cur.groupBy(col("e")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** SQL surface: registers `eav`, `eav_current`, and one wide view
+    * per entity namespace (artist, release, …) as temp views so the
+    * whole store is queryable via `spark.sql(...)`. */
+  def registerViews(registry: SchemaRegistry): Unit = {
+    eav.createOrReplaceTempView("eav")
+    current(registry).createOrReplaceTempView("eav_current")
+    registry.attrs.keys.map(_.takeWhile(_ != '/')).filter(_.nonEmpty).toSet
+      .filterNot(Set("db", "mbrainz.initial-import"))
+      .foreach { ns =>
+        entityTable(registry, ns).createOrReplaceTempView(ns.replace('.', '_'))
+      }
+  }
+
   /** Offline compaction: rewrite the log to its resolved current state
     * (collapses superseded card-one values and duplicate card-many
     * assertions). Returns the compacted row count. */

@@ -37,6 +37,22 @@ class EntityTableSpec extends AnyFunSuite {
     assert(adamo.getAs[String]("startMonth") == null) // reference drops it (typo'd name-map)
   }
 
+  test("spark.sql over registered store views") {
+    store.registerViews(registry)
+    val n = spark.sql("SELECT count(*) FROM artist").collect()(0).getLong(0)
+    assert(n == 4601)
+    val top = spark.sql(
+      """SELECT c.v AS country, count(*) AS n
+        |FROM eav_current c WHERE c.a = 'artist/country'
+        |GROUP BY 1 ORDER BY n DESC, country LIMIT 1""".stripMargin).collect()(0)
+    assert(top.getString(0).startsWith("ident|country/"))
+    val joined = spark.sql(
+      """SELECT a.name FROM artist a
+        |WHERE a.country = 'ident|country/IT' ORDER BY a.name LIMIT 3""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(joined.length == 3)
+  }
+
   test("compaction collapses history but preserves current state") {
     // separate store so the shared fixture stays intact
     val st = new Store(spark, java.nio.file.Files.createTempDirectory("cstore").toString)
