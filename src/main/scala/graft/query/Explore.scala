@@ -46,6 +46,22 @@ object Explore {
       .groupBy(col("batch_entity"))
       .agg(count(lit(1)).as("n_batches"))
 
+  /** Fulltext search honoring `:db/fulltext` schema metadata
+    * (schema.edn marks e.g. :artist/name, :release/name): tokenized
+    * case-insensitive match over values of fulltext-indexed attrs
+    * only — Datomic's `fulltext` Datalog function shape. The scan
+    * prunes to the fulltext attrs' partitions before matching. */
+  def fulltext(store: Store, registry: SchemaRegistry, needle: String): DataFrame = {
+    val ftAttrs = registry.attrs.values.filter(_.fulltext).map(_.ident).toSeq
+    require(ftAttrs.nonEmpty, "schema declares no fulltext attrs")
+    store.eav
+      .filter(col("a").isInCollection(ftAttrs))
+      .filter(array_contains(
+        expr("filter(split(lower(v), '[^a-z0-9]+'), t -> length(t) > 0)"),
+        needle.toLowerCase))
+      .select(col("e"), col("a"), col("v")).distinct()
+  }
+
   /** FK integrity (beyond the reference, which defers to Datomic's
     * transact-time resolution): ref datoms whose target e-key never
     * appears as an entity. */

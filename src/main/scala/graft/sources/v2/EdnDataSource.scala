@@ -55,13 +55,18 @@ object EdnDataSource {
   }
 }
 
-final class EdnTable(schema: StructType, paths: Seq[String]) extends Table with SupportsRead {
+final class EdnTable(schema: StructType, paths: Seq[String])
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"edn(${paths.mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdnScanBuilder(schema, paths)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new EdnWriteBuilder(info.schema(), paths.head)
 }
 
 final class EdnScanBuilder(fullSchema: StructType, paths: Seq[String])

@@ -38,6 +38,29 @@ class EdnSourceV2Spec extends AnyFunSuite {
     assert(rows.toSeq == Seq("n1", "n2"))
   }
 
+  test("batch write: one EDN file per partition, round-trips") {
+    import org.apache.spark.sql.functions.lit
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ednwrite").toString + "/out"
+    val df = Seq((1L, "a \"quoted\"", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score").withColumn("flag", lit(true)).repartition(2)
+    df.write.format("edn").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".edn"))
+    assert(files.length == 2)
+    val forms = files.flatMap(f => graft.edn.Edn.parseAll(EdnSource.readText(f.getPath)))
+    assert(forms.length == 3)
+    val byId = forms.map(_.asInstanceOf[graft.edn.Edn.EMap])
+      .map(m => m.getKw("id").get -> m).toMap
+    assert(byId(graft.edn.Edn.ELong(1)).getKw("name")
+      .contains(graft.edn.Edn.EStr("a \"quoted\"")))
+    // overwrite truncates
+    df.limit(1).repartition(1).write.format("edn").mode("overwrite").save(dir)
+    val after = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".edn"))
+      .flatMap(f => graft.edn.Edn.parseAll(EdnSource.readText(f.getPath)))
+    assert(after.length == 1)
+  }
+
   test("missing schema is a clear error") {
     val e = intercept[Exception](spark.read.format("edn").load(artistsPath).count())
     assert(e.getMessage.contains("explicit schema"))

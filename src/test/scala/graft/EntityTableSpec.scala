@@ -53,6 +53,27 @@ class EntityTableSpec extends AnyFunSuite {
     assert(joined.length == 3)
   }
 
+  test("fulltext search honors :db/fulltext schema metadata") {
+    val hits = graft.query.Explore.fulltext(store, registry, "Adamo").collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(r => registry(r.getString(1)).fulltext), "only fulltext attrs")
+    assert(hits.exists(r => r.getString(1) == "artist/name"))
+    // tokenized match — substring of a token must NOT hit
+    assert(graft.query.Explore.fulltext(store, registry, "dam").collect().isEmpty)
+  }
+
+  test("progress heartbeat reports while a job runs") {
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p = new graft.ops.Progress(spark, "test", intervalMs = 0, _ => { ticks.incrementAndGet(); () })
+    try {
+      store.eav.groupBy("a").count().collect()
+      // listener events are async; wait briefly for delivery
+      val deadline = System.currentTimeMillis() + 5000
+      while (ticks.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(ticks.get() > 0)
+    } finally p.close()
+  }
+
   test("compaction collapses history but preserves current state") {
     // separate store so the shared fixture stays intact
     val st = new Store(spark, java.nio.file.Files.createTempDirectory("cstore").toString)
