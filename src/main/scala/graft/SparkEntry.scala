@@ -44,6 +44,8 @@ object SparkEntry {
     "q24_explode_unnest"     -> (Relational.q24_explode_unnest _),
     "q25_quarantine"         -> (Relational.q25_quarantine _),
     "q26_batch_numbering_scalable" -> (Relational.q26_batch_numbering_scalable _),
+    "q27_set_ops"            -> (Relational.q27_set_ops _),
+    "q28_approx_distinct"    -> (Relational.q28_approx_distinct _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -193,6 +195,14 @@ object SparkEntry {
         |SELECT 'orders-' || CAST(((rn - 1) // 100) + 1 AS VARCHAR) AS batch_id,
         |  COUNT(*) AS batch_size, MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
         |FROM numbered GROUP BY 1""".stripMargin,
+    "q27_set_ops" ->
+      """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT c_custkey, 'union' AS set_op FROM (SELECT c_custkey FROM big UNION SELECT c_custkey FROM auto)
+        |UNION ALL
+        |SELECT c_custkey, 'intersect' AS set_op FROM (SELECT c_custkey FROM big INTERSECT SELECT c_custkey FROM auto)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS set_op FROM (SELECT c_custkey FROM big EXCEPT SELECT c_custkey FROM auto)""".stripMargin,
     "q24_explode_unnest" ->
       """SELECT vec_id,
         |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,

@@ -275,6 +275,27 @@ object Relational {
   def q23_eav_count_per_attr(s: SparkSession, d: String): DataFrame =
     nationEav(s, d).groupBy(col("a")).agg(countDistinct(col("e")).as("n_entities"))
 
+  // ── Set operations (beyond the reference, which only anti-joins) ──
+  def q27_set_ops(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val big = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val union = big.union(auto).distinct().withColumn("set_op", lit("union"))
+    val inter = big.intersect(auto).withColumn("set_op", lit("intersect"))
+    val exc = big.except(auto).withColumn("set_op", lit("except"))
+    union.unionByName(inter).unionByName(exc)
+  }
+
+  /** Sketch aggregates (HLL++): the approximate path for distinct
+    * counts at 100 TB — no exact-dedup shuffle, fixed-size mergeable
+    * state. No cross-engine oracle (sketch internals differ); the
+    * spec asserts the documented error bound against the exact count. */
+  def q28_approx_distinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      count(lit(1)).as("n_rows"))
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

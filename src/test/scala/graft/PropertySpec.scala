@@ -63,6 +63,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx distinct stays within the configured error bound") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val row = graft.queries.Relational.q28_approx_distinct(spark, sf).collect()(0)
+    val exactOrders = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    val approx = row.getAs[Long]("approx_orders")
+    assert(math.abs(approx - exactOrders).toDouble / exactOrders < 0.05,
+      s"approx $approx vs exact $exactOrders")
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     val spark = TestSpark.spark
     import spark.implicits._
