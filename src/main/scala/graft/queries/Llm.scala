@@ -32,19 +32,12 @@ object Llm {
   // ── d02: MinHash signatures + LSH banding ──────────────────────────
   /** 5-char shingles → 32 minhashes → 8 bands of 4 (collision prob ≈
     * sim⁴ per band, so candidate volume stays near-linear even on a
-    * homogeneous corpus). All per-row expression work; only the band
-    * table shuffles.
-    *
-    * Two deliberate expression-shape choices (found via thread-dump
-    * profiling — nested higher-order functions evaluate interpreted,
-    * outside codegen):
-    *  1. each shingle is string-hashed ONCE; the 32 components come
-    *     from cheap per-seed multiply-add mixing (universal hashing),
-    *     not 32 seeded string-hash passes;
-    *  2. every intermediate array is let-bound via a single-element
-    *     `transform(array(X), x -> ...)` wrapper — otherwise
-    *     CollapseProject inlines X into every downstream lambda and the
-    *     shingle scan re-runs 32×8 times per row. */
+    * homogeneous corpus). Signatures come from the native codegen'd
+    * `minhash_sig` expression (graft.functions) — the higher-order-
+    * function formulation it replaced evaluated interpreted and
+    * re-inlined the shingle array into every lambda (HashExprsSpec
+    * pins bit-equivalence). The explicit repartition spreads the
+    * single-file scan; only the band table shuffles. */
   private def withMinhash(df: DataFrame): DataFrame = {
     graft.functions.HashExprs.register(df.sparkSession)
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)

@@ -79,7 +79,9 @@ object EdnSource {
   }
 
   /** One task per file; ordering token keeps a total order across the
-    * corpus (file order ≪ form order). */
+    * corpus (file order ≪ form order). RDD-based alternative kept for
+    * comparison — the DataSource V2 connector (sources.v2) is the
+    * primary multi-file path and adds column pruning. */
   def readEntitiesDistributed(spark: SparkSession, paths: Seq[String], t: EntityType): DataFrame = {
     val fields = t.inFields
     val rdd = spark.sparkContext
