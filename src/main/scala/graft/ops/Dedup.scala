@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Parameterized library surface for the dedup / similarity cores
+  * (the `graft.queries.Llm` harness entries are thin wrappers with
+  * the defaults the oracle checks). All knobs that matter at scale
+  * are explicit: band/row counts for MinHash-LSH, chunk count for
+  * SimHash blocking, hyperplane count for ANN buckets.
+  */
+object Dedup {
+
+  /** MinHash signatures + band hashes over `textCol`. Requires
+    * HashExprs to be registered. k = 32 components (fixed by the
+    * native expression); bands × rowsPerBand must equal k. */
+  def minhashSignatures(df: DataFrame, id: Column, textCol: Column,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand == 32, "bands × rowsPerBand must equal 32")
+    graft.functions.HashExprs.register(df.sparkSession)
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(id.as("doc_id"), textCol.as("__text"))
+      .withColumn("minhash", expr("minhash_sig(__text)"))
+      .select(col("doc_id"), col("minhash"),
+        expr(s"transform(array(minhash), mh -> transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, concat_ws(',', slice(mh, b*$rowsPerBand+1, $rowsPerBand)))))[0]")
+          .as("band_hashes"))
+  }
+
+  /** LSH candidate pairs with estimated Jaccard (see Llm.d03 for the
+    * shuffle-shape rationale). */
+  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
+    val sig = signatures
+      .select(col("doc_id"), col("minhash"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
+    sig.as("x").join(sig.as("y"),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .withColumn("est_jaccard", round(
+        expr("aggregate(zip_with(x.minhash, y.minhash, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast(32 as double)"),
+        6))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"), col("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash per document + hamming-blocked near-dup pairs: hamming ≤
+    * maxHamming candidates must share one of `chunks` equal chunks
+    * (pigeonhole — choose chunks > maxHamming·…/16 appropriately). */
+  def simhashPairs(df: DataFrame, id: Column, textCol: Column,
+      chunks: Int = 4, maxHamming: Int = 16): DataFrame = {
+    graft.functions.HashExprs.register(df.sparkSession)
+    val bits = 64 / chunks
+    val sh = df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(id.as("doc_id"), textCol.as("__text"))
+      .select(col("doc_id"), expr("simhash64(__text)").as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${chunks - 1}), c -> shiftright(simhash, c*$bits) & ${(1L << bits) - 1})"))
+          .as(Seq("chunk_idx", "chunk")))
+    sh.as("x").join(sh.as("y"),
+      col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact top-k cosine neighbors for a bounded query set. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def norm(df: DataFrame, prefix: String): DataFrame =
+      df.withColumn(s"${prefix}vec", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn(s"${prefix}norm",
+          expr(s"sqrt(aggregate(${prefix}vec, cast(0 as double), (acc, x) -> acc + x * x))"))
+    val c = norm(corpus, "c_").select(col("vec_id").as("neighbor_id"), col("c_vec"), col("c_norm"))
+    val q = norm(queries, "q_").select(col("vec_id").as("query_id"), col("q_vec"), col("q_norm"))
+    val scored = c.join(broadcast(q))
+      .withColumn("cosine", expr(
+        "aggregate(zip_with(c_vec, q_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (c_norm * q_norm)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -106,6 +106,31 @@ class LlmSpec extends AnyFunSuite {
     assert(lang.length == 6)
   }
 
+  test("parameterized Dedup library cores equal the harness defaults") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, fixtureDir)
+    val viaLib = graft.ops.Dedup.lshCandidatePairs(
+      graft.ops.Dedup.minhashSignatures(docs, col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaQuery = Llm.d03_minhash_lsh_pairs(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaLib == viaQuery)
+
+    val shLib = graft.ops.Dedup.simhashPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue())).toSet
+    val shQuery = Llm.d06_simhash_pairs(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue())).toSet
+    assert(shLib == shQuery)
+
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val topkLib = graft.ops.Dedup.cosineTopK(
+      emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val topkQuery = Llm.d07_cosine_topk(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(topkLib == topkQuery)
+  }
+
   test("mm2: batched decode features match the stub on driver") {
     val feats = Multimodal.mm2_decode_features(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
