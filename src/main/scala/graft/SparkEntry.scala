@@ -46,6 +46,7 @@ object SparkEntry {
     "q26_batch_numbering_scalable" -> (Relational.q26_batch_numbering_scalable _),
     "q27_set_ops"            -> (Relational.q27_set_ops _),
     "q28_approx_distinct"    -> (Relational.q28_approx_distinct _),
+    "q29_datalog_engine"     -> (Relational.q29_datalog_engine _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -195,6 +196,14 @@ object SparkEntry {
         |SELECT 'orders-' || CAST(((rn - 1) // 100) + 1 AS VARCHAR) AS batch_id,
         |  COUNT(*) AS batch_size, MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
         |FROM numbered GROUP BY 1""".stripMargin,
+    "q29_datalog_engine" ->
+      """WITH eav AS (
+        |  SELECT n_nationkey AS e, 'n_name' AS a, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey AS e, 'n_regionkey' AS a, CAST(n_regionkey AS VARCHAR) AS v FROM nation)
+        |SELECT n.e, n.v AS nation_name, r.v AS region_key
+        |FROM (SELECT e, v FROM eav WHERE a = 'n_name') n
+        |JOIN (SELECT e, v FROM eav WHERE a = 'n_regionkey') r USING (e)""".stripMargin,
     "q27_set_ops" ->
       """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
         |auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')

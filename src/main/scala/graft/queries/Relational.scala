@@ -275,6 +275,21 @@ object Relational {
   def q23_eav_count_per_attr(s: SparkSession, d: String): DataFrame =
     nationEav(s, d).groupBy(col("a")).agg(countDistinct(col("e")).as("n_entities"))
 
+  /** The Datalog FRONT-END under the oracle gate: the same semantics
+    * as q22, but planned by graft.query.Datalog from EDN query text
+    * (pattern → pruned scan → self-join on ?e). */
+  def q29_datalog_engine(s: SparkSession, d: String): DataFrame = {
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?nation-name ?region-key
+        | :where [?e :n_name ?nation-name]
+        |        [?e :n_regionkey ?region-key]]""".stripMargin)
+    val registry = new graft.model.SchemaRegistry(Map.empty)
+    graft.query.Datalog.runOn(nationEav(s, d).select(
+        col("e").cast("string").as("e"), col("a"), col("v")), registry, q, Map.empty)
+      .select(col("e").cast("int").as("e"),
+        col("nation-name").as("nation_name"), col("region-key").as("region_key"))
+  }
+
   // ── Set operations (beyond the reference, which only anti-joins) ──
   def q27_set_ops(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d)
