@@ -53,6 +53,15 @@ object Streams {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup on ingest: state is bounded by the
+    * watermark (an id is only remembered while late duplicates can
+    * still arrive) — the streaming form of d01's content-hash dedup,
+    * keyed here on event_id + the dedup column of choice. */
+  def dedupStream(events: DataFrame, idCols: Seq[String], lateness: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", lateness)
+      .dropDuplicates(idCols :+ "ets")
+
   // ── Custom state: hand-rolled sessionizer ──────────────────────────
   final case class Ev(user_id: Long, ts_ms: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -80,6 +80,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSessions == manual)
   }
 
+  test("streaming dedup drops duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+      .selectExpr("event_id", "ts * 1000000 as ts", "value") // ms → ns
+    val out = Streams.dedupStream(events, Seq("event_id"), "1 hour")
+      .select("event_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1L, 1000L, 1.0), (2L, 2000L, 2.0), (1L, 1000L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 1000L, 1.0), (3L, 3000L, 3.0)) // replay of id 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("idempotent micro-batch sink skips replayed batch ids") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString
