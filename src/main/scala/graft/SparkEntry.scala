@@ -69,16 +69,19 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Money columns are BIGINT cents (×100; ×10000 for scale-4) on both
+    // sides: exact under any agg order AND comparator-stable (decimal
+    // stringifies as "5.0" via DuckDB fetchdf but "5.00" via parquet).
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price, o_orderpriority
         |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0""".stripMargin,
     "q03_enum_broadcast_join" ->
       """SELECT n_nationkey, n_name, r_name
@@ -89,17 +92,17 @@ object SparkEntry {
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q05_lookup_ref_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q06_reverse_ref_assembly" ->
       """SELECT l_orderkey, COUNT(*) AS track_count,
         |  MIN(l_linenumber) AS first_line, MAX(l_linenumber) AS last_line,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q07_upsert_merge" ->
       """SELECT l_orderkey,
-        |  list_sort(list(DISTINCT l_suppkey)) AS supp_keys,
+        |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_keys,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q08_ledger_anti_join" ->
@@ -124,7 +127,7 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT concat_ws('-', 't', l_orderkey, l_linenumber)) AS BIGINT) AS n_ids
         |FROM lineitem""".stripMargin,
     "q14_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q15_validation" ->
       """SELECT COUNT(*) AS n_rows,
@@ -143,17 +146,17 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q18_window_rank" ->
       """SELECT o_custkey, rk, o_orderkey, price FROM (
-        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |  SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders) WHERE rk <= 2""".stripMargin,
     "q19_time_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS hour_ms, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q20_star_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -174,7 +177,7 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value
         |FROM y GROUP BY user_id, sess""".stripMargin,
     "q22_eav_self_join" ->
       """WITH eav AS (
@@ -258,15 +261,6 @@ object SparkEntry {
         |      c -> CAST(ord(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
-    "d15_embedding_near_dup" ->
-      """WITH s AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        |  FROM embeddings WHERE vec_id % 10 = 0),
-        |n AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm FROM s)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_inner_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE round(list_inner_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.3""".stripMargin,
     "d09_lang_id" ->
       """SELECT doc_id, lang AS labeled_lang,
         |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)
@@ -316,9 +310,54 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS payload_md5,
-        |  struct_pack(mime := 'application/octet-stream',
-        |              width := CAST(n_chars % 640 AS BIGINT),
-        |              height := CAST(doc_id % 480 AS BIGINT)) AS meta
+        |  'application/octet-stream' AS mime,
+        |  CAST(n_chars % 640 AS BIGINT) AS width,
+        |  CAST(doc_id % 480 AS BIGINT) AS height
         |FROM documents""".stripMargin,
+    // The corpus is ASCII (verified: octet_length(encode(text)) =
+    // length(text) for every row), so DuckDB's char-level functions
+    // see exactly the bytes Spark's binary payload does.
+    "mm2_decode_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS bs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(bs) AS BIGINT) AS byte_sum,
+        |  CAST(len(list_filter(list_transform(range(2, len(bs)+1), i -> abs(bs[i]-bs[i-1])), d -> d > 16)) AS BIGINT) AS byte_transitions,
+        |  CAST(len(bs) AS BIGINT) AS n_bytes
+        |FROM b""".stripMargin,
+    "mm3_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, greatest(length(text)-32, 0) // 64 + 1),
+        |      i -> substr(text, CAST(i*64+1 AS INT), 32)) AS frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(frames, 1) - 1 AS BIGINT) AS frame_idx,
+        |  md5(unnest(frames)) AS frame_md5,
+        |  CAST(length(unnest(frames)) AS BIGINT) AS frame_len
+        |FROM f""".stripMargin,
+    "q28_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS orders_ok, TRUE AS parts_ok
+        |FROM lineitem""".stripMargin,
+    "d04_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN []
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    END AS grams FROM t),
+        |k AS (SELECT doc_id, grams, list_aggregate(grams, 'min') AS block FROM g WHERE len(grams) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.grams, b.grams)) / greatest(len(list_distinct(a.grams || b.grams)), 1), 6) AS jaccard
+        |FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id""".stripMargin,
+    "d08_ann_lsh" -> Llm.d08OracleSql,
+    "d15_embedding_near_dup" -> Llm.d15OracleSql,
   )
 }

@@ -93,6 +93,53 @@ object RollingHash {
   }
 }
 
+object NGram {
+  val N = 3
+  private val wordSplit = UTF8String.fromString("[^a-z0-9]+")
+
+  /** Distinct word-3-gram set (first-occurrence order): tokenize on
+    * non-alphanumeric runs of the lowercased text, join each run of 3
+    * consecutive tokens with a space. Fewer than 3 tokens → the whole
+    * token sequence as one gram; no tokens → empty set. Same semantics
+    * as filter(split(lower(text),'[^a-z0-9]+'), w -> length(w) > 0)
+    * windowed by 3 — but evaluated compiled, not as interpreted
+    * higher-order functions (the d04 hot path). */
+  def compute(s: UTF8String): ArrayData = {
+    val parts = s.toLowerCase.split(wordSplit, -1)
+    val tokens = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).numBytes > 0) tokens.add(parts(i))
+      i += 1
+    }
+    val n = tokens.size
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n < N) {
+      seen.add(UTF8String.concatWs(sep, tokens.toArray(new Array[UTF8String](n)): _*))
+    } else {
+      var j = 0
+      while (j <= n - N) {
+        seen.add(UTF8String.concatWs(sep, tokens.get(j), tokens.get(j + 1), tokens.get(j + 2)))
+        j += 1
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+case class NGramSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    NGram.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGram.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): NGramSet =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_set"
+}
+
 case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
@@ -133,5 +180,6 @@ object HashExprs {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSignature(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_set", es => NGramSet(es.head), "scala_udf")
   }
 }

@@ -44,17 +44,25 @@ object Llm {
       .withColumn("minhash", expr("minhash_sig(text)"))
   }
 
-  def d02_minhash_signatures(s: SparkSession, d: String): DataFrame =
+  /** doc_id → (minhash signature, 8 band hashes) — the internal shape
+    * d03 joins on; the public d02 query below explodes it to scalar
+    * rows (array cells don't survive generic comparators). */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
     withMinhash(documents(s, d))
       .select(col("doc_id"), col("minhash"),
         expr("transform(array(minhash), mh -> transform(sequence(0, 7), b -> xxhash64(b, concat_ws(',', slice(mh, b*4+1, 4)))))[0]")
           .as("band_hashes"))
 
+  def d02_minhash_signatures(s: SparkSession, d: String): DataFrame =
+    minhashBands(s, d)
+      .select(col("doc_id"), posexplode(col("band_hashes")).as(Seq("band", "band_hash")))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
+
   /** Candidate pairs = docs sharing ≥1 band bucket; estimated Jaccard =
     * fraction of matching minhash components. The bucket join is the
     * scale path: shuffle key (band, hash), never doc×doc. */
   def d03_minhash_lsh_pairs(s: SparkSession, d: String): DataFrame = {
-    val sig = d02_minhash_signatures(s, d)
+    val sig = minhashBands(s, d)
       .select(col("doc_id"), col("minhash"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
     // true self-join (same plan aliased twice) so ReuseExchange
     // computes the signature pipeline ONCE; estimate BEFORE dedup so
@@ -82,24 +90,46 @@ object Llm {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
-  // ── d04: n-gram Jaccard verification of LSH candidates ─────────────
-  /** Exact word-3-gram Jaccard, but ONLY on LSH candidates (classic
-    * candidate-then-verify; the exact set intersection never runs
-    * all-pairs). */
-  def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d).select(col("doc_id"),
-      // let-bind the token array: without the single-element-array
-      // wrapper the split() re-runs once per gram position
-      expr("""transform(array(split(lower(text), '[^a-z0-9]+')), ws ->
-              array_distinct(transform(sequence(1, greatest(size(ws)-2, 1)),
-              i -> concat_ws(' ', slice(ws, i, 3)))))[0]""").as("grams"))
-    val pairs = d03_minhash_lsh_pairs(s, d).select("a_id", "b_id")
+  // ── d04: n-gram Jaccard — candidate-then-verify ────────────────────
+  /** Exact word-3-gram Jaccard over an arbitrary candidate pair set
+    * (a_id, b_id). The exact set intersection never runs all-pairs:
+    * only docs that APPEAR in a pair get gram sets (semi-join first —
+    * at 100 TB the candidates touch a tiny fraction of the corpus, so
+    * gramming the whole corpus would dominate the query). Grams come
+    * from the native codegen'd `ngram_set` (graft.functions.NGram). */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val grams = docs.join(ids, "doc_id")
+      .select(col("doc_id"), expr("ngram_set(text)").as("grams"))
     pairs
       .join(grams.select(col("doc_id").as("a_id"), col("grams").as("a_g")), "a_id")
       .join(grams.select(col("doc_id").as("b_id"), col("grams").as("b_g")), "b_id")
       .withColumn("inter", size(array_intersect(col("a_g"), col("b_g"))))
       .withColumn("uni", size(array_union(col("a_g"), col("b_g"))))
       .select(col("a_id"), col("b_id"),
+        round(col("inter") / greatest(col("uni"), lit(1)), 6).as("jaccard"))
+  }
+
+  /** The gated d04 query blocks deterministically on each doc's
+    * minimum gram (prefix blocking — content-derived, so the oracle
+    * can reproduce it; the xxhash-bucketed LSH path is d03 →
+    * verifyJaccard, exercised by spec). Same candidate-then-verify
+    * shape: bucket join produces pairs, exact Jaccard confirms. */
+  def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val g = documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), expr("ngram_set(text)").as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("block", array_min(col("grams")))
+    val joined = g.as("x").join(g.as("y"),
+      col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+    joined
+      .withColumn("inter", size(array_intersect(col("x.grams"), col("y.grams"))))
+      .withColumn("uni", size(array_union(col("x.grams"), col("y.grams"))))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         round(col("inter") / greatest(col("uni"), lit(1)), 6).as("jaccard"))
   }
 
@@ -123,8 +153,11 @@ object Llm {
     val b = sh.select(col("chunk_idx"), col("chunk"), col("doc_id").as("b_id"), col("simhash").as("b_sh"))
     a.join(b, Seq("chunk_idx", "chunk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr("bit_count(a_sh ^ b_sh)").as("hamming")).distinct()
+        expr("bit_count(a_sh ^ b_sh)").as("hamming"))
+      // threshold BEFORE distinct: the hamming filter is free per row,
+      // the distinct is a shuffle — shrink what shuffles
       .filter(col("hamming") <= 16)
+      .distinct()
   }
 
   // ── d07: embedding cosine near-dup + brute-force ANN top-k ─────────
@@ -167,6 +200,45 @@ object Llm {
     s"""if(aggregate(zip_with(vec, slice(${annPlane(p)}, 1, size(vec)), (x, w) -> x * w),
         cast(0 as double), (a, v) -> a + v) > 0, ${1 << p}, 0)"""
   }.mkString("(", " + ", ")")
+
+  /** The SAME hyperplanes as DuckDB literals — the codes are
+    * deterministic plan constants, so the oracle rebuilds the exact
+    * buckets and d08/d15 get full value-level verification. */
+  private def annPlaneSql(p: Int): String = (0 until 64).map { i =>
+    val h = (p * 131L + i + 7L) * 0x9E3779B97F4A7C15L
+    val v = ((h >>> 17) % 1000L) / 1000.0 - 0.5
+    s"$v"
+  }.mkString("[", ", ", "]")
+
+  private def annCodeSql: String = (0 until 6).map { p =>
+    s"(CASE WHEN list_inner_product(vec, (${annPlaneSql(p)})[1:len(vec)]) > 0 THEN ${1 << p} ELSE 0 END)"
+  }.mkString("(", " + ", ")")
+
+  def d08OracleSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+       |m AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm, $annCodeSql AS code FROM n),
+       |q AS (SELECT code, vec_id AS query_id, vec AS q_vec, norm AS q_norm FROM m WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, m.vec_id,
+       |    list_inner_product(m.vec, q.q_vec) / (m.norm * q.q_norm) AS cosine
+       |  FROM m JOIN q USING (code) WHERE m.vec_id >= 8),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank,
+       |    cosine
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  def d15OracleSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+       |m AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm, $annCodeSql AS code FROM n)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(list_inner_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
+       |FROM m a JOIN m b ON a.code = b.code AND a.vec_id < b.vec_id
+       |WHERE round(list_inner_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.3""".stripMargin
 
   def d08_ann_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d)).withColumn("code", expr(annCodeExpr))
@@ -249,11 +321,29 @@ object Llm {
     documents(s, d).select(col("doc_id"), expr("rolling_hash64(text)").as("fingerprint"))
   }
 
-  /** Embedding-cosine near-dup pairs over a deterministic sample
-    * (vec_id % 10 = 0): exact all-pairs on the sample, threshold on
-    * rounded cosine. The sample bound keeps exactness affordable; the
-    * full-corpus path is the LSH-bucketed d08. */
+  /** Embedding-cosine near-dup pairs over the FULL corpus, routed
+    * through the d08 hyperplane buckets: vectors only pair within
+    * their 64-bucket code, so the join shuffles on `code` and the
+    * comparison count scales with bucket occupancy, never corpus².
+    * (The exact all-pairs formulation survives only as a small-SF
+    * recall spec — see LlmSpec.) The plane literals are deterministic,
+    * so the oracle reproduces the exact same buckets. */
   def d15_embedding_near_dup(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(embeddings(s, d)).withColumn("code", expr(annCodeExpr))
+      .select(col("code"), col("vec_id"), col("vec"), col("norm"))
+    val joined = emb.as("x").join(emb.as("y"),
+      col("x.code") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
+    joined
+      .withColumn("cosine", round(expr(
+        "aggregate(zip_with(x.vec, y.vec, (a, b) -> a * b), cast(0 as double), (acc, v) -> acc + v) / (x.norm * y.norm)"), 6))
+      .filter(col("cosine") >= 0.3)
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"), col("cosine"))
+  }
+
+  /** Exact all-pairs variant on a deterministic sample — the recall
+    * baseline d15 is measured against in LlmSpec; NOT a gated query
+    * (a BroadcastNestedLoopJoin is quadratic work however you sample). */
+  def embeddingNearDupExact(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d)).filter(pmod(col("vec_id"), lit(10)) === 0)
       .select(col("vec_id"), col("vec"), col("norm"))
     val a = emb.select(col("vec_id").as("a_id"), col("vec").as("a_vec"), col("norm").as("a_norm"))

@@ -131,9 +131,46 @@ class LlmSpec extends AnyFunSuite {
     assert(topkLib == topkQuery)
   }
 
+  test("d04 library path: exact jaccard verifies LSH candidates (semi-join first)") {
+    val docs = graft.sources.Tables.documents(spark, fixtureDir)
+    val pairs = Llm.d03_minhash_lsh_pairs(spark, fixtureDir).select("a_id", "b_id")
+    val verified = Llm.verifyJaccard(docs, pairs)
+    val j = verified.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 3L)) == 1.0, "exact dup verifies at jaccard 1")
+    assert(j((0L, 1L)) > 0.3 && j((0L, 1L)) < 1.0, "near-dup verifies as moderate overlap")
+    // plan shape: no quadratic join anywhere in the verify pipeline
+    val plan = verified.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"verify must stay key-joined:\n$plan")
+  }
+
+  test("d15: bucketed near-dup plan has no nested-loop join and recalls exact pairs") {
+    val bucketed = Llm.d15_embedding_near_dup(spark, fixtureDir)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"d15 must join on the hyperplane code, not all-pairs:\n$plan")
+    // precision/recall vs the exact all-pairs baseline (tiny fixture,
+    // so all-pairs on the driver is fine): every bucketed pair must be
+    // a true pair (precision 1 — same threshold applied), and parallel
+    // vectors (identical hyperplane signs) are always recalled
+    val vecs = graft.sources.Tables.embeddings(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exact = (for {
+      (ai, av) <- vecs; (bi, bv) <- vecs if ai < bi
+      c = cosine(av, bv) if math.rint(c * 1e6) / 1e6 >= 0.3
+    } yield (ai, bi)).toSet
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"bucketed pairs must be true pairs: got=$got exact=$exact")
+    assert(got.contains((0L, 8L)), s"parallel vectors must share a bucket: $got")
+  }
+
   test("mm2: batched decode features match the stub on driver") {
     val feats = Multimodal.mm2_decode_features(spark, fixtureDir).collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val expected = Multimodal.decodeStub("short text".getBytes("UTF-8"))
     assert(feats(5L) == ((expected._1, expected._2, 10L)))
   }

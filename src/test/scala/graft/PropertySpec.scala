@@ -69,9 +69,9 @@ class PropertySpec extends AnyFunSuite {
     val row = graft.queries.Relational.q28_approx_distinct(spark, sf).collect()(0)
     val exactOrders = graft.sources.Tables.lineitem(spark, sf)
       .select("l_orderkey").distinct().count()
-    val approx = row.getAs[Long]("approx_orders")
-    assert(math.abs(approx - exactOrders).toDouble / exactOrders < 0.05,
-      s"approx $approx vs exact $exactOrders")
+    assert(row.getAs[Long]("exact_orders") == exactOrders)
+    assert(row.getAs[Boolean]("orders_ok") && row.getAs[Boolean]("parts_ok"),
+      s"approx_count_distinct drifted past the 5% bound: $row")
   }
 
   test("salted join equals plain join; salted agg equals plain agg") {

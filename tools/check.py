@@ -1,29 +1,39 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL
-in DuckDB over the sf tables, load the Verify parquet output, sort
-columns by name + rows by value, and diff. Usage:
+in DuckDB (→ pandas via fetchdf, so DECIMAL becomes float64 exactly like
+the driver), load the Verify parquet output via PYARROW (so decimals
+surface as decimal.Decimal, again like the driver — reading the Spark
+side through DuckDB used to collapse both sides to float64 and masked
+trailing-zero mismatches), sort columns by name + rows by stringified
+value, and diff. Usage:
   python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, sys, math
+import glob, json, sys
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(v):
-    if isinstance(v, float):
-        return f"{v:.10g}"
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    # Mirror the driver: hash the printed value. No float prettifying —
+    # a last-bit double diff SHOULD fail here if it fails there.
     return str(v)
 
-def frame(con, sql):
-    df = con.execute(sql).fetchdf()
+def rows_of(df):
     cols = sorted(df.columns)
-    rows = sorted(tuple(canon(v) for v in row) for row in df[cols].itertuples(index=False, name=None))
+    rows = sorted(tuple(canon(v) for v in row)
+                  for row in df[cols].itertuples(index=False, name=None))
     return cols, rows, {c: str(df[c].dtype) for c in cols}
+
+def oracle_frame(con, sql):
+    return rows_of(con.execute(sql).fetchdf())
+
+def spark_frame(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise RuntimeError(f"no parquet under {path}")
+    return rows_of(pq.read_table(files).to_pandas())
 
 def main(sf, out):
     oracle = json.load(open(f"{out}/oracle_sql.json"))
@@ -33,11 +43,11 @@ def main(sf, out):
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
-            ocols, orows, odt = frame(con, sql)
+            ocols, orows, odt = oracle_frame(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); continue
         try:
-            scols, srows, sdt = frame(con, f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+            scols, srows, sdt = spark_frame(f"{out}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}"); continue
         if ocols != scols:
