@@ -80,53 +80,105 @@ object Edn {
   def parse(s: String): Edn =
     new Parser(s).nextForm().getOrElse(throw new ParseException("no form", 0))
 
-  /** Streaming form-at-a-time parser (the reference reads one form at a
-    * time, `src/cognitect/xform/async_edn.clj:39-48`; callers iterate
-    * without materializing the whole file's forms). */
-  final class Parser(s: String) {
+  /** Character supply for the parser: a fast in-memory String cursor
+    * and a bounded-memory Reader cursor (the reference parses one form
+    * at a time from a Reader and never slurps the file,
+    * `src/cognitect/xform/async_edn.clj:39-48`). */
+  sealed trait CharCursor {
+    def peek(): Int
+    def peek2(): Int
+    def read(): Int
+    def pos: Int
+  }
+  final class StringCursor(s: String) extends CharCursor {
     private var i = 0
-    private def err(msg: String) = throw new ParseException(msg, i)
+    def peek(): Int = if (i < s.length) s.charAt(i) else -1
+    def peek2(): Int = if (i + 1 < s.length) s.charAt(i + 1) else -1
+    def read(): Int = { val c = peek(); if (c >= 0) i += 1; c }
+    def pos: Int = i
+  }
+  final class ReaderCursor(rd: java.io.Reader) extends CharCursor {
+    private val in = new java.io.PushbackReader(rd, 2)
+    private var i = 0
+    def peek(): Int = { val c = in.read(); if (c >= 0) in.unread(c); c }
+    def peek2(): Int = {
+      val c1 = in.read()
+      if (c1 < 0) return -1
+      val c2 = in.read()
+      if (c2 >= 0) in.unread(c2)
+      in.unread(c1)
+      c2
+    }
+    def read(): Int = { val c = in.read(); if (c >= 0) i += 1; c }
+    def pos: Int = i
+  }
+
+  /** Streaming form-at-a-time parser. `#_` discards are consumed at the
+    * form-sequence level (nextForm / readSeq), never returned as
+    * values — `[1 2 #_3]` is a 2-vector and a trailing top-level
+    * `#_x` is legal EDN, not an EOF error. */
+  final class Parser(cur: CharCursor) {
+    def this(s: String) = this(new StringCursor(s))
+    def this(rd: java.io.Reader) = this(new ReaderCursor(rd))
+
+    private def err(msg: String) = throw new ParseException(msg, cur.pos)
 
     def nextForm(): Option[Edn] = {
-      skipWs()
-      if (i >= s.length) None else Some(readForm())
+      skipWsAndDiscards()
+      if (cur.peek() < 0) None else Some(readForm())
     }
 
     private def skipWs(): Unit = {
       var go = true
-      while (go && i < s.length) {
-        val c = s.charAt(i)
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == ',') i += 1
-        else if (c == ';') { while (i < s.length && s.charAt(i) != '\n') i += 1 }
+      while (go) {
+        val c = cur.peek()
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == ',') cur.read()
+        else if (c == ';') {
+          var d = cur.read()
+          while (d >= 0 && d != '\n') d = cur.read()
+        }
         else go = false
       }
     }
 
+    /** Whitespace, comments, and any number of `#_form` discards. */
+    private def skipWsAndDiscards(): Unit = {
+      var go = true
+      while (go) {
+        skipWs()
+        if (cur.peek() == '#' && cur.peek2() == '_') {
+          cur.read(); cur.read()
+          readForm() // the discarded form (readForm skips nested discards)
+        } else go = false
+      }
+    }
+
     private def readForm(): Edn = {
-      skipWs()
-      if (i >= s.length) err("unexpected EOF")
-      s.charAt(i) match {
-        case '(' => i += 1; EList(readSeq(')'))
-        case '[' => i += 1; EVec(readSeq(']'))
-        case '{' => i += 1; readMap("")
+      skipWsAndDiscards()
+      val c = cur.peek()
+      if (c < 0) err("unexpected EOF")
+      c.toChar match {
+        case '(' => cur.read(); EList(readSeq(')'))
+        case '[' => cur.read(); EVec(readSeq(']'))
+        case '{' => cur.read(); readMap("")
         case '"' => EStr(readString())
-        case ':' => i += 1; readKeyword()
+        case ':' => cur.read(); readKeyword()
         case '#' => readDispatch()
         case '\\' => readCharLit()
-        case c if c == '-' || c == '+' || (c >= '0' && c <= '9') => readNumberOrSym()
+        case ch if ch == '-' || ch == '+' || (ch >= '0' && ch <= '9') => readNumberOrSym()
         case _ => readSymbolish()
       }
     }
 
     private def readSeq(close: Char): Vector[Edn] = {
       val out = Vector.newBuilder[Edn]
-      skipWs()
-      while (i < s.length && s.charAt(i) != close) {
+      skipWsAndDiscards()
+      while (cur.peek() >= 0 && cur.peek() != close) {
         out += readForm()
-        skipWs()
+        skipWsAndDiscards()
       }
-      if (i >= s.length) err(s"unterminated sequence, expected '$close'")
-      i += 1
+      if (cur.peek() < 0) err(s"unterminated sequence, expected '$close'")
+      cur.read()
       out.result()
     }
 
@@ -145,14 +197,14 @@ object Edn {
     }
 
     private def readString(): String = {
-      i += 1 // opening quote
+      cur.read() // opening quote
       val sb = new StringBuilder
-      while (i < s.length && s.charAt(i) != '"') {
-        val c = s.charAt(i)
+      var c = cur.read()
+      while (c >= 0 && c != '"') {
         if (c == '\\') {
-          i += 1
-          if (i >= s.length) err("unterminated escape")
-          s.charAt(i) match {
+          val esc = cur.read()
+          if (esc < 0) err("unterminated escape")
+          esc.toChar match {
             case 'n' => sb += '\n'
             case 't' => sb += '\t'
             case 'r' => sb += '\r'
@@ -161,16 +213,20 @@ object Edn {
             case '"' => sb += '"'
             case '\\' => sb += '\\'
             case 'u' =>
-              if (i + 4 >= s.length) err("bad unicode escape")
-              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
-              i += 4
+              val hex = new Array[Char](4)
+              var k = 0
+              while (k < 4) {
+                val h = cur.read()
+                if (h < 0) err("bad unicode escape")
+                hex(k) = h.toChar; k += 1
+              }
+              sb += Integer.parseInt(new String(hex), 16).toChar
             case other => err(s"unknown escape \\$other")
           }
-          i += 1
-        } else { sb += c; i += 1 }
+        } else sb += c.toChar
+        c = cur.read()
       }
-      if (i >= s.length) err("unterminated string")
-      i += 1
+      if (c < 0) err("unterminated string")
       sb.toString
     }
 
@@ -180,9 +236,13 @@ object Edn {
       c == '"' || c == ';'
 
     private def readToken(): String = {
-      val start = i
-      while (i < s.length && !isTerminator(s.charAt(i))) i += 1
-      s.substring(start, i)
+      val sb = new StringBuilder
+      var c = cur.peek()
+      while (c >= 0 && !isTerminator(c.toChar)) {
+        sb += cur.read().toChar
+        c = cur.peek()
+      }
+      sb.toString
     }
 
     private def splitNs(tok: String): (String, String) = {
@@ -198,7 +258,7 @@ object Edn {
     }
 
     private def readCharLit(): Edn = {
-      i += 1
+      cur.read() // '\'
       val tok = readToken()
       val ch = tok match {
         case "newline" => '\n'
@@ -230,6 +290,7 @@ object Edn {
     private def readSymbolish(): Edn = {
       val tok = readToken()
       tok match {
+        case "" => err(s"unexpected character '${cur.peek().toChar}'")
         case "nil" => ENil
         case "true" => EBool(true)
         case "false" => EBool(false)
@@ -238,20 +299,21 @@ object Edn {
     }
 
     private def readDispatch(): Edn = {
-      i += 1 // '#'
-      if (i >= s.length) err("unexpected EOF after #")
-      s.charAt(i) match {
-        case '{' => i += 1; ESet(readSeq('}'))
-        case '_' => i += 1; readForm(); readForm() // discard next form
+      cur.read() // '#'
+      val c = cur.peek()
+      if (c < 0) err("unexpected EOF after #")
+      c.toChar match {
+        case '{' => cur.read(); ESet(readSeq('}'))
         case ':' => // namespaced map #:ns{...}
-          i += 1
+          cur.read()
           val nsTok = new StringBuilder
-          while (i < s.length && s.charAt(i) != '{' && !isTerminator(s.charAt(i))) {
-            nsTok += s.charAt(i); i += 1
+          var n = cur.peek()
+          while (n >= 0 && n != '{' && !isTerminator(n.toChar)) {
+            nsTok += cur.read().toChar; n = cur.peek()
           }
           skipWs()
-          if (i >= s.length || s.charAt(i) != '{') err("expected { after #:ns")
-          i += 1
+          if (cur.peek() != '{') err("expected { after #:ns")
+          cur.read()
           readMap(nsTok.toString)
         case _ =>
           val tag = readToken()

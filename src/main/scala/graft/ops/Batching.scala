@@ -42,15 +42,39 @@ object Batching {
         concat(lit(prefix + "-"), (col("batch_n") + 1).cast("string")).as("batch_id"),
         transform(col("items"), x => x.getField("edn")).as("data"))
 
-  /** Driver-side write of the ordered batch file (the reference's
-    * single-EDN-file sink, async_edn.clj:66-82). Batch files are
-    * bounded (metadata-scale); entity payload stays distributed until
-    * here. Returns the number of batches written. */
+  /** Ordered single-file batch sink (the reference's golden EDN file,
+    * async_edn.clj:66-82) WITHOUT collecting the payload to the
+    * driver: a sorted single-partition write through the "edn"
+    * connector's raw-line mode, then a filesystem rename of the one
+    * part file to `path`. The driver never holds a single batch line
+    * in memory. Returns the number of batches written. */
   def writeLines(lines: DataFrame, path: String): Long = {
-    val ordered = lines.orderBy(col("batch_n")).select(col("line")).collect()
-    val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
-    try ordered.foreach(r => w.println(r.getString(0)))
-    finally w.close()
-    ordered.length.toLong
+    val stage = path + ".stage"
+    lines.select(col("batch_n"), col("line"))
+      .coalesce(1)
+      .sortWithinPartitions(col("batch_n"))
+      .select(col("line"))
+      .write.format("edn").option("raw", "true").mode("overwrite").save(stage)
+
+    val conf = lines.sparkSession.sessionState.newHadoopConf()
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(conf)
+    val part = fs.listStatus(stagePath)
+      .map(_.getPath).filter(_.getName.endsWith(".edn")) match {
+        case Array(one) => one
+        case parts => throw new IllegalStateException(
+          s"expected exactly one part file in $stage, got ${parts.mkString(",")}")
+      }
+    val dest = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"rename $part -> $dest failed")
+    fs.delete(stagePath, true)
+
+    // count lines by streaming the (metadata-scale) batch file
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(dest), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
+    finally in.close()
   }
 }

@@ -34,8 +34,17 @@ final class Loader(spark: SparkSession, registry: SchemaRegistry, store: Store,
     val lines = spark.read.textFile(path).filter(length(trim(col("value"))) > 0)
 
     val applied = store.appliedBatchIds
+    // Cheap batch-id extraction BEFORE the anti-join: the batcher
+    // renders a canonical `{:batch-ident {:db/id "datomic.tx", :attr
+    // "id"}, ...` prefix, so a regex reads the id without parsing the
+    // batch EDN at all — already-applied batches are never parsed on
+    // resume, and fresh batches parse exactly once (below). Non-
+    // canonical lines fall back to the full parse.
+    val prefixRe = ("^\\{:batch-ident \\{:db/id \"datomic.tx\", :" +
+      java.util.regex.Pattern.quote(Mbrainz.batchIdAttr) + " \"([^\"]+)\"").r
     val parsed = lines.map { line =>
-      val (batchId, _) = Datoms.batchDatoms(line, reg, typeIdx)
+      val batchId = prefixRe.findFirstMatchIn(line).map(_.group(1))
+        .getOrElse(Datoms.batchDatoms(line, reg, typeIdx)._1)
       (batchId, line)
     }(Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("batch_id", "line")
 

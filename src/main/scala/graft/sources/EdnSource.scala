@@ -55,12 +55,31 @@ object EdnSource {
     })
   }
 
-  /** Iterate forms of one file without materializing them all. */
+  /** Iterate forms of one file without materializing them all: a
+    * streaming Reader parse (bounded memory for any file size — the
+    * reference never slurps, `async_edn.clj:39-48`), resolved through
+    * Hadoop FileSystem so object-store URIs work. The stream closes
+    * when the iterator exhausts. */
   def parseFile(path: String): Iterator[Edn] = {
-    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val p = new Edn.Parser(text)
-    Iterator.continually(p.nextForm()).takeWhile(_.isDefined).map(_.get)
+    val reader = openReader(path)
+    val p = new Edn.Parser(reader)
+    new Iterator[Edn] {
+      private var pending = advance()
+      private def advance(): Option[Edn] = {
+        val f = p.nextForm()
+        if (f.isEmpty) reader.close()
+        f
+      }
+      def hasNext: Boolean = pending.isDefined
+      def next(): Edn = { val f = pending.get; pending = advance(); f }
+    }
+  }
+
+  private def openReader(path: String): java.io.BufferedReader = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(hPath), java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Primary path: the DataSource V2 connector (graft.sources.v2) —
@@ -146,7 +165,17 @@ object EdnSource {
         StructField("dict_ident", StringType, nullable = false))))
   }
 
-  def readText(path: String): String =
-    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
+  /** Whole-file read for the SMALL dictionary files only (enums /
+    * super-enums, a few KB); entity-scale reads go through
+    * `parseFile` / the V2 connector, which stream. */
+  def readText(path: String): String = {
+    val in = openReader(path)
+    try {
+      val sb = new StringBuilder
+      val buf = new Array[Char](8192)
+      var n = in.read(buf)
+      while (n >= 0) { sb.appendAll(buf, 0, n); n = in.read(buf) }
+      sb.toString
+    } finally in.close()
+  }
 }

@@ -22,11 +22,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read it as epoch-nanos LongType
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and let callers derive
-    * coarser time grains arithmetically (exact, tz-free). */
+    * vectorized reader rejects; it must be read as epoch-nanos
+    * LongType via `spark.sql.legacy.parquet.nanosAsLong`. That is a
+    * SESSION conf the schema converter reads (not a per-scan option),
+    * so it belongs in the session builder — mutating it here as a
+    * read side effect would spookily change other readers in flight. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "when building the SparkSession")
     t(s, d, "events")
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -63,54 +63,123 @@ final class EdnTable(schema: StructType, paths: Seq[String])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EdnScanBuilder(schema, paths)
+    new EdnScanBuilder(schema, paths, options)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new EdnWriteBuilder(info.schema(), paths.head)
+    new EdnWriteBuilder(info.schema(), paths.head, info.options())
 }
 
-final class EdnScanBuilder(fullSchema: StructType, paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+final class EdnScanBuilder(fullSchema: StructType, paths: Seq[String],
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = fullSchema
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new EdnScan(required, paths)
+  /** `eio/top` semantics (`/root/reference/src/cognitect/xform/eio.clj:18-23`):
+    * the reader stops PARSING at the limit, it doesn't parse-then-drop.
+    * Partially pushed — each file partition caps at `limit`, Spark
+    * applies the global limit across partitions. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+  override def build(): Scan = new EdnScan(required, paths, limit,
+    "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
 }
 
-final class EdnScan(required: StructType, paths: Seq[String]) extends Scan with Batch {
+final class EdnScan(required: StructType, paths: Seq[String], limit: Int,
+    permissive: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"EdnScan readSchema=[${required.fieldNames.mkString(",")}]"
+  override def description(): String =
+    s"EdnScan readSchema=[${required.fieldNames.mkString(",")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
   override def planInputPartitions(): Array[InputPartition] =
     paths.zipWithIndex.map { case (p, i) => EdnFilePartition(p, i): InputPartition }.toArray
-  override def createReaderFactory(): PartitionReaderFactory = new EdnReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Serializable snapshot of the session Hadoop conf so executors
+    // resolve the same FileSystem (s3a/hdfs credentials etc.), not a
+    // default-constructed one.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new EdnReaderFactory(required, limit, permissive, conf)
+  }
+  /** `{:forms n}` count telemetry, as every reference reader/writer
+    * reports (`async_edn.clj:32,48`) — surfaces in the SQL UI and task
+    * metrics for count reconciliation (SURVEY §5.4). */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FormsMetric)
+}
+
+final class FormsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "forms"
+  override def description(): String = "EDN forms parsed"
+}
+final case class FormsTaskMetric(value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "forms"
 }
 
 final case class EdnFilePartition(path: String, fileIdx: Int) extends InputPartition
 
-final class EdnReaderFactory(required: StructType) extends PartitionReaderFactory {
+final class EdnReaderFactory(required: StructType, limit: Int, permissive: Boolean,
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EdnFilePartition]
-    new EdnPartitionReader(p.path, p.fileIdx, required)
+    new EdnPartitionReader(p.path, p.fileIdx, required, limit, permissive, conf.value)
   }
 }
 
-final class EdnPartitionReader(path: String, fileIdx: Int, required: StructType)
+/** Streams one form at a time from an InputStream — bounded memory
+  * however large the entity file (the reference's reader semantics,
+  * `async_edn.clj:39-48`; the whole-file `readAllBytes` this replaced
+  * would OOM an executor on a multi-GB file). Paths resolve through
+  * Hadoop `FileSystem`, so `file:`, `hdfs:` and object stores all
+  * work. In permissive mode a parse failure becomes ONE error-as-data
+  * row (`_corrupt_record` column, matching `async_edn.clj:16-22`'s
+  * anomaly maps) and the partition ends — EDN has no record framing to
+  * resync on, which is exactly the reference's stop-on-anomaly
+  * behavior. */
+final class EdnPartitionReader(path: String, fileIdx: Int, required: StructType,
+    limit: Int, permissive: Boolean, hadoopConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val text = new String(
-    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-    java.nio.charset.StandardCharsets.UTF_8)
-  private val parser = new Edn.Parser(text)
+  private val hPath = new org.apache.hadoop.fs.Path(path)
+  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+    hPath.getFileSystem(hadoopConf).open(hPath), java.nio.charset.StandardCharsets.UTF_8))
+  private val parser = new Edn.Parser(reader)
+  private val corruptIdx = required.fieldNames.indexOf("_corrupt_record")
   private var i = -1L
+  private var finished = false
   private var row: InternalRow = _
 
-  override def next(): Boolean = parser.nextForm() match {
-    case Some(form) =>
-      i += 1
-      row = convert(form)
-      true
-    case None => false
+  override def next(): Boolean = {
+    if (finished || (limit >= 0 && i + 1 >= limit)) return false
+    val form =
+      try parser.nextForm()
+      catch {
+        case e: Edn.ParseException if permissive && corruptIdx >= 0 =>
+          finished = true
+          i += 1
+          row = anomalyRow(e)
+          return true
+      }
+    form match {
+      case Some(f) =>
+        i += 1
+        row = convert(f)
+        true
+      case None =>
+        finished = true
+        false
+    }
   }
+
+  private def anomalyRow(e: Edn.ParseException): InternalRow =
+    InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+      if (f.name == "_corrupt_record")
+        UTF8String.fromString(s"${e.getMessage} (file=$path)")
+      else if (f.name == "row_idx") (fileIdx.toLong << 40) | i
+      else null
+    })
 
   private def convert(form: Edn): InternalRow = {
     val m = form match {
@@ -119,6 +188,7 @@ final class EdnPartitionReader(path: String, fileIdx: Int, required: StructType)
     }
     val values = required.fields.map { f =>
       if (f.name == "row_idx") (fileIdx.toLong << 40) | i
+      else if (f.name == "_corrupt_record") null
       else m.getKw(f.name).map(v => toCatalyst(v, f.dataType)).orNull
     }
     InternalRow.fromSeq(values.toIndexedSeq)
@@ -139,5 +209,7 @@ final class EdnPartitionReader(path: String, fileIdx: Int, required: StructType)
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FormsTaskMetric(i + 1))
+  override def close(): Unit = reader.close()
 }

@@ -1,53 +1,89 @@
 package graft.sources.v2
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 import graft.edn.Edn
 
 /** Batch write side of the "edn" connector: each partition writes one
-  * EDN text file (`part-NNNNN.edn`, one map form per row, nulls
-  * omitted) — the distributed form of the reference's EDN sink
-  * (`src/cognitect/xform/async_edn.clj:66-82`). Ordered single-file
-  * output (the golden-batch shape) remains `Batching.writeLines`;
-  * this is the scale path where the consumer accepts a directory. */
-final class EdnWriteBuilder(schema: StructType, dir: String) extends WriteBuilder
-    with SupportsTruncate {
+  * EDN text file (`part-NNNNN.edn`) — the distributed form of the
+  * reference's EDN sink (`src/cognitect/xform/async_edn.clj:66-82`).
+  *
+  * Two row formats:
+  *  - default: one map form per row rendered from the schema (nulls
+  *    omitted);
+  *  - `option("raw", "true")`: the single string column IS the line
+  *    (pre-rendered EDN — the batcher's golden-file mode).
+  *
+  * Paths go through Hadoop FileSystem (object-store safe) and writers
+  * are task-attempt isolated: each attempt writes a taskId-suffixed
+  * temp file and renames into place on commit (Spark's commit
+  * coordinator guarantees one commit per partition), so speculative
+  * or retried tasks never share a file.
+  */
+final class EdnWriteBuilder(schema: StructType, dir: String,
+    options: CaseInsensitiveStringMap) extends WriteBuilder with SupportsTruncate {
+
+  private val raw = options.getBoolean("raw", false)
+
   override def truncate(): WriteBuilder = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dir))
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(p)) fs.delete(p, true)
     this
   }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new EdnBatchWrite(schema, dir)
+
+  override def build(): Write = {
+    if (raw && !(schema.fields.length == 1 && schema.fields(0).dataType == StringType))
+      throw new IllegalArgumentException(
+        s"edn raw write expects exactly one string column, got ${schema.simpleString}")
+    new Write {
+      override def toBatch: BatchWrite = new EdnBatchWrite(schema, dir, raw)
+    }
   }
 }
 
-final class EdnBatchWrite(schema: StructType, dir: String) extends BatchWrite {
-  new java.io.File(dir).mkdirs()
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EdnWriterFactory(schema, dir)
+final class EdnBatchWrite(schema: StructType, dir: String, raw: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val p = new Path(dir)
+    p.getFileSystem(conf.value).mkdirs(p)
+    new EdnWriterFactory(schema, dir, raw, conf)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final class EdnWriterFactory(schema: StructType, dir: String) extends DataWriterFactory {
+final class EdnWriterFactory(schema: StructType, dir: String, raw: Boolean,
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new EdnDataWriter(schema, dir, partitionId)
+    new EdnDataWriter(schema, dir, raw, partitionId, taskId, conf.value)
 }
 
 final case class EdnCommit(partitionId: Int, rows: Long) extends WriterCommitMessage
 
-final class EdnDataWriter(schema: StructType, dir: String, partitionId: Int)
-    extends DataWriter[InternalRow] {
+final class EdnDataWriter(schema: StructType, dir: String, raw: Boolean,
+    partitionId: Int, taskId: Long,
+    hadoopConf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
 
-  private val file = new java.io.File(dir, f"part-$partitionId%05d.edn")
-  private val out = new java.io.PrintWriter(file, "UTF-8")
+  private val fs = new Path(dir).getFileSystem(hadoopConf)
+  private val tmp = new Path(dir, f".part-$partitionId%05d-attempt-$taskId.edn.tmp")
+  private val dest = new Path(dir, f"part-$partitionId%05d.edn")
+  private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+    fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
+    if (raw) out.println(row.getUTF8String(0).toString)
+    else out.println(render(row))
+    rows += 1
+  }
+
+  private def render(row: InternalRow): String = {
     val sb = new StringBuilder("{")
     var first = true
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -66,11 +102,16 @@ final class EdnDataWriter(schema: StructType, dir: String, partitionId: Int)
       }
     }
     sb += '}'
-    out.println(sb.toString)
-    rows += 1
+    sb.toString
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); EdnCommit(partitionId, rows) }
-  override def abort(): Unit = { out.close(); file.delete(); () }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (fs.exists(dest)) fs.delete(dest, false) // leftover from a dead job
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"edn write: rename $tmp -> $dest failed")
+    EdnCommit(partitionId, rows)
+  }
+  override def abort(): Unit = { out.close(); fs.delete(tmp, false); () }
   override def close(): Unit = out.close()
 }

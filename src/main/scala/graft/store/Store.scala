@@ -19,7 +19,15 @@ final class Store(spark: SparkSession, val dir: String) {
 
   private val eavPath = s"$dir/eav"
 
-  def exists: Boolean = new java.io.File(eavPath).exists()
+  /** All store filesystem ops go through Hadoop FileSystem — the store
+    * dir can be `file:`, `hdfs:` or an object store; `java.io.File`
+    * would silently break everything but local disk. */
+  private def fs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  def exists: Boolean = { val (f, p) = fs(eavPath); f.exists(p) }
 
   def eav: DataFrame =
     if (exists) spark.read.parquet(eavPath)
@@ -76,17 +84,15 @@ final class Store(spark: SparkSession, val dir: String) {
       .select(Store.schema.fieldNames.map(col): _*)
       .cache()
     val n = resolved.count()
-    val tmp = s"$dir/eav_compact"
-    resolved.write.partitionBy("a").parquet(tmp)
+    val tmpPath = s"$dir/eav_compact"
+    resolved.write.partitionBy("a").parquet(tmpPath)
     resolved.unpersist()
-    val old = new java.io.File(s"$dir/eav")
-    val bak = new java.io.File(s"$dir/eav_old")
-    require(old.renameTo(bak), "compact: could not move old log")
-    require(new java.io.File(tmp).renameTo(old), "compact: could not install new log")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(bak)
+    val (f, old) = fs(eavPath)
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/eav_old")
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    require(f.rename(old, bak), "compact: could not move old log")
+    require(f.rename(tmp, old), "compact: could not install new log")
+    f.delete(bak, true)
     n
   }
 

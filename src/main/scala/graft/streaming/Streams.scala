@@ -23,7 +23,9 @@ object Streams {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "when building the SparkSession")
     spark.readStream.schema(eventSchema).parquet(dir)
   }
 
@@ -97,11 +99,14 @@ object Streams {
       }
   }
 
-  /** Idempotent foreachBatch sink: micro-batches append to a parquet
-    * table only if their batch id is NOT already in the ledger — the
-    * streaming form of the loader's anti-join resume. Restarted
-    * queries replay the last uncommitted micro-batch; the ledger makes
-    * the replay a no-op. */
+  /** Idempotent foreachBatch sink: micro-batches land in a parquet
+    * table partitioned by batch_id, written with DYNAMIC PARTITION
+    * OVERWRITE, and are then ledgered — the streaming form of the
+    * loader's anti-join resume. A ledgered batch id replays as a
+    * no-op; a crash BETWEEN data write and ledger write replays as an
+    * overwrite of that batch's own partition (idempotent, not
+    * duplicating — the write-then-ledger gap is closed by making the
+    * write itself a replace). */
   def idempotentParquetSink(df: DataFrame, outPath: String, ledgerPath: String)(
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
@@ -113,16 +118,22 @@ object Streams {
       .start()
 
   /** One micro-batch application; returns true if the batch was new.
-    * Replays of an already-ledgered batch id are no-ops. */
+    * Replays of an already-ledgered batch id are no-ops; replays of a
+    * half-applied batch (crash before the ledger write) overwrite
+    * exactly their own batch_id partition. */
   def applyMicroBatch(batch: DataFrame, batchId: Long, outPath: String,
       ledgerPath: String): Boolean = {
     val spark = batch.sparkSession
-    val applied =
-      if (new java.io.File(ledgerPath).exists())
-        spark.read.parquet(ledgerPath).filter(col("batch_id") === batchId).count() > 0
-      else false
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
+    val ledgerFs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val applied = ledgerFs.exists(lp) &&
+      spark.read.parquet(ledgerPath).filter(col("batch_id") === batchId).count() > 0
     if (!applied) {
-      batch.write.mode("append").parquet(outPath)
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
       import spark.implicits._
       Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerPath)
     }

@@ -61,6 +61,45 @@ class EdnSourceV2Spec extends AnyFunSuite {
     assert(after.length == 1)
   }
 
+  test("limit pushdown stops parsing at the limit (eio/top semantics)") {
+    // 3 good forms, then garbage: a limit-2 read must never reach the
+    // garbage (proves the scan parses ≤ limit forms, not parse-all-
+    // then-drop), while an unlimited read fails on it.
+    val dir = java.nio.file.Files.createTempDirectory("ednlimit")
+    val f = dir.resolve("data.edn")
+    java.nio.file.Files.write(f,
+      ("{:gid \"g1\" :name \"n1\" :sortname \"s1\"}\n" +
+       "{:gid \"g2\" :name \"n2\" :sortname \"s2\"}\n" +
+       "{:gid \"g3\" :name \"n3\" :sortname \"s3\"}\n" +
+       "{:gid \"g4\" :broken ]]]]\n").getBytes)
+    val read = spark.read.format("edn").schema(EdnSource.schemaFor(Mbrainz.artists))
+      .load(f.toString)
+    val limited = read.limit(2)
+    assert(limited.queryExecution.executedPlan.toString.contains("limit=2"),
+      "limit must appear in the scan description")
+    assert(limited.collect().map(_.getAs[String]("name")).toSeq == Seq("n1", "n2"))
+    intercept[org.apache.spark.SparkException](read.count())
+  }
+
+  test("permissive mode turns a parse failure into one error-as-data row") {
+    val dir = java.nio.file.Files.createTempDirectory("ednperm")
+    val f = dir.resolve("data.edn")
+    java.nio.file.Files.write(f,
+      ("{:gid \"g1\" :name \"n1\" :sortname \"s1\"}\n" +
+       "{:gid \"g2\" :broken ]]]]\n" +
+       "{:gid \"g3\" :name \"n3\" :sortname \"s3\"}\n").getBytes)
+    val schema = EdnSource.schemaFor(Mbrainz.artists)
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val rows = spark.read.format("edn").schema(schema).option("mode", "permissive")
+      .load(f.toString).collect()
+    // one good row, then the anomaly row; the partition stops there
+    // (EDN has no framing to resync on — reference stop-on-anomaly)
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("name") == "n1")
+    assert(rows(1).getAs[String]("_corrupt_record") != null)
+    assert(rows(0).getAs[String]("_corrupt_record") == null)
+  }
+
   test("missing schema is a clear error") {
     val e = intercept[Exception](spark.read.format("edn").load(artistsPath).count())
     assert(e.getMessage.contains("explicit schema"))

@@ -30,6 +30,26 @@ class EdnSpec extends AnyFunSuite {
     assert(Edn.parse("#_ {:skip 1} [2]") == EVec(Vector(ELong(2))))
   }
 
+  test("#_ discard is a no-value operation, not a phantom form") {
+    assert(Edn.parse("[1 2 #_3]") == EVec(Vector(ELong(1), ELong(2))),
+      "discard as last element of a collection")
+    assert(Edn.parseAll("1 #_2") == Vector(ELong(1)),
+      "trailing top-level discard is legal EDN")
+    assert(Edn.parseAll("#_1") == Vector.empty)
+    assert(Edn.parse("[#_ #_ 1 2 3]") == EVec(Vector(ELong(3))),
+      "stacked discards drop two forms")
+    assert(Edn.parse("{:a #_:b 1}").asInstanceOf[EMap].getKw("a").contains(ELong(1)))
+    intercept[Edn.ParseException](Edn.parseAll("#_"))
+  }
+
+  test("reader streams: Parser over a java.io.Reader equals String parse") {
+    val text = "{:a 1}\n[1 2 #_3]\n#uuid \"D34EEF69-C852-4BC6-93AA-69D0A0255EE1\""
+    val viaString = Edn.parseAll(text)
+    val p = new Edn.Parser(new java.io.StringReader(text))
+    val viaReader = Iterator.continually(p.nextForm()).takeWhile(_.isDefined).map(_.get).toVector
+    assert(viaString == viaReader)
+  }
+
   test("map preserves insertion order but equality is unordered") {
     val m = Edn.parse("{:b 2 :a 1}").asInstanceOf[EMap]
     assert(m.entries.map(_._1) == Vector(EKw("", "b"), EKw("", "a")))
