@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.BinaryExpression
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the signature computations —
@@ -22,9 +23,14 @@ object MinHash {
   val K = 32
   val SHINGLE = 5
 
-  /** minhash over 5-char shingles: shingle hash = xxhash64(shingle),
-    * component k = xxhash64(shingleHash, k) = hashLong(k, hashLong(h, 42)). */
-  def compute(s: UTF8String): ArrayData = {
+  /** minhash over 5-char shingles via double hashing: shingle hash
+    * h = xxhash64(shingle), step h2 = xxhash64(h)|1 (odd → full-period
+    * permutation mod 2^64), component k = h + k·h2 computed
+    * incrementally — 2 hash evaluations + K adds per shingle instead
+    * of K hash evaluations (the K-hash form made minhash the most
+    * expensive scan in the whole suite; double hashing is the
+    * standard-practice equivalent for LSH purposes). */
+  def computeRaw(s: UTF8String): Array[Long] = {
     val n = s.numChars()
     val last = math.max(n - (SHINGLE - 1), 1)
     val mins = Array.fill(K)(Long.MaxValue)
@@ -32,17 +38,54 @@ object MinHash {
     while (i < last) {
       val sh = s.substring(i, i + SHINGLE)
       val h = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
-      val hh = XXH64.hashLong(h, 42L)
+      val h2 = XXH64.hashLong(h, 42L) | 1L
+      var v = h
       var k = 0
       while (k < K) {
-        val v = XXH64.hashLong(k.toLong, hh)
         if (v < mins(k)) mins(k) = v
+        v += h2
         k += 1
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    mins
   }
+
+  def compute(s: UTF8String): ArrayData = new GenericArrayData(computeRaw(s))
+}
+
+object LshBandsImpl {
+  /** LSH band hashes straight from the text: band b = XXH64 chain over
+    * its signature components, seeded with the band index. One compiled
+    * pass — the nested `transform`/`concat_ws` lambda formulation this
+    * replaced evaluated interpreted AND re-inlined the signature
+    * expression into every band reference (recompute per band). */
+  def compute(s: UTF8String, bands: Int): ArrayData = {
+    val sig = MinHash.computeRaw(s)
+    val rows = MinHash.K / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var v = XXH64.hashLong(b.toLong, 42L)
+      var r = 0
+      while (r < rows) { v = XXH64.hashLong(sig(b * rows + r), v); r += 1 }
+      out(b) = v
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class LshBands(child: Expression, bands: Int) extends UnaryExpression {
+  require(MinHash.K % bands == 0, s"bands ($bands) must divide ${MinHash.K}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    LshBandsImpl.compute(input.asInstanceOf[UTF8String], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshBandsImpl.compute($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bands"
 }
 
 object SimHash {
@@ -129,6 +172,34 @@ object NGram {
   }
 }
 
+object MinHashAgree {
+  /** Count of positionally-equal signature components — the MinHash
+    * Jaccard estimator's numerator. Compiled pairwise loop; the
+    * zip_with/aggregate lambda formulation it replaces evaluates
+    * interpreted per candidate pair. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+case class MinhashAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashAgree.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MinHashAgree.compute($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinhashAgree =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "minhash_agree"
+}
+
 case class NGramSet(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -181,5 +252,12 @@ object HashExprs {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram_set", es => NGramSet(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_agree",
+      es => MinhashAgree(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bands", {
+      case Seq(text) => LshBands(text, 8)
+      case Seq(text, b) => LshBands(text,
+        b.eval(null).asInstanceOf[Number].intValue)
+    }, "scala_udf")
   }
 }

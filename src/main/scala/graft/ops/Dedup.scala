@@ -12,33 +12,40 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** MinHash signatures + band hashes over `textCol`. Requires
-    * HashExprs to be registered. k = 32 components (fixed by the
-    * native expression); bands × rowsPerBand must equal k. */
+  /** MinHash signatures + band hashes over `textCol` — the persistable
+    * signature-table artifact. k = 32 components (fixed by the native
+    * expression); bands × rowsPerBand must equal k. */
   def minhashSignatures(df: DataFrame, id: Column, textCol: Column,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     require(bands * rowsPerBand == 32, "bands × rowsPerBand must equal 32")
     graft.functions.HashExprs.register(df.sparkSession)
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(id.as("doc_id"), textCol.as("__text"))
-      .withColumn("minhash", expr("minhash_sig(__text)"))
-      .select(col("doc_id"), col("minhash"),
-        expr(s"transform(array(minhash), mh -> transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(b, concat_ws(',', slice(mh, b*$rowsPerBand+1, $rowsPerBand)))))[0]")
-          .as("band_hashes"))
+      .select(col("doc_id"),
+        expr("minhash_sig(__text)").as("minhash"),
+        expr(s"lsh_bands(__text, $bands)").as("band_hashes"))
   }
 
   /** LSH candidate pairs with estimated Jaccard (see Llm.d03 for the
-    * shuffle-shape rationale). */
-  def lshCandidatePairs(signatures: DataFrame): DataFrame = {
-    val sig = signatures
-      .select(col("doc_id"), col("minhash"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
+    * shuffle-shape rationale). Builds the band rows from the text
+    * directly — posexplode over the EXPRESSION, not a projected
+    * band_hashes column: attribute explosion makes the optimizer
+    * infer a size()>0 filter that collapses into the scan as a second
+    * full signature evaluation (see Llm.d02 doc). */
+  def lshCandidatePairs(df: DataFrame, id: Column, textCol: Column,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand == 32, "bands × rowsPerBand must equal 32")
+    graft.functions.HashExprs.register(df.sparkSession)
+    val sig = df
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(id.as("doc_id"), textCol.as("__text"))
+      .select(col("doc_id"), expr("minhash_sig(__text)").as("minhash"),
+        posexplode(expr(s"lsh_bands(__text, $bands)")).as(Seq("band", "bh")))
     sig.as("x").join(sig.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .withColumn("est_jaccard", round(
-        expr("aggregate(zip_with(x.minhash, y.minhash, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast(32 as double)"),
-        6))
+        expr("minhash_agree(x.minhash, y.minhash) / cast(32 as double)"), 6))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"), col("est_jaccard"))
       .distinct()
   }

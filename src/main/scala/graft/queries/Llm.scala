@@ -38,32 +38,30 @@ object Llm {
     * re-inlined the shingle array into every lambda (HashExprsSpec
     * pins bit-equivalence). The explicit repartition spreads the
     * single-file scan; only the band table shuffles. */
-  private def withMinhash(df: DataFrame): DataFrame = {
+  private def spread(df: DataFrame): DataFrame = {
     graft.functions.HashExprs.register(df.sparkSession)
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .withColumn("minhash", expr("minhash_sig(text)"))
   }
 
-  /** doc_id → (minhash signature, 8 band hashes) — the internal shape
-    * d03 joins on; the public d02 query below explodes it to scalar
-    * rows (array cells don't survive generic comparators). */
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
-    withMinhash(documents(s, d))
-      .select(col("doc_id"), col("minhash"),
-        expr("transform(array(minhash), mh -> transform(sequence(0, 7), b -> xxhash64(b, concat_ws(',', slice(mh, b*4+1, 4)))))[0]")
-          .as("band_hashes"))
-
+  /** Exploded (doc_id, band, band_hash) rows. The generator input is
+    * the `lsh_bands` EXPRESSION, deliberately not a projected column:
+    * exploding an attribute makes the optimizer infer a non-empty-
+    * array filter, which then collapses through the projection and
+    * lands in the (single-task) file scan as a second full
+    * per-row signature evaluation — measured 6× slower than this
+    * shape at sf0.1. */
   def d02_minhash_signatures(s: SparkSession, d: String): DataFrame =
-    minhashBands(s, d)
-      .select(col("doc_id"), posexplode(col("band_hashes")).as(Seq("band", "band_hash")))
+    spread(documents(s, d))
+      .select(col("doc_id"), posexplode(expr("lsh_bands(text, 8)")).as(Seq("band", "band_hash")))
       .select(col("doc_id"), col("band").cast("long").as("band"), col("band_hash"))
 
   /** Candidate pairs = docs sharing ≥1 band bucket; estimated Jaccard =
     * fraction of matching minhash components. The bucket join is the
     * scale path: shuffle key (band, hash), never doc×doc. */
   def d03_minhash_lsh_pairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashBands(s, d)
-      .select(col("doc_id"), col("minhash"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
+    val sig = spread(documents(s, d))
+      .select(col("doc_id"), expr("minhash_sig(text)").as("minhash"),
+        posexplode(expr("lsh_bands(text, 8)")).as(Seq("band", "bh")))
     // true self-join (same plan aliased twice) so ReuseExchange
     // computes the signature pipeline ONCE; estimate BEFORE dedup so
     // the distinct shuffles (a, b, est) — never the signature arrays
@@ -72,8 +70,7 @@ object Llm {
         col("x.doc_id") < col("y.doc_id"))
     joined
       .withColumn("est_jaccard", round(
-        expr("aggregate(zip_with(x.minhash, y.minhash, (a, b) -> if(a = b, 1, 0)), 0, (acc, v) -> acc + v) / cast(32 as double)"),
-        6))
+        expr("minhash_agree(x.minhash, y.minhash) / cast(32 as double)"), 6))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"), col("est_jaccard"))
       .distinct()
   }

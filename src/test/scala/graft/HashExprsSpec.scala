@@ -17,20 +17,33 @@ class HashExprsSpec extends AnyFunSuite {
     "short", "", "ünïcødé text with Ümläute and 中文字符 mixed in",
     "punctuation!!! and   spacing\t\tvariations...").toDF("text")
 
-  test("minhash_sig equals the expression formula") {
+  test("minhash_sig equals an independent reference implementation") {
+    // Driver-side reimplementation written the "multiplied" way
+    // (h + k*h2 with an explicit multiply) — pins the production
+    // kernel's incremental-add form bit-for-bit. (The h+k*h2 family
+    // can't be expressed in Spark SQL under ANSI mode: wraparound long
+    // arithmetic throws ARITHMETIC_OVERFLOW there, which is fine in
+    // plain Scala.)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(text: String): Seq[Long] = {
+      val u = UTF8String.fromString(text)
+      val last = math.max(u.numChars() - 4, 1)
+      (0 until 32).map { k =>
+        (0 until last).map { i =>
+          val sh = u.substring(i, i + 5)
+          val h = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+          val h2 = XXH64.hashLong(h, 42L) | 1L
+          h + k.toLong * h2
+        }.min
+      }
+    }
     HashExprs.register(spark)
-    val comps = (0 until 32).map(i =>
-      s"array_min(transform(hs, h -> xxhash64(h, ${i}L)))").mkString(", ")
-    val formula =
-      s"""transform(array(transform(
-            array_distinct(transform(sequence(1, greatest(length(text)-4, 1)),
-              i -> substring(text, i, 5))),
-            g -> xxhash64(g))), hs -> array($comps))[0]"""
     val rows = docs.filter(length(col("text")) > 0)
-      .select(expr("minhash_sig(text)").as("native"), expr(formula).as("formula"))
+      .select(col("text"), expr("minhash_sig(text)").as("native"))
       .collect()
     rows.foreach { r =>
-      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+      assert(r.getSeq[Long](1) == reference(r.getString(0)), r.getString(0).take(40))
     }
   }
 

@@ -109,8 +109,7 @@ class LlmSpec extends AnyFunSuite {
   test("parameterized Dedup library cores equal the harness defaults") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, fixtureDir)
-    val viaLib = graft.ops.Dedup.lshCandidatePairs(
-      graft.ops.Dedup.minhashSignatures(docs, col("doc_id"), col("text")))
+    val viaLib = graft.ops.Dedup.lshCandidatePairs(docs, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val viaQuery = Llm.d03_minhash_lsh_pairs(spark, fixtureDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
