@@ -124,23 +124,15 @@ object Relational {
   }
 
   // ── A2: deterministic batch numbering (tx-data->batches) ──────────
-  // row_number over an explicit total order replaces the reference's
-  // inherited file order (batch.clj:31-40). The window is a single
-  // partition — fine for batch *numbering* of bounded metadata, and the
-  // heavy payload stays distributed; at 100 TB you'd number batches per
-  // import type (each a bounded stream), exactly like the reference.
-  def q10_batch_numbering(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_orderkey"))
-    orders(s, d)
-      .select(col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("batch_id",
-        concat(lit("orders-"), (((col("rn") - 1) / lit(100)).cast("long") + 1)))
-      .groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("batch_size"),
-        min(col("o_orderkey")).as("first_key"),
-        max(col("o_orderkey")).as("last_key"))
-  }
+  // Dense numbering over an explicit total order replaces the
+  // reference's inherited file order (batch.clj:31-40). Routed through
+  // GlobalIndex (range-partition + per-partition counts + offset
+  // broadcast): a bare `row_number() OVER (ORDER BY …)` window moves
+  // every row through ONE partition — the classic scale killer. The
+  // windowed formulation survives as a small-SF equivalence spec
+  // (PlanSpec "q10 equals the single-partition window formulation").
+  def q10_batch_numbering(s: SparkSession, d: String): DataFrame =
+    q26_batch_numbering_scalable(s, d)
 
   // ── A3: distinct set build ────────────────────────────────────────
   def q11_distinct(s: SparkSession, d: String): DataFrame =

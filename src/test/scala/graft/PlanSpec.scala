@@ -62,4 +62,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.q14_topk(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
+
+  test("q10 equals the single-partition window formulation, without the window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the reference-shape twin: row_number over a global ORDER BY —
+    // correct but single-partition; q10 must produce the same batches
+    // via the two-pass GlobalIndex and must NOT contain a
+    // no-partition-key window exchange
+    val windowed = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+      .withColumn("batch_id",
+        concat(lit("orders-"), (((col("rn") - 1) / lit(100)).cast("long") + 1)))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("batch_size"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val scalable = Relational.q10_batch_numbering(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(scalable == windowed)
+    val p = plan(Relational.q10_batch_numbering(spark, sf))
+    assert(!p.contains("SinglePartition") || !p.contains("Window"),
+      s"q10 must not run a global window:\n${p.take(800)}")
+  }
 }
