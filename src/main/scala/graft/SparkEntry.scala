@@ -63,6 +63,7 @@ object SparkEntry {
     "d13_dedup_corpus"       -> (Llm.d13_dedup_corpus _),
     "d14_rolling_fingerprint" -> (Llm.d14_rolling_fingerprint _),
     "d15_embedding_near_dup" -> (Llm.d15_embedding_near_dup _),
+    "d16_ann_ivf"            -> (Llm.d16_ann_ivf _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -359,5 +360,6 @@ object SparkEntry {
         |FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id""".stripMargin,
     "d08_ann_lsh" -> Llm.d08OracleSql,
     "d15_embedding_near_dup" -> Llm.d15OracleSql,
+    "d16_ann_ivf" -> Llm.d16OracleSql,
   )
 }

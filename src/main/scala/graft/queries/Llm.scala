@@ -251,6 +251,86 @@ object Llm {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  // ── d16: IVF-style ANN (coarse quantizer + nprobe) ─────────────────
+  /** The other classic ANN scale path next to hyperplane LSH (d08):
+    * an inverted-file index. A small centroid table partitions the
+    * corpus into cells (the coarse quantizer); a query probes only its
+    * `nprobe` nearest cells. Centroids here are a deterministic corpus
+    * sample (vec_id 8..23) so the DuckDB oracle can rebuild the exact
+    * cells — at 100 TB you'd k-means a sample on the driver and
+    * broadcast the result; everything downstream is unchanged.
+    *
+    * Scale shape: the 16-row centroid table is broadcast and the
+    * argmax cell is a partial (map-side) `max_by` aggregation — the
+    * only corpus shuffle is the cell-keyed candidate join, ∝ corpus
+    * size / ncells × nprobe, never corpus². The intentional
+    * BroadcastNestedLoopJoin is corpus × 16 centroids (linear). */
+  def d16_ann_ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(embeddings(s, d))
+    val cent = emb.filter(col("vec_id").between(8, 23))
+      .select(col("vec_id").as("cid"), col("vec").as("c_vec"), col("norm").as("c_norm"))
+    def ccos = expr(
+      "aggregate(zip_with(vec, c_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)") /
+      (col("norm") * col("c_norm"))
+    // cell assignment: argmax over the broadcast centroids; the struct
+    // tiebreak (cosine desc, cid asc) matches the oracle's ROW_NUMBER
+    val assigned = emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", ccos)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("vec")).as("vec"), first(col("norm")).as("norm"))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = emb.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", ccos)
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= 2) // nprobe = 2
+      .select(col("cid").as("cell"), col("vec_id").as("query_id"),
+        col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("cosine", expr(
+        "aggregate(zip_with(vec, q_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (norm * q_norm)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The same IVF structure in DuckDB: identical centroid set,
+    * identical tiebreaks, so cells/probes/ranks match value-for-value. */
+  def d16OracleSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+       |m AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm FROM n),
+       |cent AS (SELECT vec_id AS cid, vec AS c_vec, norm AS c_norm FROM m WHERE vec_id BETWEEN 8 AND 23),
+       |asg AS (
+       |  SELECT vec_id, cell, vec, norm FROM (
+       |    SELECT m.vec_id, cent.cid AS cell, m.vec, m.norm,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_inner_product(m.vec, cent.c_vec) / (m.norm * cent.c_norm) DESC, cent.cid ASC) AS rn
+       |    FROM m CROSS JOIN cent WHERE m.vec_id >= 8)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT cell, query_id, q_vec, q_norm FROM (
+       |    SELECT cent.cid AS cell, m.vec_id AS query_id, m.vec AS q_vec, m.norm AS q_norm,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_inner_product(m.vec, cent.c_vec) / (m.norm * cent.c_norm) DESC, cent.cid ASC) AS rn
+       |    FROM m CROSS JOIN cent WHERE m.vec_id < 8)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT probe.query_id, asg.vec_id,
+       |    list_inner_product(asg.vec, probe.q_vec) / (asg.norm * probe.q_norm) AS cosine
+       |  FROM asg JOIN probe USING (cell)),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank,
+       |    cosine
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
   // ── d09–d12: text analysis ─────────────────────────────────────────
   private def occurrences(c: Column, needle: String): Column =
     ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length).cast("long")

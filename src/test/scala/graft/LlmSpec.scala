@@ -167,6 +167,25 @@ class LlmSpec extends AnyFunSuite {
     assert(got.contains((0L, 8L)), s"parallel vectors must share a bucket: $got")
   }
 
+  test("d16: IVF probes recover the exact top-1; corpus joins stay hash-keyed") {
+    val ivf = Llm.d16_ann_ivf(spark, fixtureDir)
+    val plan = ivf.queryExecution.executedPlan.toString
+    // the ONLY nested-loop joins allowed are corpus × broadcast
+    // centroid table (linear in the corpus); the candidate join must
+    // be keyed on the cell
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.sliding("BroadcastNestedLoopJoin".length).count(_ == "BroadcastNestedLoopJoin") <= 2, plan)
+    val got = ivf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exactTop1 = Llm.d07_cosine_topk(spark, fixtureDir).collect()
+      .collect { case r if r.getLong(1) == 1L => (r.getLong(0), r.getLong(2)) }.toMap
+    // every query's true nearest neighbor survives the probe filter
+    exactTop1.foreach { case (q, n1) =>
+      assert(got.contains((q, 1L, n1)),
+        s"query $q: IVF top-1 must equal exact top-1 $n1; got $got")
+    }
+  }
+
   test("mm2: batched decode features match the stub on driver") {
     val feats = Multimodal.mm2_decode_features(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
