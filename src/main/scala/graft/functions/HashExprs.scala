@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.BinaryExpression
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the signature computations —
@@ -189,6 +189,43 @@ object MinHashAgree {
   }
 }
 
+object VecOps {
+  /** Index-order dot product with per-element widening to double —
+    * bit-identical to `aggregate(zip_with(a, b, (x,y) -> x*y), 0d,
+    * (acc,v) -> acc+v)` over double-cast arrays (and to DuckDB's
+    * `list_inner_product` over double lists), but compiled: the
+    * higher-order-function form evaluates interpreted and re-inlines
+    * computed array children into every lambda reference. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}
+
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecOps.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
+}
+
 case class MinhashAgree(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -254,6 +291,8 @@ object HashExprs {
     reg.createOrReplaceTempFunction("ngram_set", es => NGramSet(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_agree",
       es => MinhashAgree(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bands", {
       case Seq(text) => LshBands(text, 8)
       case Seq(text, b) => LshBands(text,

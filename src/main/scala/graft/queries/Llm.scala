@@ -158,10 +158,16 @@ object Llm {
   }
 
   // ── d07: embedding cosine near-dup + brute-force ANN top-k ─────────
-  private def withNorm(df: DataFrame): DataFrame =
+  /** Norm via the compiled `vec_dot` expression (graft.functions) —
+    * float elements widen to double per-element, so results are
+    * bit-identical to the double-cast HOF formulation it replaced,
+    * while the float arrays (half the bytes) stay the shuffle
+    * currency for every downstream join. */
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.HashExprs.register(df.sparkSession)
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .withColumn("vec", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", expr("sqrt(aggregate(vec, cast(0 as double), (acc, x) -> acc + x * x))"))
+      .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
+  }
 
   /** Brute-force exact top-k for a bounded query set (the correctness
     * baseline): broadcast the queries, stream the corpus once, rank
@@ -169,11 +175,10 @@ object Llm {
   def d07_cosine_topk(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d))
     val queries = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"), col("norm").as("q_norm"))
     val scored = emb.filter(col("vec_id") >= 8)
       .join(broadcast(queries))
-      .withColumn("cosine", expr(
-        "aggregate(zip_with(vec, q_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (norm * q_norm)"))
+      .withColumn("cosine", expr("vec_dot(embedding, q_vec) / (norm * q_norm)"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -194,8 +199,7 @@ object Llm {
   }.mkString("array(", ", ", ")")
 
   private def annCodeExpr: String = (0 until 6).map { p =>
-    s"""if(aggregate(zip_with(vec, slice(${annPlane(p)}, 1, size(vec)), (x, w) -> x * w),
-        cast(0 as double), (a, v) -> a + v) > 0, ${1 << p}, 0)"""
+    s"if(vec_dot(embedding, slice(${annPlane(p)}, 1, size(embedding))) > 0, ${1 << p}, 0)"
   }.mkString("(", " + ", ")")
 
   /** The SAME hyperplanes as DuckDB literals — the codes are
@@ -240,10 +244,9 @@ object Llm {
   def d08_ann_lsh(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d)).withColumn("code", expr(annCodeExpr))
     val queries = emb.filter(col("vec_id") < 8)
-      .select(col("code"), col("vec_id").as("query_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+      .select(col("code"), col("vec_id").as("query_id"), col("embedding").as("q_vec"), col("norm").as("q_norm"))
     val scored = emb.filter(col("vec_id") >= 8).join(queries, "code")
-      .withColumn("cosine", expr(
-        "aggregate(zip_with(vec, q_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (norm * q_norm)"))
+      .withColumn("cosine", expr("vec_dot(embedding, q_vec) / (norm * q_norm)"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -268,10 +271,8 @@ object Llm {
   def d16_ann_ivf(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d))
     val cent = emb.filter(col("vec_id").between(8, 23))
-      .select(col("vec_id").as("cid"), col("vec").as("c_vec"), col("norm").as("c_norm"))
-    def ccos = expr(
-      "aggregate(zip_with(vec, c_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)") /
-      (col("norm") * col("c_norm"))
+      .select(col("vec_id").as("cid"), col("embedding").as("c_vec"), col("norm").as("c_norm"))
+    def ccos = expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm"))
     // cell assignment: argmax over the broadcast centroids; the struct
     // tiebreak (cosine desc, cid asc) matches the oracle's ROW_NUMBER
     val assigned = emb.filter(col("vec_id") >= 8)
@@ -279,7 +280,7 @@ object Llm {
       .withColumn("ccos", ccos)
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
-        first(col("vec")).as("vec"), first(col("norm")).as("norm"))
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     val probes = emb.filter(col("vec_id") < 8)
       .crossJoin(broadcast(cent))
@@ -287,10 +288,10 @@ object Llm {
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= 2) // nprobe = 2
       .select(col("cid").as("cell"), col("vec_id").as("query_id"),
-        col("vec").as("q_vec"), col("norm").as("q_norm"))
+        col("embedding").as("q_vec"), col("norm").as("q_norm"))
     val scored = assigned.join(broadcast(probes), "cell")
       .withColumn("cosine", expr(
-        "aggregate(zip_with(vec, q_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (norm * q_norm)"))
+        "vec_dot(embedding, q_vec) / (norm * q_norm)"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -407,12 +408,12 @@ object Llm {
     * so the oracle reproduces the exact same buckets. */
   def d15_embedding_near_dup(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d)).withColumn("code", expr(annCodeExpr))
-      .select(col("code"), col("vec_id"), col("vec"), col("norm"))
+      .select(col("code"), col("vec_id"), col("embedding"), col("norm"))
     val joined = emb.as("x").join(emb.as("y"),
       col("x.code") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
     joined
-      .withColumn("cosine", round(expr(
-        "aggregate(zip_with(x.vec, y.vec, (a, b) -> a * b), cast(0 as double), (acc, v) -> acc + v) / (x.norm * y.norm)"), 6))
+      .withColumn("cosine", round(
+        expr("vec_dot(x.embedding, y.embedding)") / (col("x.norm") * col("y.norm")), 6))
       .filter(col("cosine") >= 0.3)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"), col("cosine"))
   }
@@ -422,12 +423,11 @@ object Llm {
     * (a BroadcastNestedLoopJoin is quadratic work however you sample). */
   def embeddingNearDupExact(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(embeddings(s, d)).filter(pmod(col("vec_id"), lit(10)) === 0)
-      .select(col("vec_id"), col("vec"), col("norm"))
-    val a = emb.select(col("vec_id").as("a_id"), col("vec").as("a_vec"), col("norm").as("a_norm"))
-    val b = emb.select(col("vec_id").as("b_id"), col("vec").as("b_vec"), col("norm").as("b_norm"))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("norm").as("a_norm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("norm").as("b_norm"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cosine", round(expr(
-        "aggregate(zip_with(a_vec, b_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (a_norm * b_norm)"), 6))
+      .withColumn("cosine", round(expr("vec_dot(a_vec, b_vec) / (a_norm * b_norm)"), 6))
       .filter(col("cosine") >= 0.3)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }

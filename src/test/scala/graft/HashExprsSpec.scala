@@ -61,6 +61,27 @@ class HashExprsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("vec_dot is bit-identical to the double-cast HOF formulation") {
+    HashExprs.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = emb.select(
+      expr("vec_dot(embedding, embedding)"),
+      expr("""aggregate(zip_with(
+                transform(embedding, x -> cast(x as double)),
+                transform(embedding, x -> cast(x as double)),
+                (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"""),
+      expr("vec_dot(embedding, transform(embedding, x -> cast(x as double) * 0.5d))"),
+      expr("""aggregate(transform(embedding, x -> cast(x as double) * cast(x as double) * 0.5d),
+              cast(0 as double), (acc, v) -> acc + v)""")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+      // mixed float×double input path
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.toString)
+    }
+  }
+
   test("expressions participate in codegen (no fallback)") {
     // a local Seq would constant-fold via ConvertToLocalRelation; use a
     // real parquet scan so the projection actually plans
