@@ -60,8 +60,20 @@ object LshBandsImpl {
     * pass — the nested `transform`/`concat_ws` lambda formulation this
     * replaced evaluated interpreted AND re-inlined the signature
     * expression into every band reference (recompute per band). */
-  def compute(s: UTF8String, bands: Int): ArrayData = {
-    val sig = MinHash.computeRaw(s)
+  def compute(s: UTF8String, bands: Int): ArrayData =
+    fromSigArray(MinHash.computeRaw(s), bands)
+
+  /** Bands from an ALREADY-COMPUTED signature column — lets a pipeline
+    * that persists/reuses the signature derive its band keys without a
+    * second shingling pass over the text (the d03 hot path). */
+  def fromSig(sig: ArrayData, bands: Int): ArrayData = {
+    val arr = new Array[Long](sig.numElements())
+    var i = 0
+    while (i < arr.length) { arr(i) = sig.getLong(i); i += 1 }
+    fromSigArray(arr, bands)
+  }
+
+  private def fromSigArray(sig: Array[Long], bands: Int): ArrayData = {
     val rows = MinHash.K / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -74,6 +86,18 @@ object LshBandsImpl {
     }
     new GenericArrayData(out)
   }
+}
+
+case class LshBandsFromSig(child: Expression, bands: Int) extends UnaryExpression {
+  require(MinHash.K % bands == 0, s"bands ($bands) must divide ${MinHash.K}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    LshBandsImpl.fromSig(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshBandsImpl.fromSig($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): LshBandsFromSig =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bands_from_sig"
 }
 
 case class LshBands(child: Expression, bands: Int) extends UnaryExpression {
@@ -296,6 +320,11 @@ object HashExprs {
     reg.createOrReplaceTempFunction("lsh_bands", {
       case Seq(text) => LshBands(text, 8)
       case Seq(text, b) => LshBands(text,
+        b.eval(null).asInstanceOf[Number].intValue)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bands_from_sig", {
+      case Seq(sig) => LshBandsFromSig(sig, 8)
+      case Seq(sig, b) => LshBandsFromSig(sig,
         b.eval(null).asInstanceOf[Number].intValue)
     }, "scala_udf")
   }

@@ -27,11 +27,12 @@ object Dedup {
   }
 
   /** LSH candidate pairs with estimated Jaccard (see Llm.d03 for the
-    * shuffle-shape rationale). Builds the band rows from the text
-    * directly — posexplode over the EXPRESSION, not a projected
-    * band_hashes column: attribute explosion makes the optimizer
-    * infer a size()>0 filter that collapses into the scan as a second
-    * full signature evaluation (see Llm.d02 doc). */
+    * shuffle-shape rationale). The signature is computed once per doc
+    * and the band keys derive from it (`lsh_bands_from_sig`) — no
+    * second shingling pass. posexplode_outer, not posexplode: an inner
+    * explode makes the optimizer infer a `size(...) > 0` filter that
+    * pushes through the project as a full re-evaluation at the scan
+    * (bands are never empty, so outer ≡ inner). */
   def lshCandidatePairs(df: DataFrame, id: Column, textCol: Column,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     require(bands * rowsPerBand == 32, "bands × rowsPerBand must equal 32")
@@ -39,8 +40,9 @@ object Dedup {
     val sig = df
       .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(id.as("doc_id"), textCol.as("__text"))
-      .select(col("doc_id"), expr("minhash_sig(__text)").as("minhash"),
-        posexplode(expr(s"lsh_bands(__text, $bands)")).as(Seq("band", "bh")))
+      .select(col("doc_id"), expr("minhash_sig(__text)").as("minhash"))
+      .select(col("doc_id"), col("minhash"),
+        posexplode_outer(expr(s"lsh_bands_from_sig(minhash, $bands)")).as(Seq("band", "bh")))
     sig.as("x").join(sig.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -72,17 +74,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact top-k cosine neighbors for a bounded query set. */
+  /** Exact top-k cosine neighbors for a bounded query set (compiled
+    * `vec_dot`; float arrays stay the join currency). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.HashExprs.register(corpus.sparkSession)
     def norm(df: DataFrame, prefix: String): DataFrame =
-      df.withColumn(s"${prefix}vec", expr("transform(embedding, x -> cast(x as double))"))
-        .withColumn(s"${prefix}norm",
-          expr(s"sqrt(aggregate(${prefix}vec, cast(0 as double), (acc, x) -> acc + x * x))"))
-    val c = norm(corpus, "c_").select(col("vec_id").as("neighbor_id"), col("c_vec"), col("c_norm"))
-    val q = norm(queries, "q_").select(col("vec_id").as("query_id"), col("q_vec"), col("q_norm"))
+      df.withColumn(s"${prefix}norm", expr("sqrt(vec_dot(embedding, embedding))"))
+    val c = norm(corpus, "c_").select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec"), col("c_norm"))
+    val q = norm(queries, "q_").select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"), col("q_norm"))
     val scored = c.join(broadcast(q))
-      .withColumn("cosine", expr(
-        "aggregate(zip_with(c_vec, q_vec, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v) / (c_norm * q_norm)"))
+      .withColumn("cosine", expr("vec_dot(c_vec, q_vec) / (c_norm * q_norm)"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

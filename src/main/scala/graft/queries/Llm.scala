@@ -59,9 +59,16 @@ object Llm {
     * fraction of matching minhash components. The bucket join is the
     * scale path: shuffle key (band, hash), never doc×doc. */
   def d03_minhash_lsh_pairs(s: SparkSession, d: String): DataFrame = {
+    // sig computed ONCE per doc; bands derive from the signature array
+    // (lsh_bands_from_sig), not from a second shingling pass. The
+    // posexplode_outer matters: an inner explode makes the optimizer
+    // infer `size(...) > 0` and push it through the project as a full
+    // re-evaluation of the signature at the scan (bands are never
+    // empty, so outer ≡ inner here).
     val sig = spread(documents(s, d))
-      .select(col("doc_id"), expr("minhash_sig(text)").as("minhash"),
-        posexplode(expr("lsh_bands(text, 8)")).as(Seq("band", "bh")))
+      .select(col("doc_id"), expr("minhash_sig(text)").as("minhash"))
+      .select(col("doc_id"), col("minhash"),
+        posexplode_outer(expr("lsh_bands_from_sig(minhash, 8)")).as(Seq("band", "bh")))
     // true self-join (same plan aliased twice) so ReuseExchange
     // computes the signature pipeline ONCE; estimate BEFORE dedup so
     // the distinct shuffles (a, b, est) — never the signature arrays

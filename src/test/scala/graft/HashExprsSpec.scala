@@ -61,6 +61,20 @@ class HashExprsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("lsh_bands_from_sig equals lsh_bands; d03 computes the signature once per side") {
+    HashExprs.register(spark)
+    val rows = docs.select(
+      expr("lsh_bands(text, 8)"), expr("lsh_bands_from_sig(minhash_sig(text), 8)")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+    // the optimizer must not re-inline the signature into an inferred
+    // size()>0 filter (that was a full second shingling pass at the
+    // scan); one minhash_sig per join side is the ceiling
+    val plan = graft.queries.Llm.d03_minhash_lsh_pairs(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("size(lsh_bands_from_sig"), plan.take(800))
+    assert(plan.sliding("minhash_sig(".length).count(_ == "minhash_sig(") <= 2, plan.take(800))
+  }
+
   test("vec_dot is bit-identical to the double-cast HOF formulation") {
     HashExprs.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
