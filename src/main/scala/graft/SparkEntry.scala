@@ -47,6 +47,7 @@ object SparkEntry {
     "q27_set_ops"            -> (Relational.q27_set_ops _),
     "q28_approx_distinct"    -> (Relational.q28_approx_distinct _),
     "q29_datalog_engine"     -> (Relational.q29_datalog_engine _),
+    "q30_time_travel"        -> (Relational.q30_time_travel _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -208,6 +209,23 @@ object SparkEntry {
         |SELECT n.e, n.v AS nation_name, r.v AS region_key
         |FROM (SELECT e, v FROM eav WHERE a = 'n_name') n
         |JOIN (SELECT e, v FROM eav WHERE a = 'n_regionkey') r USING (e)""".stripMargin,
+    "q30_time_travel" ->
+      """WITH log AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS e,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, 1 AS tx
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR),
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2, 2
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |horizons AS (SELECT CAST(1 AS BIGINT) AS asof_tx UNION ALL SELECT CAST(2 AS BIGINT)),
+        |resolved AS (
+        |  SELECT h.asof_tx, l.e, l.cents,
+        |    ROW_NUMBER() OVER (PARTITION BY h.asof_tx, l.e ORDER BY l.tx DESC) AS rn
+        |  FROM log l JOIN horizons h ON l.tx <= h.asof_tx)
+        |SELECT asof_tx, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM resolved WHERE rn = 1 GROUP BY asof_tx""".stripMargin,
     "q27_set_ops" ->
       """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
         |auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')

@@ -324,6 +324,32 @@ object Relational {
       (abs(col("a_o") - col("exact_orders")) / col("exact_orders") <= 0.05).as("orders_ok"),
       (abs(col("a_p") - col("exact_parts")) / col("exact_parts") <= 0.05).as("parts_ok"))
 
+  // ── Time travel: as-of views over an assert-only log ──────────────
+  /** Datomic `d/as-of` re-expressed on the store's resolution core
+    * (`Store.resolve` — the exact code `current`/`asOf` run): a
+    * synthesized assert-log over orders (every price at tx 1, every
+    * 10th re-asserted doubled at tx 2) resolved at both transaction
+    * horizons. The as-of filter is a plain predicate on the log's tx
+    * column, so at scale it prunes parquet row groups — time travel
+    * costs a filter, not a snapshot copy. */
+  def q30_time_travel(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    def asLog(v: Column, tx: Long) = o
+      .select(col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+        v.cast("string").as("v"), lit(null).cast("long").as("v_long"),
+        lit(false).as("is_ref"), lit(tx).as("tx"))
+    val log = asLog(cents, 1L).unionByName(
+      asLog(cents * 2, 2L).filter(pmod(col("e").cast("long"), lit(10)) === 0))
+    Seq(1L, 2L).map { t =>
+      graft.store.Store.resolve(log.filter(col("tx") <= t), Seq.empty)
+        .agg(count(lit(1)).as("n_entities"),
+          sum(col("v").cast("long")).as("total_cents"))
+        .select(lit(t).as("asof_tx"), col("n_entities"),
+          col("total_cents").cast("long").as("total_cents"))
+    }.reduce(_ unionByName _)
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

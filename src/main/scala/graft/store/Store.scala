@@ -99,20 +99,44 @@ final class Store(spark: SparkSession, val dir: String) {
   /** Current-state view: card-many attrs accumulate (distinct union),
     * card-one attrs resolve last-writer-wins by tx — one shuffle,
     * grouped by (e, a). */
-  def current(registry: SchemaRegistry): DataFrame = {
-    val manyAttrs = registry.attrs.values.filter(_.many).map(_.ident).toSeq
-    val one = eav.filter(!col("a").isInCollection(manyAttrs))
+  def current(registry: SchemaRegistry): DataFrame =
+    Store.resolve(eav, registry.attrs.values.filter(_.many).map(_.ident).toSeq)
+
+  /** The database as of transaction `tx` (Datomic `d/as-of`): the same
+    * resolution, over only the datoms visible at `tx`. The tx filter
+    * rides the parquet scan (min/max pruning on the tx column), so an
+    * old as-of view reads only old row groups. */
+  def asOf(registry: SchemaRegistry, tx: Long): DataFrame =
+    Store.resolve(eav.filter(col("tx") <= tx),
+      registry.attrs.values.filter(_.many).map(_.ident).toSeq)
+
+  /** Datoms asserted after `tx` (Datomic `d/since` shape) — the
+    * incremental-consumer view: what changed since my last read. */
+  def since(tx: Long): DataFrame = eav.filter(col("tx") > tx)
+
+  /** Full assertion history (Datomic `d/history` analog). The log IS
+    * the history — this store is assert-only, like the reference
+    * importer (upserts supersede by tx; nothing is destroyed until
+    * offline `compact`). */
+  def history: DataFrame = eav
+}
+
+object Store {
+  /** Resolution core shared by `current` / `asOf` (and the q30 harness
+    * query): card-one attrs last-writer-wins by tx, card-many attrs
+    * distinct-union. One shuffle, keyed (e, a); partial aggregation
+    * runs map-side. */
+  def resolve(log: DataFrame, manyAttrs: Seq[String]): DataFrame = {
+    val one = log.filter(!col("a").isInCollection(manyAttrs))
       .groupBy(col("e"), col("a"))
       .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")), col("tx")).as("s"))
       .select(col("e"), col("a"), col("s.v").as("v"), col("s.v_long").as("v_long"),
         col("s.is_ref").as("is_ref"))
-    val many = eav.filter(col("a").isInCollection(manyAttrs))
+    val many = log.filter(col("a").isInCollection(manyAttrs))
       .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")).distinct()
     one.unionByName(many)
   }
-}
 
-object Store {
   import org.apache.spark.sql.types._
   val schema: StructType = StructType(Seq(
     StructField("e", StringType, nullable = false),

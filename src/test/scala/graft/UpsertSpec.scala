@@ -50,6 +50,31 @@ class UpsertSpec extends AnyFunSuite {
     assert(store.eav.filter(col("e") === e && col("a") === "release/name").count() == 2)
   }
 
+  test("as-of sees the superseded value; since sees only the delta") {
+    val store = new Store(spark, java.nio.file.Files.createTempDirectory("asof").toString)
+    val loader = new Loader(spark, registry, store)
+    val gid = "55555555-5555-4555-8555-555555555555"
+    loader.loadBatchFile("releases", batchFile(
+      s"""{:batch-ident {:db/id "datomic.tx", :mbrainz.initial-import/batch-id "releases-1"}, :data [""" +
+        s"""{:release/gid #uuid "$gid", :release/name "Old Name"}]}"""))
+    loader.loadBatchFile("releases", batchFile(
+      s"""{:batch-ident {:db/id "datomic.tx", :mbrainz.initial-import/batch-id "releases-2"}, :data [""" +
+        s"""{:release/gid #uuid "$gid", :release/name "New Name"}]}"""))
+    val e = s"release/gid|$gid"
+    def nameAt(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.filter(col("e") === e && col("a") === "release/name")
+        .select("v").collect().map(_.getString(0)).toSeq
+    val txs = store.eav.filter(col("e") === e && col("a") === "release/name")
+      .select("tx").collect().map(_.getLong(0)).sorted
+    assert(txs.length == 2 && txs(0) < txs(1), s"two loads must get distinct txs: ${txs.toSeq}")
+    assert(nameAt(store.current(registry)) == Seq("New Name"))
+    assert(nameAt(store.asOf(registry, txs(0))) == Seq("Old Name"),
+      "as-of the first tx must see the superseded value")
+    assert(nameAt(store.since(txs(0))) == Seq("New Name"),
+      "since the first tx must carry only the re-assertion")
+    assert(store.history.filter(col("e") === e && col("a") === "release/name").count() == 2)
+  }
+
   test("attribute-partitioned store prunes scans by attr") {
     val store = new Store(spark, java.nio.file.Files.createTempDirectory("prune").toString)
     val loader = new Loader(spark, registry, store)
