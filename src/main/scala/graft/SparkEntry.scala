@@ -48,6 +48,7 @@ object SparkEntry {
     "q28_approx_distinct"    -> (Relational.q28_approx_distinct _),
     "q29_datalog_engine"     -> (Relational.q29_datalog_engine _),
     "q30_time_travel"        -> (Relational.q30_time_travel _),
+    "q31_datalog_recursion"  -> (Relational.q31_datalog_recursion _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -226,6 +227,18 @@ object SparkEntry {
         |SELECT asof_tx, CAST(COUNT(*) AS BIGINT) AS n_entities,
         |  CAST(SUM(cents) AS BIGINT) AS total_cents
         |FROM resolved WHERE rn = 1 GROUP BY asof_tx""".stripMargin,
+    "q31_datalog_recursion" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src,
+        |         'n' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+        |  UNION ALL
+        |  SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src)
+        |SELECT src, dst FROM reach""".stripMargin,
     "q27_set_ops" ->
       """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
         |auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')

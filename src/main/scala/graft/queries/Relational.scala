@@ -350,6 +350,31 @@ object Relational {
     }.reduce(_ unionByName _)
   }
 
+  // ── Recursive Datalog rules: reachability closure ─────────────────
+  /** Datomic rule recursion (the `%` rule set) over a location
+    * hierarchy synthesized from supplier→nation→region: `(reach ?a
+    * ?b)` is the transitive closure of `:loc` edges, evaluated by the
+    * engine's semi-naive fixpoint (delta-only joins per round,
+    * lineage truncated per round). The DuckDB oracle is the same
+    * closure via WITH RECURSIVE. */
+  def q31_datalog_recursion(s: SparkSession, d: String): DataFrame = {
+    val edges = supplier(s, d).select(
+        concat(lit("s"), col("s_suppkey").cast("string")).as("e"),
+        lit("loc").as("a"),
+        concat(lit("n"), col("s_nationkey").cast("string")).as("v"))
+      .unionByName(nation(s, d).select(
+        concat(lit("n"), col("n_nationkey").cast("string")).as("e"),
+        lit("loc").as("a"),
+        concat(lit("r"), col("n_regionkey").cast("string")).as("v")))
+    val rules = graft.query.Datalog.parseRules(
+      """[[(reach ?a ?b) [?a :loc ?b]]
+        | [(reach ?a ?b) [?a :loc ?x] (reach ?x ?b)]]""".stripMargin)
+    val q = graft.query.Datalog.parse("[:find ?a ?b :where (reach ?a ?b)]")
+    graft.query.Datalog
+      .runOn(edges, new graft.model.SchemaRegistry(Map.empty), q, Map.empty, rules)
+      .select(col("a").as("src"), col("b").as("dst"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -32,8 +32,16 @@ object Datalog {
   final case class FVar(name: String) extends FindElem
   final case class FAgg(fn: String, varName: String) extends FindElem
 
-  final case class Pattern(e: Term, a: Term, v: Term)
-  final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Pattern])
+  sealed trait Clause
+  final case class Pattern(e: Term, a: Term, v: Term) extends Clause
+  /** `(rule-name ?arg …)` — invocation of a rule from the `%` rule set
+    * (Datomic rules, including self-recursive ones). */
+  final case class RuleCall(name: String, args: Seq[Term]) extends Clause
+  /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
+    * several definitions (disjunction); a definition whose body calls
+    * the rule itself is recursive. */
+  final case class RuleDef(params: Seq[String], body: Seq[Clause])
+  final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause])
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -60,13 +68,46 @@ object Datalog {
       case ESym("", v) if v.startsWith("?") => v.drop(1)
       // `$` (the db) is implicit
     }
-    val patterns = sections.getOrElse("where", Vector()).map {
-      case EVec(terms) if terms.size == 3 =>
-        Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
-      case other => throw new IllegalArgumentException(s"bad :where clause: ${Edn.print(other)}")
-    }
+    val patterns = sections.getOrElse("where", Vector()).map(clause)
     require(patterns.nonEmpty, "query needs :where")
     Query(find, in, patterns)
+  }
+
+  private def clause(e: Edn): Clause = e match {
+    case EVec(terms) if terms.size == 3 =>
+      Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
+    case EList(ESym("", name) +: args) if !name.startsWith("?") =>
+      RuleCall(name, args.map(term))
+    case other => throw new IllegalArgumentException(s"bad :where clause: ${Edn.print(other)}")
+  }
+
+  /** Parse a Datomic `%` rule set:
+    * `[[(reach ?a ?b) [?a :edge ?b]]
+    *   [(reach ?a ?b) [?a :edge ?x] (reach ?x ?b)]]`
+    * Supported: multiple definitions per rule (disjunction), rule
+    * calls in bodies, linear self-recursion (exactly one self-call in
+    * a recursive body). Not supported: mutual recursion, required-
+    * bindings heads `[(r [?a]) …]`, non-var head params. */
+  def parseRules(ednText: String): Map[String, Seq[RuleDef]] = {
+    val defs = Edn.parse(ednText) match {
+      case EVec(xs) => xs
+      case other => throw new IllegalArgumentException(s"rules must be a vector: $other")
+    }
+    defs.map {
+      case EVec(EList(ESym("", name) +: params) +: body) =>
+        val ps = params.map {
+          case ESym("", p) if p.startsWith("?") => p.drop(1)
+          case other => throw new IllegalArgumentException(
+            s"rule head params must be ?vars: ${Edn.print(other)}")
+        }
+        require(body.nonEmpty, s"rule $name has an empty body")
+        name -> RuleDef(ps, body.map(clause))
+      case other => throw new IllegalArgumentException(s"bad rule def: ${Edn.print(other)}")
+    }.groupBy(_._1).map { case (n, ds) =>
+      val rds = ds.map(_._2)
+      require(rds.map(_.params.size).distinct.size == 1, s"rule $n: arity mismatch")
+      n -> rds.toSeq
+    }
   }
 
   private def term(e: Edn): Term = e match {
@@ -88,60 +129,152 @@ object Datalog {
       args: Map[String, Edn] = Map.empty): DataFrame =
     runOn(store.eav, registry, q, args)
 
+  /** Dedupe-then-project: vars appearing twice in one clause become
+    * equality filters; each var surfaces once as `var_<name>`. */
+  private def project(df0: DataFrame, binds: Seq[(String, String)]): DataFrame = {
+    var df = df0
+    binds.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
+      dup.map(_._2).sliding(2).foreach {
+        case Seq(c1, c2) => df = df.filter(col(c1) === col(c2))
+        case _ => ()
+      }
+    }
+    df.select(binds.distinctBy(_._1).map { case (n, src) =>
+      col(src).as(s"var_$n") }: _*)
+  }
+
+  /** One `[e a v]` pattern → an attribute-pruned scan projected to its
+    * variables. */
+  private def evalPattern(eav: DataFrame, registry: SchemaRegistry, p: Pattern): DataFrame = {
+    val attrConst = p.a match {
+      case TConst(k: EKw) => Some(k.qualified)
+      case _ => None
+    }
+    var scan = eav.select(col("e"), col("a"), col("v"))
+    attrConst.foreach(a => scan = scan.filter(col("a") === a))
+    p.e match {
+      case TConst(c) => scan = scan.filter(col("e") === constText(c, None, registry))
+      case _ => ()
+    }
+    p.v match {
+      case TConst(c) => scan = scan.filter(col("v") === constText(c, attrConst, registry))
+      case _ => ()
+    }
+    def bind(t: Term, src: String): Option[(String, String)] = t match {
+      case TVar(n) => Some(n -> src)
+      case _ => None
+    }
+    project(scan, Seq(bind(p.e, "e"), bind(p.a, "a"), bind(p.v, "v")).flatten)
+  }
+
+  /** A rule invocation → the rule's relation (positional columns
+    * `p0…pk-1`) filtered by constant args and projected to call-site
+    * variables. */
+  private def evalRuleCall(rel: DataFrame, rc: RuleCall,
+      registry: SchemaRegistry): DataFrame = {
+    var df = rel
+    val binds = rc.args.zipWithIndex.flatMap {
+      case (TVar(n), i) => Some(n -> s"p$i")
+      case (TWild, _) => None
+      case (TConst(c), i) =>
+        df = df.filter(col(s"p$i") === constText(c, None, registry)); None
+    }
+    project(df, binds)
+  }
+
+  /** Conjunction of clauses → natural joins on shared variables. */
+  private def evalClauses(eav: DataFrame, registry: SchemaRegistry,
+      clauses: Seq[Clause], resolve: Term => Term,
+      ruleEnv: String => DataFrame): DataFrame = {
+    require(clauses.nonEmpty, "empty clause body")
+    clauses.foldLeft(Option.empty[DataFrame]) { (acc, c) =>
+      val projected = c match {
+        case p: Pattern =>
+          evalPattern(eav, registry, Pattern(resolve(p.e), resolve(p.a), resolve(p.v)))
+        case rc: RuleCall => evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
+      }
+      Some(acc.fold(projected) { a =>
+        val shared = a.columns.intersect(projected.columns).toSeq
+        if (shared.nonEmpty) a.join(projected, shared) else a.crossJoin(projected)
+      })
+    }.get
+  }
+
+  /** Evaluate every rule reachable from the query to a relation, with
+    * semi-naive fixpoint iteration for self-recursive rules: each round
+    * joins only the NEW tuples (delta) against the recursive bodies,
+    * anti-joins out what's known, and stops when the delta is empty.
+    * `localCheckpoint` truncates the growing lineage every round —
+    * without it an N-round closure plans an N-deep join tree (at
+    * cluster scale, swap in reliable `checkpoint` on a checkpoint
+    * dir). Linear recursion only (one self-call per recursive body);
+    * mutual recursion is rejected. */
+  private def evalRules(eav: DataFrame, registry: SchemaRegistry,
+      rules: Map[String, Seq[RuleDef]], resolve: Term => Term,
+      maxIters: Int): Map[String, DataFrame] = {
+    val cache = scala.collection.mutable.Map[String, DataFrame]()
+    val visiting = scala.collection.mutable.Set[String]()
+    def relation(name: String): DataFrame = cache.getOrElseUpdate(name, {
+      require(!visiting(name), s"mutual recursion through rule '$name' is not supported")
+      visiting += name
+      val defs = rules.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown rule: $name"))
+      val params = defs.head.params
+      def selfCalls(d: RuleDef): Int = d.body.count {
+        case RuleCall(n, _) => n == name
+        case _ => false
+      }
+      val (recDefs, baseDefs) = defs.partition(selfCalls(_) > 0)
+      require(baseDefs.nonEmpty, s"rule $name has no non-recursive definition")
+      recDefs.foreach(d => require(selfCalls(d) == 1,
+        s"rule $name: semi-naive evaluation supports one self-call per body"))
+      def evalBody(d: RuleDef, self: Option[DataFrame]): DataFrame = {
+        val env = (n: String) =>
+          if (n == name) self.getOrElse(throw new IllegalStateException(
+            s"self-reference in base case of $name"))
+          else relation(n)
+        evalClauses(eav, registry, d.body, resolve, env)
+          .select(d.params.zipWithIndex.map { case (p, i) => col(s"var_$p").as(s"p$i") }: _*)
+      }
+      var total = baseDefs.map(evalBody(_, None)).reduce(_ unionByName _)
+        .distinct().localCheckpoint()
+      if (recDefs.nonEmpty) {
+        var delta = total
+        var fresh = delta.count()
+        var iters = 0
+        while (fresh > 0) {
+          iters += 1
+          require(iters <= maxIters, s"rule $name did not converge in $maxIters rounds")
+          val stepped = recDefs.map(evalBody(_, Some(delta)))
+            .reduce(_ unionByName _).distinct()
+          delta = stepped.join(total, stepped.columns.toSeq, "left_anti").localCheckpoint()
+          fresh = delta.count()
+          if (fresh > 0) total = total.unionByName(delta).localCheckpoint()
+        }
+      }
+      visiting -= name
+      total
+    })
+    rules.keys.foreach(relation)
+    cache.toMap
+  }
+
   /** Plan the query over any EAV-shaped DataFrame (e, a, v). */
   def runOn(eav: DataFrame, registry: SchemaRegistry, q: Query,
-      args: Map[String, Edn]): DataFrame = {
+      args: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
+      maxRuleIters: Int = 100): DataFrame = {
     val missing = q.in.filterNot(args.contains)
     require(missing.isEmpty, s"unbound :in parameters: $missing")
 
-    // substitute :in parameters, then plan each pattern as a pruned scan
+    // substitute :in parameters, then plan each clause
     def resolve(t: Term): Term = t match {
       case TVar(n) if args.contains(n) => TConst(args(n))
       case other => other
     }
-
-    var plan: Option[DataFrame] = None
-    q.patterns.zipWithIndex.foreach { case (p0, idx) =>
-      val p = Pattern(resolve(p0.e), resolve(p0.a), resolve(p0.v))
-      val attrConst = p.a match {
-        case TConst(k: EKw) => Some(k.qualified)
-        case _ => None
-      }
-      var scan = eav.select(col("e"), col("a"), col("v"))
-      attrConst.foreach(a => scan = scan.filter(col("a") === a))
-      p.e match {
-        case TConst(c) => scan = scan.filter(col("e") === constText(c, None, registry))
-        case _ => ()
-      }
-      p.v match {
-        case TConst(c) => scan = scan.filter(col("v") === constText(c, attrConst, registry))
-        case _ => ()
-      }
-      // project pattern variables to var-named columns
-      def bind(t: Term, src: String): Option[(String, String)] = t match {
-        case TVar(n) => Some(n -> src)
-        case _ => None
-      }
-      val binds = Seq(bind(p.e, "e"), bind(p.a, "a"), bind(p.v, "v")).flatten
-      // a variable appearing twice IN ONE pattern ⇒ intra-pattern equality
-      binds.groupBy(_._1).values.filter(_.size > 1).foreach { dup =>
-        dup.map(_._2).sliding(2).foreach {
-          case Seq(c1, c2) => scan = scan.filter(col(c1) === col(c2))
-          case _ => ()
-        }
-      }
-      val uniqueBinds = binds.distinctBy(_._1)
-      val projected = scan.select(uniqueBinds.map { case (n, src) =>
-        col(src).as(s"var_$n") }: _*)
-      plan = plan match {
-        case None => Some(projected)
-        case Some(acc) =>
-          val shared = acc.columns.intersect(projected.columns).toSeq
-          Some(if (shared.nonEmpty) acc.join(projected, shared)
-               else acc.crossJoin(projected))
-      }
-    }
-    val joined = plan.get
+    val relations = evalRules(eav, registry, rules, resolve, maxRuleIters)
+    val joined = evalClauses(eav, registry, q.patterns, resolve,
+      name => relations.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")))
 
     val aggs = q.find.collect { case a: FAgg => a }
     val plainVars = q.find.collect { case FVar(n) => n }

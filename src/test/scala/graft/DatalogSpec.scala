@@ -97,4 +97,49 @@ class DatalogSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Datalog.run(store, registry, q))
     assert(e.getMessage.contains("unbound"))
   }
+
+  private def chainEav(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (s"n$i", "next", s"n${i + 1}")).toDF("e", "a", "v")
+  }
+  private lazy val emptyRegistry = new SchemaRegistry(Map.empty)
+
+  test("recursive rule: transitive closure of a 25-deep chain converges") {
+    val rules = Datalog.parseRules(
+      """[[(reach ?a ?b) [?a :next ?b]]
+        | [(reach ?a ?b) [?a :next ?x] (reach ?x ?b)]]""".stripMargin)
+    val q = Datalog.parse("[:find ?a ?b :where (reach ?a ?b)]")
+    val rows = Datalog.runOn(chainEav(25), emptyRegistry, q, Map.empty, rules)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // closure of a length-25 path: all i<j pairs = 26*25/2
+    assert(rows.size == 26 * 25 / 2, s"got ${rows.size}")
+    assert(rows.contains(("n0", "n25")), "deepest path must be found")
+  }
+
+  test("rule disjunction and constant args in a rule call") {
+    import spark.implicits._
+    val eav = Seq(
+      ("a1", "mother", "b"), ("a2", "father", "b"), ("b", "mother", "c"))
+      .toDF("e", "a", "v")
+    val rules = Datalog.parseRules(
+      """[[(parent ?c ?p) [?c :mother ?p]]
+        | [(parent ?c ?p) [?c :father ?p]]
+        | [(ancestor ?c ?p) (parent ?c ?p)]
+        | [(ancestor ?c ?p) (parent ?c ?x) (ancestor ?x ?p)]]""".stripMargin)
+    val q = Datalog.parse("""[:find ?c :where (ancestor ?c "c")]""")
+    val rows = Datalog.runOn(eav, emptyRegistry, q, Map.empty, rules)
+      .collect().map(_.getString(0)).toSet
+    assert(rows == Set("a1", "a2", "b"), rows.toString)
+  }
+
+  test("mutual recursion is rejected with a clear error") {
+    val rules = Datalog.parseRules(
+      """[[(even ?x) [?x :zero ?x]]
+        | [(even ?x) [?x :pred ?y] (odd ?y)]
+        | [(odd ?x) [?x :pred ?y] (even ?y)]]""".stripMargin)
+    val q = Datalog.parse("[:find ?x :where (even ?x)]")
+    val e = intercept[IllegalArgumentException](
+      Datalog.runOn(chainEav(3), emptyRegistry, q, Map.empty, rules))
+    assert(e.getMessage.contains("mutual recursion"))
+  }
 }
