@@ -49,6 +49,7 @@ object SparkEntry {
     "q29_datalog_engine"     -> (Relational.q29_datalog_engine _),
     "q30_time_travel"        -> (Relational.q30_time_travel _),
     "q31_datalog_recursion"  -> (Relational.q31_datalog_recursion _),
+    "q32_datalog_predicates" -> (Relational.q32_datalog_predicates _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -239,6 +240,10 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src, dst FROM reach""".stripMargin,
+    "q32_datalog_predicates" ->
+      """SELECT n_nationkey AS e,
+        |  n_name || '#' || CAST(n_regionkey AS VARCHAR) AS tagged
+        |FROM nation WHERE n_regionkey < 2""".stripMargin,
     "q27_set_ops" ->
       """WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
         |auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')

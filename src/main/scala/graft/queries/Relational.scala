@@ -375,6 +375,24 @@ object Relational {
       .select(col("a").as("src"), col("b").as("dst"))
   }
 
+  // ── Datalog expression clauses: predicate + function binding ──────
+  /** `[(< ?r 2)]` filters and `[(str …) ?out]` bindings through the
+    * Datalog engine — the expression-clause surface Datomic queries
+    * lean on beyond plain patterns. Planned as ordinary Catalyst
+    * filters/projections over the pattern joins. */
+  def q32_datalog_predicates(s: SparkSession, d: String): DataFrame = {
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?tagged
+        | :where [?e :n_name ?name]
+        |        [?e :n_regionkey ?r]
+        |        [(< ?r 2)]
+        |        [(str ?name "#" ?r) ?tagged]]""".stripMargin)
+    graft.query.Datalog.runOn(
+        nationEav(s, d).select(col("e").cast("string").as("e"), col("a"), col("v")),
+        new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("e").cast("int").as("e"), col("tagged"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -37,11 +37,20 @@ object Datalog {
   /** `(rule-name ?arg …)` — invocation of a rule from the `%` rule set
     * (Datomic rules, including self-recursive ones). */
   final case class RuleCall(name: String, args: Seq[Term]) extends Clause
+  /** `[(pred ?x …)]` — filter on already-bound variables. Comparisons
+    * evaluate numerically when any argument is a numeric literal
+    * (store values are text; the cast is explicit in the plan),
+    * otherwise as text. */
+  final case class PredClause(fn: String, args: Seq[Term]) extends Clause
+  /** `[(fn ?x …) ?out]` — bind `?out` to a computed expression
+    * (+ - * / as double, str as concat). */
+  final case class FnClause(fn: String, args: Seq[Term], out: String) extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
     * the rule itself is recursive. */
   final case class RuleDef(params: Seq[String], body: Seq[Clause])
-  final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause])
+  final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause],
+    withVars: Seq[String] = Seq.empty)
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -51,7 +60,7 @@ object Datalog {
     val sections = scala.collection.mutable.Map[String, Vector[Edn]]()
     var current: String = null
     items.foreach {
-      case EKw("", kw @ ("find" | "in" | "where")) =>
+      case EKw("", kw @ ("find" | "in" | "where" | "with")) =>
         current = kw; sections.getOrElseUpdate(kw, Vector())
       case form =>
         require(current != null, s"form before :find/:in/:where: ${Edn.print(form)}")
@@ -70,12 +79,20 @@ object Datalog {
     }
     val patterns = sections.getOrElse("where", Vector()).map(clause)
     require(patterns.nonEmpty, "query needs :where")
-    Query(find, in, patterns)
+    val withVars = sections.getOrElse("with", Vector()).map {
+      case ESym("", v) if v.startsWith("?") => v.drop(1)
+      case other => throw new IllegalArgumentException(s"bad :with element: ${Edn.print(other)}")
+    }
+    Query(find, in, patterns, withVars)
   }
 
   private def clause(e: Edn): Clause = e match {
-    case EVec(terms) if terms.size == 3 =>
+    case EVec(terms) if terms.size == 3 && !terms(0).isInstanceOf[EList] =>
       Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
+    case EVec(Vector(EList(ESym("", fn) +: args))) =>
+      PredClause(fn, args.map(term))
+    case EVec(Vector(EList(ESym("", fn) +: args), ESym("", out))) if out.startsWith("?") =>
+      FnClause(fn, args.map(term), out.drop(1))
     case EList(ESym("", name) +: args) if !name.startsWith("?") =>
       RuleCall(name, args.map(term))
     case other => throw new IllegalArgumentException(s"bad :where clause: ${Edn.print(other)}")
@@ -182,21 +199,79 @@ object Datalog {
     project(df, binds)
   }
 
-  /** Conjunction of clauses → natural joins on shared variables. */
+  /** Term → Column for expression clauses. Store values are text, so
+    * comparisons go numeric (double cast) only when a numeric literal
+    * is present or the caller forces it. */
+  private def termCol(t: Term, numeric: Boolean, registry: SchemaRegistry): Column = t match {
+    case TVar(n) => if (numeric) col(s"var_$n").cast("double") else col(s"var_$n")
+    case TConst(ELong(v)) => lit(v.toDouble)
+    case TConst(EDouble(v)) => lit(v)
+    case TConst(c) => lit(constText(c, None, registry))
+    case TWild => throw new IllegalArgumentException("_ is not a value in an expression clause")
+  }
+
+  private def isNumericConst(t: Term): Boolean = t match {
+    case TConst(_: ELong) | TConst(_: EDouble) => true
+    case _ => false
+  }
+
+  private def predColumn(pc: PredClause, registry: SchemaRegistry): Column = {
+    require(pc.args.size == 2, s"predicate ${pc.fn} expects 2 args")
+    val numeric = pc.args.exists(isNumericConst)
+    val (l, r) = (termCol(pc.args(0), numeric, registry), termCol(pc.args(1), numeric, registry))
+    pc.fn match {
+      case "<" => l < r
+      case "<=" => l <= r
+      case ">" => l > r
+      case ">=" => l >= r
+      case "=" => l === r
+      case "!=" | "not=" => l =!= r
+      case other => throw new IllegalArgumentException(s"unsupported predicate: $other")
+    }
+  }
+
+  private def fnColumn(fc: FnClause, registry: SchemaRegistry): Column = fc.fn match {
+    case "+" | "-" | "*" | "/" =>
+      val cols = fc.args.map(termCol(_, numeric = true, registry))
+      cols.reduce((a, b) => fc.fn match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+      })
+    case "str" => concat(fc.args.map(termCol(_, numeric = false, registry)): _*)
+    case other => throw new IllegalArgumentException(s"unsupported function: $other")
+  }
+
+  /** Conjunction of clauses → natural joins on shared variables;
+    * predicate / function clauses apply to the frame built so far
+    * (their variables must already be bound). */
   private def evalClauses(eav: DataFrame, registry: SchemaRegistry,
       clauses: Seq[Clause], resolve: Term => Term,
       ruleEnv: String => DataFrame): DataFrame = {
     require(clauses.nonEmpty, "empty clause body")
     clauses.foldLeft(Option.empty[DataFrame]) { (acc, c) =>
-      val projected = c match {
-        case p: Pattern =>
-          evalPattern(eav, registry, Pattern(resolve(p.e), resolve(p.a), resolve(p.v)))
-        case rc: RuleCall => evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
+      def bound = acc.getOrElse(throw new IllegalArgumentException(
+        s"expression clause before any binding pattern: $c"))
+      c match {
+        case pc: PredClause =>
+          Some(bound.filter(predColumn(pc.copy(args = pc.args.map(resolve)), registry)))
+        case fc: FnClause =>
+          Some(bound.withColumn(s"var_${fc.out}",
+            fnColumn(fc.copy(args = fc.args.map(resolve)), registry)))
+        case _ =>
+          val projected = c match {
+            case p: Pattern =>
+              evalPattern(eav, registry, Pattern(resolve(p.e), resolve(p.a), resolve(p.v)))
+            case rc: RuleCall =>
+              evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
+            case _ => throw new IllegalStateException("unreachable")
+          }
+          Some(acc.fold(projected) { a =>
+            val shared = a.columns.intersect(projected.columns).toSeq
+            if (shared.nonEmpty) a.join(projected, shared) else a.crossJoin(projected)
+          })
       }
-      Some(acc.fold(projected) { a =>
-        val shared = a.columns.intersect(projected.columns).toSeq
-        if (shared.nonEmpty) a.join(projected, shared) else a.crossJoin(projected)
-      })
     }.get
   }
 
@@ -279,12 +354,20 @@ object Datalog {
     val aggs = q.find.collect { case a: FAgg => a }
     val plainVars = q.find.collect { case FVar(n) => n }
     if (aggs.isEmpty) {
-      joined.select(plainVars.map(n => col(s"var_$n").as(n)): _*).distinct()
+      if (q.withVars.isEmpty)
+        joined.select(plainVars.map(n => col(s"var_$n").as(n)): _*).distinct()
+      else
+        // :with ⇒ bag semantics: dedupe over find+with vars, project find
+        joined.select((plainVars ++ q.withVars).distinct.map(n => col(s"var_$n")): _*)
+          .distinct()
+          .select(plainVars.map(n => col(s"var_$n").as(n)): _*)
     } else {
       // Datomic :find is set-semantics: bindings dedupe BEFORE the
-      // aggregate (no :with support here), so (count ?e) counts
-      // distinct bindings
-      val bindingVars = (plainVars ++ aggs.map(_.varName)).distinct
+      // aggregate, so (count ?e) counts distinct bindings; :with vars
+      // join the dedupe set without surfacing in the output, giving
+      // the bag counts Datomic users reach for (e.g. count per ?e
+      // WITH ?v keeps one row per (e, v))
+      val bindingVars = (plainVars ++ q.withVars ++ aggs.map(_.varName)).distinct
       val joinedSet = joined.select(bindingVars.map(n => col(s"var_$n")): _*).distinct()
       val aggCols = aggs.map {
         case FAgg("count", v) => count(col(s"var_$v")).as(s"count_$v")

@@ -132,6 +132,35 @@ class DatalogSpec extends AnyFunSuite {
     assert(rows == Set("a1", "a2", "b"), rows.toString)
   }
 
+  test("predicates, function bindings, and :with bag semantics") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "score", "10"), ("e1", "bonus", "5"),
+      ("e2", "score", "3"), ("e2", "bonus", "1"),
+      ("e3", "score", "10"), ("e3", "bonus", "2"))
+      .toDF("e", "a", "v")
+    // numeric predicate: scores > 5 (text values compare numerically
+    // because the literal is numeric)
+    val qPred = Datalog.parse(
+      "[:find ?e :where [?e :score ?s] [(> ?s 5)]]")
+    val hi = Datalog.runOn(eav, emptyRegistry, qPred, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(hi == Set("e1", "e3"), hi.toString)
+    // function binding: total = score + bonus
+    val qFn = Datalog.parse(
+      "[:find ?e ?total :where [?e :score ?s] [?e :bonus ?b] [(+ ?s ?b) ?total]]")
+    val totals = Datalog.runOn(eav, emptyRegistry, qFn, Map.empty)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(totals == Map("e1" -> 15.0, "e2" -> 4.0, "e3" -> 12.0), totals.toString)
+    // :with — count distinct score VALUES without vs with entity
+    val qSet = Datalog.parse("[:find (count ?s) :where [?e :score ?s]]")
+    assert(Datalog.runOn(eav, emptyRegistry, qSet, Map.empty)
+      .collect()(0).getLong(0) == 2, "set semantics: {10, 3}")
+    val qBag = Datalog.parse("[:find (count ?s) :with ?e :where [?e :score ?s]]")
+    assert(Datalog.runOn(eav, emptyRegistry, qBag, Map.empty)
+      .collect()(0).getLong(0) == 3, ":with ?e keeps one row per entity")
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
