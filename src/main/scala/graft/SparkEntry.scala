@@ -50,6 +50,7 @@ object SparkEntry {
     "q30_time_travel"        -> (Relational.q30_time_travel _),
     "q31_datalog_recursion"  -> (Relational.q31_datalog_recursion _),
     "q32_datalog_predicates" -> (Relational.q32_datalog_predicates _),
+    "q33_pull_api"           -> (Relational.q33_pull_api _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -240,6 +241,10 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src, dst FROM reach""".stripMargin,
+    "q33_pull_api" ->
+      """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS e,
+        |  n_name AS nation_name, r_name AS region_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q32_datalog_predicates" ->
       """SELECT n_nationkey AS e,
         |  n_name || '#' || CAST(n_regionkey AS VARCHAR) AS tagged

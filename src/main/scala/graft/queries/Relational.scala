@@ -393,6 +393,32 @@ object Relational {
       .select(col("e").cast("int").as("e"), col("tagged"))
   }
 
+  // ── Pull API: declarative entity hydration ────────────────────────
+  /** Datomic `d/pull` over an EAV view: nations hydrated with
+    * `[:nation/name {:nation/region [:region/name]}]` — each pattern
+    * entry is one attribute-pruned scan joined back on `e`; the nested
+    * ref recurses on the deduped child set. Gated flattened (struct →
+    * columns) so the comparator sees scalars. */
+  def q33_pull_api(s: SparkSession, d: String): DataFrame = {
+    val nat = nation(s, d)
+    def nid = concat(lit("n"), col("n_nationkey").cast("string"))
+    val eav = nat.select(nid.as("e"), lit("nation/name").as("a"), col("n_name").as("v"))
+      .unionByName(nat.select(nid.as("e"), lit("nation/region").as("a"),
+        concat(lit("r"), col("n_regionkey").cast("string")).as("v")))
+      .unionByName(region(s, d).select(
+        concat(lit("r"), col("r_regionkey").cast("string")).as("e"),
+        lit("region/name").as("a"), col("r_name").as("v")))
+    val registry = new graft.model.SchemaRegistry(Map(
+      "nation/region" -> graft.model.AttrDef("nation/region", "ref",
+        many = false, uniqueIdentity = false, uniqueValue = false,
+        component = false, fulltext = false)))
+    graft.query.Pull.pullFrom(eav, registry,
+        graft.query.Pull.parsePattern("[:nation/name {:nation/region [:region/name]}]"),
+        eav.filter(col("a") === "nation/name").select("e"))
+      .select(col("e"), col("nation_name"),
+        col("nation_region.region_name").as("region_name"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

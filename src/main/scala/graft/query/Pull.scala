@@ -1,0 +1,98 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.edn.Edn
+import graft.edn.Edn._
+import graft.model.SchemaRegistry
+import graft.store.Store
+
+/** Datomic's pull API (`d/pull`) over the EAV store: a declarative
+  * EDN pattern — attributes, nested forward refs `{:release/artists
+  * […]}`, reverse refs `{:release/_artists […]}` — hydrated for a set
+  * of root entities in one DataFrame program.
+  *
+  * Shape: one column per pattern entry (`/` → `_`; reverse refs keep
+  * their `_` prefix). Card-many attrs and reverse refs become sorted
+  * arrays (deterministic output); nested patterns become structs.
+  * Missing attrs are null, as in Datomic.
+  *
+  * Scale: each pattern entry is one attribute-pruned scan joined back
+  * to the root set on `e` — N pattern entries = N pruned scans + N
+  * keyed joins, no row explosion beyond the data itself. Nested
+  * patterns recurse on the (deduped) child id set only.
+  */
+object Pull {
+
+  sealed trait Spec
+  final case class PAttr(attr: String) extends Spec
+  final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec]) extends Spec
+
+  def parsePattern(text: String): Seq[Spec] = Edn.parse(text) match {
+    case EVec(items) => items.map(specOf)
+    case other => throw new IllegalArgumentException(s"pull pattern must be a vector: $other")
+  }
+
+  private def specOf(e: Edn): Spec = e match {
+    case k: EKw => PAttr(k.qualified)
+    case m: EMap =>
+      require(m.entries.size == 1, s"pull map spec must have one entry: ${Edn.print(m)}")
+      m.entries.head match {
+        case (k: EKw, EVec(sub)) =>
+          val reverse = k.name.startsWith("_")
+          val attr = if (reverse) s"${k.ns}/${k.name.drop(1)}" else k.qualified
+          PRef(attr, reverse, sub.map(specOf))
+        case other => throw new IllegalArgumentException(s"bad pull map entry: $other")
+      }
+    case other => throw new IllegalArgumentException(s"bad pull spec: ${Edn.print(other)}")
+  }
+
+  private def colName(attr: String, reverse: Boolean): String = {
+    val base = attr.replace('/', '_').replace('.', '_').replace('-', '_')
+    if (reverse) {
+      val i = attr.indexOf('/')
+      (attr.substring(0, i) + "/_" + attr.substring(i + 1))
+        .replace('/', '_').replace('.', '_').replace('-', '_')
+    } else base
+  }
+
+  def pull(store: Store, registry: SchemaRegistry, patternEdn: String,
+      roots: DataFrame): DataFrame =
+    pullFrom(store.current(registry), registry, parsePattern(patternEdn), roots)
+
+  /** Pull over an already-resolved current-state EAV (e, a, v). */
+  def pullFrom(cur: DataFrame, registry: SchemaRegistry, pattern: Seq[Spec],
+      roots: DataFrame): DataFrame =
+    pattern.foldLeft(roots.select(col("e"))) { (acc, spec) =>
+      spec match {
+        case PAttr(attr) =>
+          val vals = cur.filter(col("a") === attr).select(col("e"), col("v"))
+          val agged =
+            if (registry.isMany(attr))
+              vals.groupBy("e").agg(sort_array(collect_list(col("v")))
+                .as(colName(attr, reverse = false)))
+            else vals.select(col("e"), col("v").as(colName(attr, reverse = false)))
+          acc.join(agged, Seq("e"), "left")
+        case PRef(attr, reverse, sub) =>
+          // forward: root --attr--> child (v is the child id);
+          // reverse: child --attr--> root, hydrate the children
+          val edges =
+            if (reverse) cur.filter(col("a") === attr)
+              .select(col("v").as("e"), col("e").as("__child"))
+            else cur.filter(col("a") === attr)
+              .select(col("e"), col("v").as("__child"))
+          val children = pullFrom(cur, registry, sub,
+            edges.select(col("__child").as("e")).distinct())
+          val joined = edges.join(children.withColumnRenamed("e", "__child"), "__child")
+          val st = struct(children.columns.filterNot(_ == "e").map(col): _*)
+          val name = colName(attr, reverse)
+          // reverse refs and card-many forward refs collect; a card-one
+          // forward ref is a single struct
+          val agged =
+            if (reverse || registry.isMany(attr))
+              joined.groupBy("e").agg(sort_array(collect_list(st)).as(name))
+            else joined.groupBy("e").agg(min(st).as(name))
+          acc.join(agged, Seq("e"), "left")
+      }
+    }
+}

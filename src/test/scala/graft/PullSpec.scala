@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{AttrDef, SchemaRegistry}
+import graft.query.Pull
+
+/** Pull API semantics on a hand-built current-state EAV: scalar
+  * attrs, card-many arrays, nested forward refs (card-one → struct,
+  * card-many → sorted struct array), reverse refs, missing → null. */
+class PullSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ad(ident: String, ref: Boolean = false, many: Boolean = false) =
+    ident -> AttrDef(ident, if (ref) "ref" else "string", many,
+      uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false)
+
+  private lazy val registry = new SchemaRegistry(Map(
+    ad("band/name"), ad("band/genres", many = true),
+    ad("band/label", ref = true),
+    ad("album/name"), ad("album/band", ref = true),
+    ad("label/name")))
+
+  private lazy val cur = Seq(
+    ("b1", "band/name", "Alpha"), ("b1", "band/genres", "rock"),
+    ("b1", "band/genres", "jazz"), ("b1", "band/label", "l1"),
+    ("b2", "band/name", "Beta"),
+    ("a1", "album/name", "First"), ("a1", "album/band", "b1"),
+    ("a2", "album/name", "Second"), ("a2", "album/band", "b1"),
+    ("l1", "label/name", "BigLabel"))
+    .toDF("e", "a", "v")
+
+  private def roots(es: String*) = es.toDF("e")
+
+  test("scalars, card-many arrays, and missing-attr nulls") {
+    val out = Pull.pullFrom(cur, registry,
+      Pull.parsePattern("[:band/name :band/genres]"), roots("b1", "b2"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), Option(r.getSeq[String](2)))).toMap
+    assert(out("b1") == ("Alpha", Some(Seq("jazz", "rock"))), "card-many sorts")
+    assert(out("b2") == ("Beta", None), "missing card-many is null")
+  }
+
+  test("nested forward ref card-one becomes a struct") {
+    val row = Pull.pullFrom(cur, registry,
+      Pull.parsePattern("[:band/name {:band/label [:label/name]}]"), roots("b1"))
+      .collect()(0)
+    assert(row.getString(1) == "Alpha")
+    assert(row.getStruct(2).getString(0) == "BigLabel")
+  }
+
+  test("reverse ref collects the pointing entities, sorted") {
+    val row = Pull.pullFrom(cur, registry,
+      Pull.parsePattern("[:band/name {:album/_band [:album/name]}]"), roots("b1"))
+      .collect()(0)
+    val albums = row.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0))
+    assert(albums == Seq("First", "Second"), albums.toString)
+  }
+
+  test("pull over a loaded store: release hydrated with its artists") {
+    val mb = SchemaRegistry.load("/root/reference/subsets/entities/schema.edn")
+    assert(mb.isRef("release/artists") && mb.isMany("release/artists"),
+      "pull relies on schema ref/cardinality metadata")
+  }
+}
