@@ -51,6 +51,7 @@ object SparkEntry {
     "q31_datalog_recursion"  -> (Relational.q31_datalog_recursion _),
     "q32_datalog_predicates" -> (Relational.q32_datalog_predicates _),
     "q33_pull_api"           -> (Relational.q33_pull_api _),
+    "q34_asof_join"          -> (Relational.q34_asof_join _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -241,6 +242,16 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src, dst FROM reach""".stripMargin,
+    "q34_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.user_id, p.event_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+        |  COALESCE(CAST(CAST(c.click_value AS DECIMAL(18,2)) * 100 AS BIGINT), -1) AS click_cents
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "q33_pull_api" ->
       """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS e,
         |  n_name AS nation_name, r_name AS region_name

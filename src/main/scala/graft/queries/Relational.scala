@@ -419,6 +419,26 @@ object Relational {
         col("nation_region.region_name").as("region_name"))
   }
 
+  // ── As-of (temporal) join ─────────────────────────────────────────
+  /** Each purchase event picks up the user's most recent click value
+    * at-or-before the purchase timestamp — `graft.ops.AsofJoin`'s
+    * union + keyed forward-fill window (one shuffle, no per-key cross
+    * product). The oracle is DuckDB's native ASOF LEFT JOIN, so the
+    * operator's ≤-semantics and tie handling are value-verified. */
+  def q34_asof_join(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+    graft.ops.AsofJoin
+      .leftAsof(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_value"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        coalesce((dec(col("asof_click_value")) * 100).cast("long"), lit(-1L))
+          .as("click_cents"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.AsofJoin
+
+/** As-of join semantics: greatest right time ≤ left time per key,
+  * ties visible, no prior state → null, one keyed shuffle. */
+class AsofJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val probes = Seq(
+    ("u1", 5L, "p1"), ("u1", 10L, "p2"), ("u1", 20L, "p3"),
+    ("u2", 7L, "p4"), // u2 has no state at all
+    ("u3", 3L, "p5")) // state exists but only later
+    .toDF("k", "t", "probe_id")
+
+  private lazy val states = Seq(
+    ("u1", 5L, "s@5"), ("u1", 12L, "s@12"),
+    ("u3", 9L, "s@9"))
+    .toDF("k", "t", "state")
+
+  test("picks the greatest state time <= probe time; equal times match") {
+    val out = AsofJoin.leftAsof(probes, states, Seq("k"), "t", "t", Seq("state"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      "p1" -> Some("s@5"),   // tie: state at t=5 visible to probe at t=5
+      "p2" -> Some("s@5"),   // s@12 is in the future
+      "p3" -> Some("s@12"),
+      "p4" -> None,          // no state for u2
+      "p5" -> None),         // u3's state arrives after the probe
+      out.toString)
+  }
+
+  test("one keyed shuffle, no nested-loop or range cross product") {
+    val df = AsofJoin.leftAsof(probes, states, Seq("k"), "t", "t", Seq("state"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+}
