@@ -52,6 +52,7 @@ object SparkEntry {
     "q32_datalog_predicates" -> (Relational.q32_datalog_predicates _),
     "q33_pull_api"           -> (Relational.q33_pull_api _),
     "q34_asof_join"          -> (Relational.q34_asof_join _),
+    "q35_range_join"         -> (Relational.q35_range_join _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -242,6 +243,13 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src, dst FROM reach""".stripMargin,
+    "q35_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts)
+        | AND epoch_us(c.ts) < epoch_us(p.ts) + 3600000000
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     "q34_asof_join" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),

@@ -439,6 +439,27 @@ object Relational {
           .as("click_cents"))
   }
 
+  // ── Range (interval) join ─────────────────────────────────────────
+  /** Clicks landing inside the hour after each purchase, per user —
+    * `graft.ops.RangeJoin`'s bucketed interval join: intervals explode
+    * over covering hour-buckets, the join is equi on (bucket, user),
+    * the exact predicate post-filters. The naive inequality join
+    * plans as a nested loop (quadratic); this shuffles ∝ rows. Times
+    * compare at micros (DuckDB truncates nano parquet timestamps). */
+  def q35_range_join(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("w_start"), (col("ts_us") + hourUs).as("w_end"))
+    graft.ops.RangeJoin
+      .pointInInterval(clicks, windows, "ts_us", "w_start", "w_end",
+        bucketWidth = hourUs, keys = Seq("user_id"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
