@@ -53,6 +53,7 @@ object SparkEntry {
     "q33_pull_api"           -> (Relational.q33_pull_api _),
     "q34_asof_join"          -> (Relational.q34_asof_join _),
     "q35_range_join"         -> (Relational.q35_range_join _),
+    "q36_datalog_negation"   -> (Relational.q36_datalog_negation _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -243,6 +244,10 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src, dst FROM reach""".stripMargin,
+    "q36_datalog_negation" ->
+      """SELECT c_custkey AS e, c_name AS name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     "q35_range_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c

@@ -439,6 +439,24 @@ object Relational {
           .as("click_cents"))
   }
 
+  // ── Datalog negation ──────────────────────────────────────────────
+  /** `(not …)` over the engine — customers with no order in the
+    * 1-URGENT priority class, as an anti-join the planner derives
+    * from the negated pattern. */
+  def q36_datalog_negation(s: SparkSession, d: String): DataFrame = {
+    val eav = customer(s, d)
+      .select(col("c_custkey").cast("string").as("e"),
+        lit("cust/name").as("a"), col("c_name").as("v"))
+      .unionByName(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").cast("string").as("e"),
+          lit("cust/urgent").as("a"), col("o_orderkey").cast("string").as("v")))
+    val q = graft.query.Datalog.parse(
+      "[:find ?e ?name :where [?e :cust/name ?name] (not [?e :cust/urgent _])]")
+    graft.query.Datalog
+      .runOn(eav, new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("e").cast("long").as("e"), col("name"))
+  }
+
   // ── Range (interval) join ─────────────────────────────────────────
   /** Clicks landing inside the hour after each purchase, per user —
     * `graft.ops.RangeJoin`'s bucketed interval join: intervals explode

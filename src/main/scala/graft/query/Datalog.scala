@@ -45,6 +45,10 @@ object Datalog {
   /** `[(fn ?x …) ?out]` — bind `?out` to a computed expression
     * (+ - * / as double, str as concat). */
   final case class FnClause(fn: String, args: Seq[Term], out: String) extends Clause
+  /** `(not clause …)` — Datomic negation: drop outer bindings for
+    * which the inner conjunction has any solution (anti-join on the
+    * shared variables, which must already be bound). */
+  final case class NotClause(clauses: Seq[Clause]) extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
     * the rule itself is recursive. */
@@ -93,6 +97,8 @@ object Datalog {
       PredClause(fn, args.map(term))
     case EVec(Vector(EList(ESym("", fn) +: args), ESym("", out))) if out.startsWith("?") =>
       FnClause(fn, args.map(term), out.drop(1))
+    case EList(ESym("", "not") +: inner) =>
+      NotClause(inner.map(clause))
     case EList(ESym("", name) +: args) if !name.startsWith("?") =>
       RuleCall(name, args.map(term))
     case other => throw new IllegalArgumentException(s"bad :where clause: ${Edn.print(other)}")
@@ -259,6 +265,12 @@ object Datalog {
         case fc: FnClause =>
           Some(bound.withColumn(s"var_${fc.out}",
             fnColumn(fc.copy(args = fc.args.map(resolve)), registry)))
+        case nc: NotClause =>
+          val a = bound
+          val inner = evalClauses(eav, registry, nc.clauses, resolve, ruleEnv)
+          val shared = a.columns.intersect(inner.columns).toSeq
+          require(shared.nonEmpty, "(not …) shares no variables with the outer query")
+          Some(a.join(inner.select(shared.map(col): _*).distinct(), shared, "left_anti"))
         case _ =>
           val projected = c match {
             case p: Pattern =>

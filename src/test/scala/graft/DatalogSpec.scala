@@ -161,6 +161,24 @@ class DatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 3, ":with ?e keeps one row per entity")
   }
 
+  test("(not …) negation drops bindings with any inner solution") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "name", "A"), ("e1", "flag", "x"),
+      ("e2", "name", "B"),
+      ("e3", "name", "C"), ("e3", "flag", "y"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse("""[:find ?e :where [?e :name _] (not [?e :flag _])]""")
+    val out = Datalog.runOn(eav, emptyRegistry, q, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e2"), out.toString)
+    // not with a constant value: entities whose flag is not "x"
+    val q2 = Datalog.parse("""[:find ?e :where [?e :name _] (not [?e :flag "x"])]""")
+    val out2 = Datalog.runOn(eav, emptyRegistry, q2, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out2 == Set("e2", "e3"), out2.toString)
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
