@@ -54,6 +54,7 @@ object SparkEntry {
     "q34_asof_join"          -> (Relational.q34_asof_join _),
     "q35_range_join"         -> (Relational.q35_range_join _),
     "q36_datalog_negation"   -> (Relational.q36_datalog_negation _),
+    "q37_datalog_or"         -> (Relational.q37_datalog_or _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -244,6 +245,9 @@ object SparkEntry {
         |  UNION
         |  SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src, dst FROM reach""".stripMargin,
+    "q37_datalog_or" ->
+      """SELECT c_custkey AS e, c_name AS name FROM customer
+        |WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')""".stripMargin,
     "q36_datalog_negation" ->
       """SELECT c_custkey AS e, c_name AS name FROM customer
         |WHERE c_custkey NOT IN (

@@ -457,6 +457,27 @@ object Relational {
       .select(col("e").cast("long").as("e"), col("name"))
   }
 
+  // ── Datalog disjunction ───────────────────────────────────────────
+  /** `(or …)` over the engine: customers in either of two market
+    * segments — the legs evaluate independently and union with set
+    * semantics before joining the rest of the query. */
+  def q37_datalog_or(s: SparkSession, d: String): DataFrame = {
+    val eav = customer(s, d)
+      .select(col("c_custkey").cast("string").as("e"),
+        lit("cust/name").as("a"), col("c_name").as("v"))
+      .unionByName(customer(s, d)
+        .select(col("c_custkey").cast("string").as("e"),
+          lit("cust/segment").as("a"), col("c_mktsegment").as("v")))
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?name
+        | :where [?e :cust/name ?name]
+        |        (or [?e :cust/segment "AUTOMOBILE"]
+        |            [?e :cust/segment "MACHINERY"])]""".stripMargin)
+    graft.query.Datalog
+      .runOn(eav, new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("e").cast("long").as("e"), col("name"))
+  }
+
   // ── Range (interval) join ─────────────────────────────────────────
   /** Clicks landing inside the hour after each purchase, per user —
     * `graft.ops.RangeJoin`'s bucketed interval join: intervals explode

@@ -49,6 +49,10 @@ object Datalog {
     * which the inner conjunction has any solution (anti-join on the
     * shared variables, which must already be bound). */
   final case class NotClause(clauses: Seq[Clause]) extends Clause
+  /** `(or leg …)` — disjunction: each leg is a clause or an
+    * `(and clause …)` group; all legs must bind the same variables
+    * and the results union (set semantics). */
+  final case class OrClause(legs: Seq[Seq[Clause]]) extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
     * the rule itself is recursive. */
@@ -99,6 +103,11 @@ object Datalog {
       FnClause(fn, args.map(term), out.drop(1))
     case EList(ESym("", "not") +: inner) =>
       NotClause(inner.map(clause))
+    case EList(ESym("", "or") +: legs) =>
+      OrClause(legs.map {
+        case EList(ESym("", "and") +: group) => group.map(clause)
+        case single => Seq(clause(single))
+      })
     case EList(ESym("", name) +: args) if !name.startsWith("?") =>
       RuleCall(name, args.map(term))
     case other => throw new IllegalArgumentException(s"bad :where clause: ${Edn.print(other)}")
@@ -271,6 +280,16 @@ object Datalog {
           val shared = a.columns.intersect(inner.columns).toSeq
           require(shared.nonEmpty, "(not …) shares no variables with the outer query")
           Some(a.join(inner.select(shared.map(col): _*).distinct(), shared, "left_anti"))
+        case oc: OrClause =>
+          val legs = oc.legs.map(evalClauses(eav, registry, _, resolve, ruleEnv))
+          val cols = legs.head.columns.sorted.toSeq
+          require(legs.forall(_.columns.sorted.toSeq == cols),
+            s"(or …) legs must bind the same variables: ${legs.map(_.columns.mkString("{", ",", "}"))}")
+          val unioned = legs.map(_.select(cols.map(col): _*)).reduce(_ unionByName _).distinct()
+          Some(acc.fold(unioned) { a =>
+            val shared = a.columns.intersect(cols).toSeq
+            if (shared.nonEmpty) a.join(unioned, shared) else a.crossJoin(unioned)
+          })
         case _ =>
           val projected = c match {
             case p: Pattern =>
@@ -387,6 +406,11 @@ object Datalog {
         case FAgg("min", v) => min(col(s"var_$v")).as(s"min_$v")
         case FAgg("max", v) => max(col(s"var_$v")).as(s"max_$v")
         case FAgg("sum", v) => sum(col(s"var_$v").cast("double")).as(s"sum_$v")
+        case FAgg("avg", v) => avg(col(s"var_$v").cast("double")).as(s"avg_$v")
+        case FAgg("median", v) =>
+          expr(s"percentile(cast(var_$v as double), 0.5)").as(s"median_$v")
+        case FAgg("variance", v) => var_samp(col(s"var_$v").cast("double")).as(s"variance_$v")
+        case FAgg("stddev", v) => stddev_samp(col(s"var_$v").cast("double")).as(s"stddev_$v")
         case FAgg(fn, _) => throw new IllegalArgumentException(s"unsupported aggregate: $fn")
       }
       if (plainVars.isEmpty) joinedSet.agg(aggCols.head, aggCols.tail: _*)

@@ -179,6 +179,27 @@ class DatalogSpec extends AnyFunSuite {
     assert(out2 == Set("e2", "e3"), out2.toString)
   }
 
+  test("(or …) disjunction with (and …) groups; extended aggregates") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "kind", "a"), ("e1", "score", "10"),
+      ("e2", "kind", "b"), ("e2", "score", "20"),
+      ("e3", "kind", "c"), ("e3", "score", "30"),
+      ("e4", "kind", "b"), ("e4", "flag", "x"), ("e4", "score", "40"))
+      .toDF("e", "a", "v")
+    val qOr = Datalog.parse(
+      """[:find ?e :where (or [?e :kind "a"] (and [?e :kind "b"] [?e :flag "x"]))]""")
+    val out = Datalog.runOn(eav, emptyRegistry, qOr, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e1", "e4"), out.toString)
+    val qAgg = Datalog.parse(
+      "[:find (avg ?s) (median ?s) (variance ?s) (stddev ?s) :where [_ :score ?s]]")
+    val r = Datalog.runOn(eav, emptyRegistry, qAgg, Map.empty).collect()(0)
+    assert(r.getDouble(0) == 25.0 && r.getDouble(1) == 25.0)
+    assert(math.abs(r.getDouble(2) - 500.0 / 3) < 1e-9, "sample variance of {10,20,30,40}")
+    assert(math.abs(r.getDouble(3) - math.sqrt(500.0 / 3)) < 1e-9)
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
