@@ -55,6 +55,7 @@ object SparkEntry {
     "q35_range_join"         -> (Relational.q35_range_join _),
     "q36_datalog_negation"   -> (Relational.q36_datalog_negation _),
     "q37_datalog_or"         -> (Relational.q37_datalog_or _),
+    "q38_datalog_collection" -> (Relational.q38_datalog_collection _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -248,6 +249,9 @@ object SparkEntry {
     "q37_datalog_or" ->
       """SELECT c_custkey AS e, c_name AS name FROM customer
         |WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')""".stripMargin,
+    "q38_datalog_collection" ->
+      """SELECT c_custkey AS e, c_name AS name, c_mktsegment AS seg FROM customer
+        |WHERE c_mktsegment IN ('HOUSEHOLD', 'BUILDING')""".stripMargin,
     "q36_datalog_negation" ->
       """SELECT c_custkey AS e, c_name AS name FROM customer
         |WHERE c_custkey NOT IN (

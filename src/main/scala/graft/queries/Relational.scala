@@ -478,6 +478,28 @@ object Relational {
       .select(col("e").cast("long").as("e"), col("name"))
   }
 
+  // ── Datalog collection binding ────────────────────────────────────
+  /** `:in $ [?seg ...]` — the parameterized-IN surface: the segment
+    * list arrives as a query argument and becomes an IN filter that
+    * Catalyst pushes into the pattern scan. */
+  def q38_datalog_collection(s: SparkSession, d: String): DataFrame = {
+    import graft.edn.Edn._
+    val eav = customer(s, d)
+      .select(col("c_custkey").cast("string").as("e"),
+        lit("cust/name").as("a"), col("c_name").as("v"))
+      .unionByName(customer(s, d)
+        .select(col("c_custkey").cast("string").as("e"),
+          lit("cust/segment").as("a"), col("c_mktsegment").as("v")))
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?name ?seg
+        | :in $ [?seg ...]
+        | :where [?e :cust/name ?name] [?e :cust/segment ?seg]]""".stripMargin)
+    graft.query.Datalog
+      .runOn(eav, new graft.model.SchemaRegistry(Map.empty), q,
+        Map("seg" -> EVec(Vector(EStr("HOUSEHOLD"), EStr("BUILDING")))))
+      .select(col("e").cast("long").as("e"), col("name"), col("seg"))
+  }
+
   // ── Range (interval) join ─────────────────────────────────────────
   /** Clicks landing inside the hour after each purchase, per user —
     * `graft.ops.RangeJoin`'s bucketed interval join: intervals explode

@@ -58,7 +58,7 @@ object Datalog {
     * the rule itself is recursive. */
   final case class RuleDef(params: Seq[String], body: Seq[Clause])
   final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause],
-    withVars: Seq[String] = Seq.empty)
+    withVars: Seq[String] = Seq.empty, collIn: Seq[String] = Seq.empty)
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -81,9 +81,14 @@ object Datalog {
       case other => throw new IllegalArgumentException(s"bad :find element: ${Edn.print(other)}")
     }
     require(find.nonEmpty, "query needs :find")
-    val in = sections.getOrElse("in", Vector()).collect {
+    // `$` (the db) is implicit; `[?x ...]` declares a collection binding
+    val inForms = sections.getOrElse("in", Vector())
+    val in = inForms.collect {
       case ESym("", v) if v.startsWith("?") => v.drop(1)
-      // `$` (the db) is implicit
+      case EVec(Vector(ESym("", v), ESym("", "..."))) if v.startsWith("?") => v.drop(1)
+    }
+    val collIn = inForms.collect {
+      case EVec(Vector(ESym("", v), ESym("", "..."))) if v.startsWith("?") => v.drop(1)
     }
     val patterns = sections.getOrElse("where", Vector()).map(clause)
     require(patterns.nonEmpty, "query needs :where")
@@ -91,7 +96,7 @@ object Datalog {
       case ESym("", v) if v.startsWith("?") => v.drop(1)
       case other => throw new IllegalArgumentException(s"bad :with element: ${Edn.print(other)}")
     }
-    Query(find, in, patterns, withVars)
+    Query(find, in, patterns, withVars, collIn)
   }
 
   private def clause(e: Edn): Clause = e match {
@@ -372,15 +377,28 @@ object Datalog {
     val missing = q.in.filterNot(args.contains)
     require(missing.isEmpty, s"unbound :in parameters: $missing")
 
-    // substitute :in parameters, then plan each clause
+    // scalar :in params substitute into clauses; collection bindings
+    // `[?x ...]` become an IN filter on the bound variable, which
+    // Catalyst pushes through the joins into the pattern scans
+    val collSet = q.collIn.toSet
     def resolve(t: Term): Term = t match {
-      case TVar(n) if args.contains(n) => TConst(args(n))
+      case TVar(n) if args.contains(n) && !collSet.contains(n) => TConst(args(n))
       case other => other
     }
     val relations = evalRules(eav, registry, rules, resolve, maxRuleIters)
-    val joined = evalClauses(eav, registry, q.patterns, resolve,
+    val joined0 = evalClauses(eav, registry, q.patterns, resolve,
       name => relations.getOrElse(name,
         throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")))
+    val joined = q.collIn.filter(args.contains).foldLeft(joined0) { (df, n) =>
+      val values = args(n) match {
+        case EVec(xs) => xs
+        case EList(xs) => xs
+        case s: ESet => s.items
+        case other => throw new IllegalArgumentException(
+          s"collection binding ?$n needs a sequential arg, got: ${Edn.print(other)}")
+      }
+      df.filter(col(s"var_$n").isInCollection(values.map(constText(_, None, registry))))
+    }
 
     val aggs = q.find.collect { case a: FAgg => a }
     val plainVars = q.find.collect { case FVar(n) => n }

@@ -200,6 +200,18 @@ class DatalogSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - math.sqrt(500.0 / 3)) < 1e-9)
   }
 
+  test(":in collection binding [?x ...] filters the bound variable") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "kind", "a"), ("e2", "kind", "b"), ("e3", "kind", "c"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse("[:find ?e :in $ [?k ...] :where [?e :kind ?k]]")
+    val out = Datalog.runOn(eav, emptyRegistry, q,
+        Map("k" -> EVec(Vector(EStr("a"), EStr("c")))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e1", "e3"), out.toString)
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
