@@ -51,8 +51,15 @@ object Datalog {
   final case class NotClause(clauses: Seq[Clause]) extends Clause
   /** `(or leg …)` — disjunction: each leg is a clause or an
     * `(and clause …)` group; all legs must bind the same variables
-    * and the results union (set semantics). */
-  final case class OrClause(legs: Seq[Seq[Clause]]) extends Clause
+    * and the results union (set semantics). `(or-join [?vars] leg …)`
+    * relaxes that: legs may bind extra internals, only the declared
+    * vars unify with the outer query. */
+  final case class OrClause(legs: Seq[Seq[Clause]], joinVars: Option[Seq[String]] = None)
+    extends Clause
+  /** `(not-join [?vars] clause …)` — negation that unifies with the
+    * outer query ONLY on the declared vars (inner clauses may bind
+    * extra internals). */
+  final case class NotJoinClause(joinVars: Seq[String], clauses: Seq[Clause]) extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
     * the rule itself is recursive. */
@@ -113,6 +120,13 @@ object Datalog {
         case EList(ESym("", "and") +: group) => group.map(clause)
         case single => Seq(clause(single))
       })
+    case EList(ESym("", "or-join") +: EVec(vars) +: legs) =>
+      OrClause(legs.map {
+        case EList(ESym("", "and") +: group) => group.map(clause)
+        case single => Seq(clause(single))
+      }, Some(vars.map(joinVar)))
+    case EList(ESym("", "not-join") +: EVec(vars) +: inner) =>
+      NotJoinClause(vars.map(joinVar), inner.map(clause))
     case EList(ESym("", name) +: args) if !name.startsWith("?") =>
       RuleCall(name, args.map(term))
     case other => throw new IllegalArgumentException(s"bad :where clause: ${Edn.print(other)}")
@@ -145,6 +159,12 @@ object Datalog {
       require(rds.map(_.params.size).distinct.size == 1, s"rule $n: arity mismatch")
       n -> rds.toSeq
     }
+  }
+
+  private def joinVar(e: Edn): String = e match {
+    case ESym("", v) if v.startsWith("?") => v.drop(1)
+    case other => throw new IllegalArgumentException(
+      s"join-var list expects ?vars: ${Edn.print(other)}")
   }
 
   private def term(e: Edn): Term = e match {
@@ -286,15 +306,31 @@ object Datalog {
           require(shared.nonEmpty, "(not …) shares no variables with the outer query")
           Some(a.join(inner.select(shared.map(col): _*).distinct(), shared, "left_anti"))
         case oc: OrClause =>
-          val legs = oc.legs.map(evalClauses(eav, registry, _, resolve, ruleEnv))
-          val cols = legs.head.columns.sorted.toSeq
-          require(legs.forall(_.columns.sorted.toSeq == cols),
-            s"(or …) legs must bind the same variables: ${legs.map(_.columns.mkString("{", ",", "}"))}")
-          val unioned = legs.map(_.select(cols.map(col): _*)).reduce(_ unionByName _).distinct()
+          val legs0 = oc.legs.map(evalClauses(eav, registry, _, resolve, ruleEnv))
+          // or-join projects each leg to the declared vars; plain or
+          // requires identical bindings across legs
+          val legs = oc.joinVars match {
+            case Some(vars) =>
+              val cols = vars.map(v => s"var_$v")
+              legs0.map(l => l.select(cols.map(col): _*))
+            case None =>
+              val cols = legs0.head.columns.sorted.toSeq
+              require(legs0.forall(_.columns.sorted.toSeq == cols),
+                s"(or …) legs must bind the same variables: ${legs0.map(_.columns.mkString("{", ",", "}"))}")
+              legs0.map(_.select(cols.map(col): _*))
+          }
+          val unioned = legs.reduce(_ unionByName _).distinct()
           Some(acc.fold(unioned) { a =>
-            val shared = a.columns.intersect(cols).toSeq
+            val shared = a.columns.intersect(unioned.columns).toSeq
             if (shared.nonEmpty) a.join(unioned, shared) else a.crossJoin(unioned)
           })
+        case nj: NotJoinClause =>
+          val a = bound
+          val inner = evalClauses(eav, registry, nj.clauses, resolve, ruleEnv)
+          val cols = nj.joinVars.map(v => s"var_$v")
+          require(cols.forall(a.columns.contains),
+            s"(not-join …) vars must be bound in the outer query: ${nj.joinVars}")
+          Some(a.join(inner.select(cols.map(col): _*).distinct(), cols, "left_anti"))
         case _ =>
           val projected = c match {
             case p: Pattern =>

@@ -212,6 +212,29 @@ class DatalogSpec extends AnyFunSuite {
     assert(out == Set("e1", "e3"), out.toString)
   }
 
+  test("or-join and not-join scope on declared vars only") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "name", "A"), ("e1", "tag", "hot"),
+      ("e2", "name", "B"), ("e2", "ref", "e1"),
+      ("e3", "name", "C"))
+      .toDF("e", "a", "v")
+    // or-join: e is interesting if it has a tag (any) OR something refs it —
+    // each leg binds different internals (?t vs ?o), only ?e unifies
+    val qOr = Datalog.parse(
+      """[:find ?e :where [?e :name _]
+        | (or-join [?e] [?e :tag ?t] [?o :ref ?e])]""".stripMargin)
+    val out = Datalog.runOn(eav, emptyRegistry, qOr, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e1"), out.toString)
+    // not-join: drop entities referenced by anything, the ?o stays internal
+    val qNot = Datalog.parse(
+      """[:find ?e :where [?e :name _] (not-join [?e] [?o :ref ?e])]""")
+    val out2 = Datalog.runOn(eav, emptyRegistry, qNot, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out2 == Set("e2", "e3"), out2.toString)
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
