@@ -100,6 +100,19 @@ class EdnSourceV2Spec extends AnyFunSuite {
     assert(rows(0).getAs[String]("_corrupt_record") == null)
   }
 
+  test("gzip-compressed EDN reads transparently by extension") {
+    val dir = java.nio.file.Files.createTempDirectory("gzedn")
+    val gz = dir.resolve("a.edn.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write(("{:gid \"g1\" :name \"n1\" :sortname \"s1\"}\n" +
+      "{:gid \"g2\" :name \"n2\" :sortname \"s2\"}\n").getBytes)
+    out.close()
+    val df = spark.read.format("edn").schema(EdnSource.schemaFor(Mbrainz.artists))
+      .load(gz.toString)
+    val rows = df.orderBy("row_idx").select("name").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("n1", "n2"))
+  }
+
   test("missing schema is a clear error") {
     val e = intercept[Exception](spark.read.format("edn").load(artistsPath).count())
     assert(e.getMessage.contains("explicit schema"))
