@@ -34,6 +34,25 @@ class AsofJoinSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("randomized equivalence with reference as-of semantics (seed 42)") {
+    val rnd = new scala.util.Random(42)
+    val ks = Seq("a", "b", "c", "d")
+    val pts = (1 to 300).map(i => (ks(rnd.nextInt(ks.size)), rnd.nextInt(60).toLong, s"p$i"))
+    // states deduped per (k, t): keep the max id, as the operator doc requires
+    val sts = (1 to 150).map(i => (ks(rnd.nextInt(ks.size)), rnd.nextInt(60).toLong, s"s$i"))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val got = AsofJoin.leftAsof(
+        pts.toDF("k", "t", "pid"), sts.toDF("k", "t", "state"),
+        Seq("k"), "t", "t", Seq("state"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    val byKey = sts.groupBy(_._1)
+    pts.foreach { case (k, t, pid) =>
+      val expected = byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+        .sortBy(s => (s._2, s._3)).lastOption.map(_._3)
+      assert(got(pid) == expected, s"point $pid (k=$k t=$t)")
+    }
+  }
+
   test("one keyed shuffle, no nested-loop or range cross product") {
     val df = AsofJoin.leftAsof(probes, states, Seq("k"), "t", "t", Seq("state"))
     val plan = df.queryExecution.executedPlan.toString

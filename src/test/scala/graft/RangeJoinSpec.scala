@@ -34,6 +34,27 @@ class RangeJoinSpec extends AnyFunSuite {
       ("j0_10", "q9")), got.toString)
   }
 
+  test("randomized equivalence with the naive inequality join (seed 7)") {
+    val rnd = new scala.util.Random(7)
+    val ks = Seq("a", "b", "c")
+    val pts = (1 to 250).map(i => (ks(rnd.nextInt(3)), rnd.nextInt(100).toLong, s"p$i"))
+      .toDF("k", "t", "pid")
+    val ivs = (1 to 120).map { i =>
+      val s = rnd.nextInt(100).toLong
+      (ks(rnd.nextInt(3)), s, s + rnd.nextInt(30).toLong, s"i$i")
+    }.toDF("k", "s", "e", "iid")
+    for (width <- Seq(1L, 7L, 64L)) {
+      val bucketed = RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", width, Seq("k"))
+        .select(col("iid"), col("pid"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val naive = pts.as("p").join(ivs.as("i"),
+          col("p.k") === col("i.k") && col("p.t") >= col("i.s") && col("p.t") < col("i.e"))
+        .select(col("i.iid"), col("p.pid"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(bucketed == naive, s"width=$width")
+    }
+  }
+
   test("equals the naive inequality join; plans hash-keyed, not nested-loop") {
     val bucketed = RangeJoin.pointInInterval(points, intervals, "t", "s", "e",
       bucketWidth = 7L, keys = Seq("k"))
