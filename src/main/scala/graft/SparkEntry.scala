@@ -56,6 +56,7 @@ object SparkEntry {
     "q36_datalog_negation"   -> (Relational.q36_datalog_negation _),
     "q37_datalog_or"         -> (Relational.q37_datalog_or _),
     "q38_datalog_collection" -> (Relational.q38_datalog_collection _),
+    "q39_retraction"         -> (Relational.q39_retraction _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -252,6 +253,30 @@ object SparkEntry {
     "q38_datalog_collection" ->
       """SELECT c_custkey AS e, c_name AS name, c_mktsegment AS seg FROM customer
         |WHERE c_mktsegment IN ('HOUSEHOLD', 'BUILDING')""".stripMargin,
+    "q39_retraction" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS e, o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |log AS (
+        |  SELECT e, cents, TRUE AS op, 1 AS tx FROM base
+        |  UNION ALL SELECT e, cents, FALSE, 2 FROM base WHERE k % 10 = 0
+        |  UNION ALL SELECT e, cents * 2, TRUE, 3 FROM base WHERE k % 20 = 0),
+        |horizons AS (SELECT CAST(1 AS BIGINT) AS asof_tx
+        |  UNION ALL SELECT CAST(2 AS BIGINT) UNION ALL SELECT CAST(3 AS BIGINT)),
+        |vals AS (
+        |  SELECT h.asof_tx, l.e, l.cents,
+        |    arg_max(CASE WHEN l.op THEN 1 ELSE 0 END, l.tx) AS last_op,
+        |    max(CASE WHEN l.op THEN l.tx END) AS assert_tx
+        |  FROM log l JOIN horizons h ON l.tx <= h.asof_tx
+        |  GROUP BY h.asof_tx, l.e, l.cents),
+        |picked AS (
+        |  SELECT asof_tx, e, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY asof_tx, e ORDER BY assert_tx DESC) AS rn
+        |  FROM vals WHERE last_op = 1)
+        |SELECT asof_tx, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM picked WHERE rn = 1 GROUP BY asof_tx""".stripMargin,
     "q36_datalog_negation" ->
       """SELECT c_custkey AS e, c_name AS name FROM customer
         |WHERE c_custkey NOT IN (

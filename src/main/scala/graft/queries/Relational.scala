@@ -375,6 +375,32 @@ object Relational {
       .select(col("a").as("src"), col("b").as("dst"))
   }
 
+  // ── Retraction-aware time travel ──────────────────────────────────
+  /** Datomic `[:db/retract e a v]` semantics through the store's
+    * resolution core: every order's price asserted at tx 1, every
+    * 10th retracted at tx 2, every 20th re-asserted doubled at tx 3 —
+    * resolved at all three horizons. A retraction hides exactly the
+    * value it names; a later re-assert restores the attribute. */
+  def q39_retraction(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    def asLog(v: Column, tx: Long, op: Boolean, pred: Column) = o.filter(pred)
+      .select(col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+        v.cast("string").as("v"), lit(null).cast("long").as("v_long"),
+        lit(false).as("is_ref"), lit(tx).as("tx"), lit(op).as("op"))
+    val key = col("o_orderkey")
+    val log = asLog(cents, 1L, op = true, lit(true))
+      .unionByName(asLog(cents, 2L, op = false, pmod(key, lit(10)) === 0))
+      .unionByName(asLog(cents * 2, 3L, op = true, pmod(key, lit(20)) === 0))
+    Seq(1L, 2L, 3L).map { t =>
+      graft.store.Store.resolve(log.filter(col("tx") <= t), Seq.empty)
+        .agg(count(lit(1)).as("n_entities"),
+          sum(col("v").cast("long")).as("total_cents"))
+        .select(lit(t).as("asof_tx"), col("n_entities"),
+          col("total_cents").cast("long").as("total_cents"))
+    }.reduce(_ unionByName _)
+  }
+
   // ── Datalog expression clauses: predicate + function binding ──────
   /** `[(< ?r 2)]` filters and `[(str …) ?out]` bindings through the
     * Datalog engine — the expression-clause surface Datomic queries

@@ -29,13 +29,28 @@ final class Store(spark: SparkSession, val dir: String) {
 
   def exists: Boolean = { val (f, p) = fs(eavPath); f.exists(p) }
 
-  def eav: DataFrame =
-    if (exists) spark.read.parquet(eavPath)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Store.schema)
+  def eav: DataFrame = {
+    val raw =
+      if (exists) spark.read.parquet(eavPath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Store.schema)
+    // logs written before retraction support have no op column: assert
+    if (raw.columns.contains("op")) raw else raw.withColumn("op", lit(true))
+  }
 
-  def append(datoms: DataFrame): Unit =
-    datoms.select(Store.schema.fieldNames.map(col): _*)
+  def append(datoms: DataFrame): Unit = {
+    val withOp =
+      if (datoms.columns.contains("op")) datoms else datoms.withColumn("op", lit(true))
+    withOp.select(Store.schema.fieldNames.map(col): _*)
       .write.mode(SaveMode.Append).partitionBy("a").parquet(eavPath)
+  }
+
+  /** Datomic `[:db/retract e a v]`: append retraction datoms
+    * (op=false). A retraction hides the exact (e, a, v) it names —
+    * retracting a stale value a later assert already superseded is a
+    * no-op, exactly as in Datomic. History keeps everything;
+    * `asOf` horizons before the retraction still see the value. */
+  def retract(datoms: DataFrame): Unit =
+    append(datoms.withColumn("op", lit(false)))
 
   /** Applied batch ids (J5 input): datoms asserting the batch-id attr. */
   def appliedBatchIds: DataFrame =
@@ -81,6 +96,7 @@ final class Store(spark: SparkSession, val dir: String) {
   def compact(registry: SchemaRegistry): Long = {
     val resolved = current(registry)
       .withColumn("tx", lit(0L))
+      .withColumn("op", lit(true))
       .select(Store.schema.fieldNames.map(col): _*)
       .cache()
     val n = resolved.count()
@@ -122,18 +138,36 @@ final class Store(spark: SparkSession, val dir: String) {
 }
 
 object Store {
-  /** Resolution core shared by `current` / `asOf` (and the q30 harness
-    * query): card-one attrs last-writer-wins by tx, card-many attrs
-    * distinct-union. One shuffle, keyed (e, a); partial aggregation
-    * runs map-side. */
+  /** Resolution core shared by `current` / `asOf` (and the q30/q39
+    * harness queries), retraction-aware:
+    *  - a value (e, a, v) is VISIBLE iff its latest op by tx is an
+    *    assert (a retraction hides exactly the value it names; a
+    *    later re-assert restores it);
+    *  - card-many current = all visible values;
+    *  - card-one current = the visible value with the greatest
+    *    last-assert tx.
+    * Two keyed aggregations — (e, a, v) then (e, a) — both with
+    * map-side partials; the first collapses the log before the
+    * second, so the shape holds at scale. A log without retractions
+    * resolves identically to plain last-writer-wins. */
   def resolve(log: DataFrame, manyAttrs: Seq[String]): DataFrame = {
-    val one = log.filter(!col("a").isInCollection(manyAttrs))
+    val withOp =
+      if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
+    val latest = withOp
+      .groupBy(col("e"), col("a"), col("v"))
+      .agg(
+        max_by(struct(col("op"), col("v_long"), col("is_ref")), col("tx")).as("s"),
+        max(when(col("op"), col("tx"))).as("assert_tx"))
+      .filter(col("s.op"))
+      .select(col("e"), col("a"), col("v"), col("s.v_long").as("v_long"),
+        col("s.is_ref").as("is_ref"), col("assert_tx"))
+    val one = latest.filter(!col("a").isInCollection(manyAttrs))
       .groupBy(col("e"), col("a"))
-      .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")), col("tx")).as("s"))
+      .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")), col("assert_tx")).as("s"))
       .select(col("e"), col("a"), col("s.v").as("v"), col("s.v_long").as("v_long"),
         col("s.is_ref").as("is_ref"))
-    val many = log.filter(col("a").isInCollection(manyAttrs))
-      .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")).distinct()
+    val many = latest.filter(col("a").isInCollection(manyAttrs))
+      .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
     one.unionByName(many)
   }
 
@@ -144,5 +178,6 @@ object Store {
     StructField("v", StringType, nullable = false),
     StructField("v_long", LongType, nullable = true),
     StructField("is_ref", BooleanType, nullable = false),
-    StructField("tx", LongType, nullable = false)))
+    StructField("tx", LongType, nullable = false),
+    StructField("op", BooleanType, nullable = false)))
 }

@@ -75,6 +75,38 @@ class UpsertSpec extends AnyFunSuite {
     assert(store.history.filter(col("e") === e && col("a") === "release/name").count() == 2)
   }
 
+  test("retraction hides the named value; stale retracts are no-ops; as-of still sees history") {
+    import spark.implicits._
+    val store = new Store(spark, java.nio.file.Files.createTempDirectory("retract").toString)
+    def datoms(rows: (String, String, String, Long)*) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    // card-one name asserted at tx 1, card-many genres at tx 1-2
+    store.append(datoms(
+      ("b1", "release/name", "Old", 1L),
+      ("b1", "release/artists", "a1", 1L),
+      ("b1", "release/artists", "a2", 2L)))
+    // tx 3: retract the current name and one of the card-many values
+    store.retract(datoms(
+      ("b1", "release/name", "Old", 3L),
+      ("b1", "release/artists", "a1", 3L)))
+    def vals(df: org.apache.spark.sql.DataFrame, a: String) =
+      df.filter(col("e") === "b1" && col("a") === a)
+        .select("v").collect().map(_.getString(0)).toSet
+    val cur = store.current(registry)
+    assert(vals(cur, "release/name") == Set.empty, "retracted card-one value is gone")
+    assert(vals(cur, "release/artists") == Set("a2"), "card-many keeps the unretracted value")
+    assert(vals(store.asOf(registry, 2L), "release/name") == Set("Old"),
+      "as-of before the retraction still sees the value")
+    // tx 4: re-assert a new name; tx 5: a STALE retract of "Old" is a no-op
+    store.append(datoms(("b1", "release/name", "New", 4L)))
+    store.retract(datoms(("b1", "release/name", "Old", 5L)))
+    assert(vals(store.current(registry), "release/name") == Set("New"),
+      "stale retraction must not hide the newer assert")
+    assert(store.history.filter(col("e") === "b1").count() == 7, "history keeps everything")
+  }
+
   test("attribute-partitioned store prunes scans by attr") {
     val store = new Store(spark, java.nio.file.Files.createTempDirectory("prune").toString)
     val loader = new Loader(spark, registry, store)
