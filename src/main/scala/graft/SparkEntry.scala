@@ -57,6 +57,7 @@ object SparkEntry {
     "q37_datalog_or"         -> (Relational.q37_datalog_or _),
     "q38_datalog_collection" -> (Relational.q38_datalog_collection _),
     "q39_retraction"         -> (Relational.q39_retraction _),
+    "q40_pull_in_find"       -> (Relational.q40_pull_in_find _),
     // LLM-data-pipeline surface (dedup / similarity / text / multimodal)
     "d01_exact_dedup"        -> (Llm.d01_exact_dedup _),
     "d02_minhash_signatures" -> (Llm.d02_minhash_signatures _),
@@ -253,6 +254,10 @@ object SparkEntry {
     "q38_datalog_collection" ->
       """SELECT c_custkey AS e, c_name AS name, c_mktsegment AS seg FROM customer
         |WHERE c_mktsegment IN ('HOUSEHOLD', 'BUILDING')""".stripMargin,
+    "q40_pull_in_find" ->
+      """SELECT n_nationkey AS e, n_name AS nation_name,
+        |  CAST(n_regionkey AS VARCHAR) AS region_key
+        |FROM nation""".stripMargin,
     "q39_retraction" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS e, o_orderkey AS k,

@@ -504,6 +504,21 @@ object Relational {
       .select(col("e").cast("long").as("e"), col("name"))
   }
 
+  // ── Pull inside :find ─────────────────────────────────────────────
+  /** `(pull ?e pattern)` in :find — the idiom Datomic queries return
+    * hydrated entities with. Gated flattened (struct → columns). */
+  def q40_pull_in_find(s: SparkSession, d: String): DataFrame = {
+    val q = graft.query.Datalog.parse(
+      """[:find ?e (pull ?e [:n_name :n_regionkey])
+        | :where [?e :n_name _]]""".stripMargin)
+    graft.query.Datalog.runOn(
+        nationEav(s, d).select(col("e").cast("string").as("e"), col("a"), col("v")),
+        new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("e").cast("int").as("e"),
+        col("pull_e.n_name").as("nation_name"),
+        col("pull_e.n_regionkey").as("region_key"))
+  }
+
   // ── Datalog collection binding ────────────────────────────────────
   /** `:in $ [?seg ...]` — the parameterized-IN surface: the segment
     * list arrives as a query argument and becomes an IN filter that

@@ -31,6 +31,10 @@ object Datalog {
   sealed trait FindElem
   final case class FVar(name: String) extends FindElem
   final case class FAgg(fn: String, varName: String) extends FindElem
+  /** `(pull ?e [pattern])` in :find — hydrate each binding of `?e`
+    * with the pull pattern; surfaces as a struct column `pull_<var>`
+    * (Datomic returns the pulled map in the tuple position). */
+  final case class FPull(varName: String, pattern: Seq[Pull.Spec]) extends FindElem
 
   sealed trait Clause
   final case class Pattern(e: Term, a: Term, v: Term) extends Clause
@@ -83,6 +87,8 @@ object Datalog {
     }
     val find = sections.getOrElse("find", Vector()).map {
       case ESym("", v) if v.startsWith("?") => FVar(v.drop(1))
+      case EList(Vector(ESym("", "pull"), ESym("", v), pat)) if v.startsWith("?") =>
+        FPull(v.drop(1), Pull.parsePattern(pat))
       case EList(Vector(ESym("", fn), ESym("", v))) if v.startsWith("?") =>
         FAgg(fn, v.drop(1))
       case other => throw new IllegalArgumentException(s"bad :find element: ${Edn.print(other)}")
@@ -438,7 +444,23 @@ object Datalog {
 
     val aggs = q.find.collect { case a: FAgg => a }
     val plainVars = q.find.collect { case FVar(n) => n }
-    if (aggs.isEmpty) {
+    val pulls = q.find.collect { case p: FPull => p }
+    if (pulls.nonEmpty) {
+      // Datomic's (pull ?e pattern) in :find: dedupe the bindings,
+      // hydrate each pulled var over the SAME eav (treated as current
+      // state), attach as a pull_<var> struct column
+      require(aggs.isEmpty, "(pull …) cannot mix with aggregates in :find")
+      val vars = (plainVars ++ pulls.map(_.varName)).distinct
+      val base = joined.select(vars.map(n => col(s"var_$n").as(n)): _*).distinct()
+      pulls.foldLeft(base) { (df, p) =>
+        val hydrated = Pull.pullFrom(eav, registry, p.pattern,
+          df.select(col(p.varName).as("e")).distinct())
+        val payload = struct(hydrated.columns.filterNot(_ == "e").map(col): _*)
+        df.join(
+          hydrated.select(col("e").as(p.varName), payload.as(s"pull_${p.varName}")),
+          Seq(p.varName), "left")
+      }.select((plainVars.map(col) ++ pulls.map(p => col(s"pull_${p.varName}"))): _*)
+    } else if (aggs.isEmpty) {
       if (q.withVars.isEmpty)
         joined.select(plainVars.map(n => col(s"var_$n").as(n)): _*).distinct()
       else

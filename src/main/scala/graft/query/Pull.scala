@@ -28,7 +28,9 @@ object Pull {
   final case class PAttr(attr: String) extends Spec
   final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec]) extends Spec
 
-  def parsePattern(text: String): Seq[Spec] = Edn.parse(text) match {
+  def parsePattern(text: String): Seq[Spec] = parsePattern(Edn.parse(text))
+
+  def parsePattern(form: Edn): Seq[Spec] = form match {
     case EVec(items) => items.map(specOf)
     case other => throw new IllegalArgumentException(s"pull pattern must be a vector: $other")
   }

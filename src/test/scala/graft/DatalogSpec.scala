@@ -235,6 +235,29 @@ class DatalogSpec extends AnyFunSuite {
     assert(out2 == Set("e2", "e3"), out2.toString)
   }
 
+  test("(pull ?e pattern) in :find hydrates each binding") {
+    import spark.implicits._
+    val eav = Seq(
+      ("b1", "band/name", "Alpha"), ("b1", "band/label", "l1"),
+      ("b2", "band/name", "Beta"), ("b2", "band/label", "l2"),
+      ("l1", "label/name", "BigLabel"), ("l2", "label/name", "SmallLabel"),
+      ("b1", "kind", "band"), ("b2", "kind", "band"))
+      .toDF("e", "a", "v")
+    val registry = new SchemaRegistry(Map(
+      "band/label" -> graft.model.AttrDef("band/label", "ref", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false)))
+    val q = Datalog.parse(
+      """[:find ?e (pull ?e [:band/name {:band/label [:label/name]}])
+        | :where [?e :kind "band"]]""".stripMargin)
+    val rows = Datalog.runOn(eav, registry, q, Map.empty).collect()
+      .map { r =>
+        val s = r.getStruct(1)
+        (r.getString(0), s.getString(0), s.getStruct(1).getString(0))
+      }.toSet
+    assert(rows == Set(("b1", "Alpha", "BigLabel"), ("b2", "Beta", "SmallLabel")),
+      rows.toString)
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
