@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** The idiomatic install path for the engine's native expressions:
+  * `spark.sql.extensions=graft.GraftExtensions` registers every
+  * codegen function (minhash_sig, simhash64, rolling_hash64,
+  * ngram_set, minhash_agree, lsh_bands, lsh_bands_from_sig, vec_dot)
+  * at session build — no imperative `HashExprs.register` call needed,
+  * and the functions resolve in pure SQL (`spark.sql("SELECT
+  * simhash64(text) …")`) on every session created with the config,
+  * including executors' SQL contexts on a cluster.
+  * `HashExprs.register` stays as the programmatic equivalent. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  private def inject(ext: SparkSessionExtensions, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "minhash_sig", es => MinHashSignature(es.head))
+    inject(ext, "simhash64", es => SimHash64(es.head))
+    inject(ext, "rolling_hash64", es => RollingHash64(es.head))
+    inject(ext, "ngram_set", es => NGramSet(es.head))
+    inject(ext, "minhash_agree", es => MinhashAgree(es.head, es(1)))
+    inject(ext, "vec_dot", es => VecDot(es.head, es(1)))
+    inject(ext, "lsh_bands", {
+      case Seq(text) => LshBands(text, 8)
+      case Seq(text, b) => LshBands(text, b.eval(null).asInstanceOf[Number].intValue)
+    })
+    inject(ext, "lsh_bands_from_sig", {
+      case Seq(sig) => LshBandsFromSig(sig, 8)
+      case Seq(sig, b) => LshBandsFromSig(sig, b.eval(null).asInstanceOf[Number].intValue)
+    })
+  }
+}

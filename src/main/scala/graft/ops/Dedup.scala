@@ -74,6 +74,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** IVF ANN: assign every corpus vector to its nearest centroid
+    * (broadcast centroid table + map-side argmax), probe each query's
+    * `nprobe` nearest cells, rank top-k inside the probed cells. The
+    * centroid DataFrame needs (cid, embedding); at scale it comes
+    * from k-means over a sample — everything downstream is agnostic
+    * to how centroids were produced. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    graft.functions.HashExprs.register(corpus.sparkSession)
+    def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
+      df.withColumn(normName, expr(s"sqrt(vec_dot($vecCol, $vecCol))"))
+    val cent = withNorm(centroids, "embedding", "c_norm")
+      .select(col("cid"), col("embedding").as("c_vec"), col("c_norm"))
+    def ccos = expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm"))
+    val assigned = withNorm(corpus, "embedding", "norm")
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", ccos)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = withNorm(queries, "embedding", "norm")
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", ccos)
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("cid").as("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"), col("norm").as("q_norm"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("cosine", expr("vec_dot(embedding, q_vec) / (norm * q_norm)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact top-k cosine neighbors for a bounded query set (compiled
     * `vec_dot`; float arrays stay the join currency). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -128,6 +128,15 @@ class LlmSpec extends AnyFunSuite {
     val topkQuery = Llm.d07_cosine_topk(spark, fixtureDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(topkLib == topkQuery)
+
+    val ivfLib = graft.ops.Dedup.annIvf(
+      emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
+      emb.filter(col("vec_id").between(8, 23)).select(col("vec_id").as("cid"), col("embedding")),
+      nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivfQuery = Llm.d16_ann_ivf(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfLib == ivfQuery)
   }
 
   test("d04 library path: exact jaccard verifies LSH candidates (semi-join first)") {
