@@ -78,6 +78,7 @@ object SparkEntry {
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
+    "mm4_resize"             -> (Multimodal.mm4_resize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,6 +442,20 @@ object SparkEntry {
         |  md5(unnest(frames)) AS frame_md5,
         |  CAST(length(unnest(frames)) AS BIGINT) AS frame_len
         |FROM f""".stripMargin,
+    "mm4_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    greatest(n_chars % 640, 1) AS w,
+        |    greatest(doc_id % 480, 1) AS h,
+        |    greatest(length(text), 1) AS len, text
+        |  FROM documents)
+        |SELECT doc_id, w AS src_w, h AS src_h,
+        |  CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |  md5(array_to_string(
+        |    list_transform(range(0, 64), p -> substr(text,
+        |      CAST(least(((p // 8) * h // 8) * w + ((p % 8) * w // 8), len - 1) AS INT) + 1, 1)),
+        |    '')) AS thumb_md5
+        |FROM g""".stripMargin,
     "q28_approx_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

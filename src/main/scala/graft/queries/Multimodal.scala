@@ -79,6 +79,29 @@ object Multimodal {
     (sum, trans)
   }
 
+  /** Resize shape: nearest-neighbor downsample of the payload treated
+    * as a (width × height) row-major grid — the thumbnail pipeline a
+    * real image corpus runs, with the pixel sampler standing in for a
+    * codec (all integer index math, `div`/`%` on both engines, so the
+    * sampled bytes are value-exact cross-engine). Every expression is
+    * scan-side; no shuffle. */
+  def mm4_resize(s: SparkSession, d: String): DataFrame = {
+    val target = 8
+    documents(s, d)
+      .withColumn("w", greatest(col("n_chars") % 640, lit(1L)))
+      .withColumn("h", greatest(col("doc_id") % 480, lit(1L)))
+      .withColumn("len", greatest(length(col("text")).cast("long"), lit(1L)))
+      .withColumn("thumb", expr(
+        s"""concat_ws('', transform(sequence(0, ${target * target - 1}), p ->
+           |  substring(text, cast(least(
+           |    ((p div $target) * h div $target) * w + ((p % $target) * w div $target),
+           |    len - 1) as int) + 1, 1)))""".stripMargin))
+      .select(col("doc_id"),
+        col("w").as("src_w"), col("h").as("src_h"),
+        lit(target.toLong).as("out_w"), lit(target.toLong).as("out_h"),
+        md5(col("thumb")).as("thumb_md5"))
+  }
+
   /** Deterministic frame-sampling shape: every k-th fixed-size slice of
     * the payload becomes a "frame" row (posexplode of byte slices) —
     * the video-frame-sample plumbing without a video codec. Frame
