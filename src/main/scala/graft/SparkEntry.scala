@@ -75,6 +75,7 @@ object SparkEntry {
     "d14_rolling_fingerprint" -> (Llm.d14_rolling_fingerprint _),
     "d15_embedding_near_dup" -> (Llm.d15_embedding_near_dup _),
     "d16_ann_ivf"            -> (Llm.d16_ann_ivf _),
+    "d17_repetition"         -> (Llm.d17_repetition _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -476,6 +477,24 @@ object SparkEntry {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  round(len(list_intersect(a.grams, b.grams)) / greatest(len(list_distinct(a.grams || b.grams)), 1), 6) AS jaccard
         |FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id""".stripMargin,
+    "d17_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(ws) AS n_tokens,
+        |    CASE WHEN len(ws) = 0 THEN 0 WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END AS total_grams,
+        |    CASE WHEN len(ws) = 0 THEN 0
+        |         WHEN len(ws) < 3 THEN 1
+        |         ELSE len(list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+        |    END AS distinct_grams
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(total_grams AS BIGINT) AS total_grams,
+        |  CAST(distinct_grams AS BIGINT) AS distinct_grams,
+        |  CAST(CASE WHEN total_grams = 0 THEN 0
+        |       ELSE (total_grams - distinct_grams) * 10000 // total_grams END AS BIGINT) AS rep_bp
+        |FROM g""".stripMargin,
     "d08_ann_lsh" -> Llm.d08OracleSql,
     "d15_embedding_near_dup" -> Llm.d15OracleSql,
     "d16_ann_ivf" -> Llm.d16OracleSql,

@@ -392,6 +392,30 @@ object Llm {
   /** Document fingerprint: md5 over the normalized text (lowercase,
     * punctuation stripped, whitespace collapsed) — catches
     * formatting-only duplicates that d01 misses. */
+  /** Gopher/C4-style repetition filter: the fraction of duplicated
+    * word-3-grams per document, in basis points (integer math — a
+    * double ratio would hang parity on float printing). Distinct
+    * grams come from the compiled `ngram_set`; the token count uses
+    * the same tokenizer, so the ratio is self-consistent. Scan-side
+    * only — at 100 TB this is the classic cheap quality gate run
+    * before any expensive dedup pass. */
+  def d17_repetition(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    documents(s, d)
+      .withColumn("tokens",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("total_grams",
+        when(col("n_tokens") === 0, 0L)
+          .when(col("n_tokens") < 3, 1L)
+          .otherwise(col("n_tokens") - 2))
+      .withColumn("distinct_grams", expr("size(ngram_set(text))").cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("total_grams"), col("distinct_grams"),
+        when(col("total_grams") === 0, 0L)
+          .otherwise(expr("(total_grams - distinct_grams) * 10000 div total_grams"))
+          .as("rep_bp"))
+  }
+
   def d12_fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"),
