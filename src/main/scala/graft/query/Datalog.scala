@@ -64,6 +64,11 @@ object Datalog {
     * outer query ONLY on the declared vars (inner clauses may bind
     * extra internals). */
   final case class NotJoinClause(joinVars: Seq[String], clauses: Seq[Clause]) extends Clause
+  /** `[(get-else $ ?e :attr default) ?out]` — bind ?out to the
+    * entity's attr value, or `default` when the attr is absent
+    * (left join + coalesce). */
+  final case class GetElseClause(eVar: String, attr: EKw, default: Edn, out: String)
+    extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
     * the rule itself is recursive. */
@@ -115,6 +120,14 @@ object Datalog {
   private def clause(e: Edn): Clause = e match {
     case EVec(terms) if terms.size == 3 && !terms(0).isInstanceOf[EList] =>
       Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
+    // `[(missing? $ ?e :attr)]` — sugar for (not [?e :attr _])
+    case EVec(Vector(EList(Vector(ESym("", "missing?"), ESym("", "$"), ESym("", e), k: EKw))))
+        if e.startsWith("?") =>
+      NotClause(Seq(Pattern(TVar(e.drop(1)), TConst(k), TWild)))
+    case EVec(Vector(EList(Vector(ESym("", "get-else"), ESym("", "$"), ESym("", e),
+        k: EKw, default)), ESym("", out)))
+        if e.startsWith("?") && out.startsWith("?") =>
+      GetElseClause(e.drop(1), k, default, out.drop(1))
     case EVec(Vector(EList(ESym("", fn) +: args))) =>
       PredClause(fn, args.map(term))
     case EVec(Vector(EList(ESym("", fn) +: args), ESym("", out))) if out.startsWith("?") =>
@@ -311,6 +324,17 @@ object Datalog {
           val shared = a.columns.intersect(inner.columns).toSeq
           require(shared.nonEmpty, "(not …) shares no variables with the outer query")
           Some(a.join(inner.select(shared.map(col): _*).distinct(), shared, "left_anti"))
+        case ge: GetElseClause =>
+          val a = bound
+          val eCol = s"var_${ge.eVar}"
+          require(a.columns.contains(eCol), s"(get-else …): ?${ge.eVar} must be bound")
+          val tmp = s"__ge_${ge.out}"
+          val vals = eav.filter(col("a") === ge.attr.qualified)
+            .select(col("e").as(eCol), col("v").as(tmp))
+          Some(a.join(vals, Seq(eCol), "left")
+            .withColumn(s"var_${ge.out}",
+              coalesce(col(tmp), lit(constText(ge.default, None, registry))))
+            .drop(tmp))
         case oc: OrClause =>
           val legs0 = oc.legs.map(evalClauses(eav, registry, _, resolve, ruleEnv))
           // or-join projects each leg to the declared vars; plain or

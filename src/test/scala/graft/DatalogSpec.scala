@@ -258,6 +258,24 @@ class DatalogSpec extends AnyFunSuite {
       rows.toString)
   }
 
+  test("missing? and get-else idioms") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "name", "A"), ("e1", "nick", "Ace"),
+      ("e2", "name", "B"))
+      .toDF("e", "a", "v")
+    val qMissing = Datalog.parse(
+      "[:find ?e :where [?e :name _] [(missing? $ ?e :nick)]]")
+    val out = Datalog.runOn(eav, emptyRegistry, qMissing, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e2"), out.toString)
+    val qGetElse = Datalog.parse(
+      """[:find ?e ?nick :where [?e :name _] [(get-else $ ?e :nick "none") ?nick]]""")
+    val out2 = Datalog.runOn(eav, emptyRegistry, qGetElse, Map.empty)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out2 == Map("e1" -> "Ace", "e2" -> "none"), out2.toString)
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
