@@ -130,6 +130,11 @@ final class Store(spark: SparkSession, val dir: String) {
     * incremental-consumer view: what changed since my last read. */
   def since(tx: Long): DataFrame = eav.filter(col("tx") > tx)
 
+  /** Datoms in the half-open tx interval [from, until) — Datomic's
+    * `d/tx-range` log walk; both bounds prune parquet row groups. */
+  def txRange(from: Long, until: Long): DataFrame =
+    eav.filter(col("tx") >= from && col("tx") < until)
+
   /** Full assertion history (Datomic `d/history` analog). The log IS
     * the history — this store is assert-only, like the reference
     * importer (upserts supersede by tx; nothing is destroyed until

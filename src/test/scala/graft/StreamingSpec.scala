@@ -100,6 +100,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: broadcast dim joins inside the micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dim = Seq(("US", "North America"), ("DE", "Europe")).toDF("code", "region")
+    val out = mem.toDF().toDF("id", "code")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("code"), "left")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData((1L, "US"), (2L, "DE"), (3L, "XX"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .collect().map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+      assert(rows == Map(1L -> Some("North America"), 2L -> Some("Europe"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("idempotent micro-batch sink skips replayed batch ids") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString

@@ -73,6 +73,11 @@ class UpsertSpec extends AnyFunSuite {
     assert(nameAt(store.since(txs(0))) == Seq("New Name"),
       "since the first tx must carry only the re-assertion")
     assert(store.history.filter(col("e") === e && col("a") === "release/name").count() == 2)
+    // tx-range: half-open [from, until) over the log
+    assert(store.txRange(txs(0), txs(0) + 1)
+      .filter(col("e") === e && col("a") === "release/name").count() == 1)
+    assert(store.txRange(txs(1) + 1, Long.MaxValue)
+      .filter(col("e") === e && col("a") === "release/name").count() == 0)
   }
 
   test("retraction hides the named value; stale retracts are no-ops; as-of still sees history") {
