@@ -139,4 +139,32 @@ object Streams {
     }
     !applied
   }
+
+  /** Streaming datom ingestion: each micro-batch of (e, a, v[, v_long,
+    * is_ref]) rows appends atomically to the EAV store with
+    * tx = txBase + batchId, so the store is queryable — `current`,
+    * `asOf`, `since`, Datalog — WHILE the stream runs, and every
+    * micro-batch is its own time-travel horizon. Replayed batches
+    * skip via a tx-presence probe: the log IS the ledger, the same
+    * in-log idempotency the loader uses (batch.clj:42-60). */
+  def datomStreamSink(datoms: DataFrame, store: graft.store.Store, txBase: Long)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    datoms.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val tx = txBase + batchId
+        val applied = store.exists &&
+          store.eav.filter(col("tx") === tx).limit(1).count() > 0
+        if (!applied && !batch.isEmpty) {
+          val full = Seq(
+            "v_long" -> lit(null).cast("long"),
+            "is_ref" -> lit(false)).foldLeft(batch.toDF()) { case (df, (c, d)) =>
+            if (df.columns.contains(c)) df else df.withColumn(c, d)
+          }
+          store.append(full.withColumn("tx", lit(tx)))
+        }
+        ()
+      }
+      .start()
 }

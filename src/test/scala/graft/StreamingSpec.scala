@@ -118,6 +118,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming datom ingestion: store queryable mid-stream, batches are horizons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val registry = new graft.model.SchemaRegistry(Map.empty)
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("streamstore").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("streamckpt").toString
+    val mem = MemoryStream[(String, String, String)]
+    val q = Streams.datomStreamSink(
+      mem.toDF().toDF("e", "a", "v"), store, txBase = 100L)(ckpt)
+    try {
+      mem.addData(("e1", "name", "v1"))
+      q.processAllAvailable()
+      def name(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("e") === "e1" && col("a") === "name")
+          .select("v").collect().map(_.getString(0)).toSeq
+      assert(name(store.current(registry)) == Seq("v1"), "queryable after batch 0")
+      mem.addData(("e1", "name", "v2")) // upsert in a later micro-batch
+      q.processAllAvailable()
+      assert(name(store.current(registry)) == Seq("v2"), "last micro-batch wins")
+      assert(name(store.asOf(registry, 100L)) == Seq("v1"),
+        "each micro-batch is an as-of horizon")
+      assert(store.eav.select("tx").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("idempotent micro-batch sink skips replayed batch ids") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString
