@@ -76,6 +76,7 @@ object SparkEntry {
     "d15_embedding_near_dup" -> (Llm.d15_embedding_near_dup _),
     "d16_ann_ivf"            -> (Llm.d16_ann_ivf _),
     "d17_repetition"         -> (Llm.d17_repetition _),
+    "d18_dedup_clusters"     -> (Llm.d18_dedup_clusters _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -495,6 +496,30 @@ object SparkEntry {
         |  CAST(CASE WHEN total_grams = 0 THEN 0
         |       ELSE (total_grams - distinct_grams) * 10000 // total_grams END AS BIGINT) AS rep_bp
         |FROM g""".stripMargin,
+    "d18_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN []
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    END AS grams FROM t),
+        |k AS (SELECT doc_id, grams, list_aggregate(grams, 'min') AS block FROM g WHERE len(grams) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams)) / greatest(len(list_distinct(a.grams || b.grams)), 1), 6) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
     "d08_ann_lsh" -> Llm.d08OracleSql,
     "d15_embedding_near_dup" -> Llm.d15OracleSql,
     "d16_ann_ivf" -> Llm.d16OracleSql,

@@ -392,6 +392,16 @@ object Llm {
   /** Document fingerprint: md5 over the normalized text (lowercase,
     * punctuation stripped, whitespace collapsed) — catches
     * formatting-only duplicates that d01 misses. */
+  /** Near-dup CLUSTERS: connected components over the verified
+    * n-gram-Jaccard pairs (d04, threshold 0.5) — pair tables answer
+    * "are these two docs dups?"; the component labels answer "which
+    * docs form one duplicate group, and which single doc (min id) is
+    * canonical?", which is what a dedup pass actually keeps. */
+  def d18_dedup_clusters(s: SparkSession, d: String): DataFrame =
+    graft.ops.ConnectedComponents
+      .components(d04_ngram_jaccard(s, d).filter(col("jaccard") >= 0.5), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
   /** Gopher/C4-style repetition filter: the fraction of duplicated
     * word-3-grams per document, in basis points (integer math — a
     * double ratio would hang parity on float printing). Distinct
