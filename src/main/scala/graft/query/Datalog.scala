@@ -201,9 +201,24 @@ object Datalog {
       case other => graft.store.Datoms.scalarText(other)
     }
 
+  /** Query the raw LOG (history semantics — every assertion ever,
+    * including later-retracted values). Datomic's `d/q` over
+    * `d/history`. */
   def run(store: Store, registry: SchemaRegistry, q: Query,
       args: Map[String, Edn] = Map.empty): DataFrame =
     runOn(store.eav, registry, q, args)
+
+  /** Query the resolved current state — `d/q` over `(d/db conn)`:
+    * card-one last-wins, card-many unions, retractions applied. */
+  def runCurrent(store: Store, registry: SchemaRegistry, q: Query,
+      args: Map[String, Edn] = Map.empty): DataFrame =
+    runOn(store.current(registry), registry, q, args)
+
+  /** Query the database as of transaction `tx` — `d/q` over
+    * `(d/as-of db tx)`. */
+  def runAsOf(store: Store, registry: SchemaRegistry, tx: Long, q: Query,
+      args: Map[String, Edn] = Map.empty): DataFrame =
+    runOn(store.asOf(registry, tx), registry, q, args)
 
   /** Dedupe-then-project: vars appearing twice in one clause become
     * equality filters; each var surfaces once as `var_<name>`. */

@@ -110,6 +110,14 @@ class UpsertSpec extends AnyFunSuite {
     assert(vals(store.current(registry), "release/name") == Set("New"),
       "stale retraction must not hide the newer assert")
     assert(store.history.filter(col("e") === "b1").count() == 7, "history keeps everything")
+    // Datalog view selection: run = history, runCurrent = resolved,
+    // runAsOf = horizon before the retraction
+    val q = graft.query.Datalog.parse("[:find ?n :where [?e :release/name ?n]]")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSet
+    assert(names(graft.query.Datalog.runCurrent(store, registry, q)) == Set("New"))
+    assert(names(graft.query.Datalog.run(store, registry, q)) == Set("Old", "New"))
+    assert(names(graft.query.Datalog.runAsOf(store, registry, 2L, q)) == Set("Old"))
   }
 
   test("attribute-partitioned store prunes scans by attr") {
