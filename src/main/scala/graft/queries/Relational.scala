@@ -341,13 +341,10 @@ object Relational {
         lit(false).as("is_ref"), lit(tx).as("tx"))
     val log = asLog(cents, 1L).unionByName(
       asLog(cents * 2, 2L).filter(pmod(col("e").cast("long"), lit(10)) === 0))
-    Seq(1L, 2L).map { t =>
-      graft.store.Store.resolve(log.filter(col("tx") <= t), Seq.empty)
-        .agg(count(lit(1)).as("n_entities"),
-          sum(col("v").cast("long")).as("total_cents"))
-        .select(lit(t).as("asof_tx"), col("n_entities"),
-          col("total_cents").cast("long").as("total_cents"))
-    }.reduce(_ unionByName _)
+    graft.store.Store.resolveAtHorizons(log, Seq(1L, 2L), Seq.empty)
+      .groupBy(col("asof_tx"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("v").cast("long")).cast("long").as("total_cents"))
   }
 
   // ── Recursive Datalog rules: reachability closure ─────────────────
@@ -392,13 +389,10 @@ object Relational {
     val log = asLog(cents, 1L, op = true, lit(true))
       .unionByName(asLog(cents, 2L, op = false, pmod(key, lit(10)) === 0))
       .unionByName(asLog(cents * 2, 3L, op = true, pmod(key, lit(20)) === 0))
-    Seq(1L, 2L, 3L).map { t =>
-      graft.store.Store.resolve(log.filter(col("tx") <= t), Seq.empty)
-        .agg(count(lit(1)).as("n_entities"),
-          sum(col("v").cast("long")).as("total_cents"))
-        .select(lit(t).as("asof_tx"), col("n_entities"),
-          col("total_cents").cast("long").as("total_cents"))
-    }.reduce(_ unionByName _)
+    graft.store.Store.resolveAtHorizons(log, Seq(1L, 2L, 3L), Seq.empty)
+      .groupBy(col("asof_tx"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("v").cast("long")).cast("long").as("total_cents"))
   }
 
   // ── Datalog expression clauses: predicate + function binding ──────

@@ -155,24 +155,38 @@ object Store {
     * map-side partials; the first collapses the log before the
     * second, so the shape holds at scale. A log without retractions
     * resolves identically to plain last-writer-wins. */
-  def resolve(log: DataFrame, manyAttrs: Seq[String]): DataFrame = {
+  def resolve(log: DataFrame, manyAttrs: Seq[String]): DataFrame =
+    resolveAtHorizons(log, Seq(Long.MaxValue), manyAttrs).drop("asof_tx")
+
+  /** Resolution at SEVERAL transaction horizons in ONE pass — the
+    * audit/reporting shape ("state at end of each month"): the log
+    * scans once, each datom fans out to the horizons that can see it,
+    * and the same two keyed aggregations run with `asof_tx` prefixed
+    * to their keys. N horizons cost one scan + shuffle ∝ visible
+    * rows, not N separate resolve jobs. Output adds `asof_tx`. */
+  def resolveAtHorizons(log: DataFrame, horizons: Seq[Long],
+      manyAttrs: Seq[String]): DataFrame = {
+    require(horizons.nonEmpty, "need at least one horizon")
     val withOp =
       if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
-    val latest = withOp
-      .groupBy(col("e"), col("a"), col("v"))
+    val tagged = withOp
+      .select(col("*"), explode(lit(horizons.toArray)).as("asof_tx"))
+      .filter(col("tx") <= col("asof_tx"))
+    val latest = tagged
+      .groupBy(col("asof_tx"), col("e"), col("a"), col("v"))
       .agg(
         max_by(struct(col("op"), col("v_long"), col("is_ref")), col("tx")).as("s"),
         max(when(col("op"), col("tx"))).as("assert_tx"))
       .filter(col("s.op"))
-      .select(col("e"), col("a"), col("v"), col("s.v_long").as("v_long"),
+      .select(col("asof_tx"), col("e"), col("a"), col("v"), col("s.v_long").as("v_long"),
         col("s.is_ref").as("is_ref"), col("assert_tx"))
     val one = latest.filter(!col("a").isInCollection(manyAttrs))
-      .groupBy(col("e"), col("a"))
+      .groupBy(col("asof_tx"), col("e"), col("a"))
       .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")), col("assert_tx")).as("s"))
-      .select(col("e"), col("a"), col("s.v").as("v"), col("s.v_long").as("v_long"),
-        col("s.is_ref").as("is_ref"))
+      .select(col("asof_tx"), col("e"), col("a"), col("s.v").as("v"),
+        col("s.v_long").as("v_long"), col("s.is_ref").as("is_ref"))
     val many = latest.filter(col("a").isInCollection(manyAttrs))
-      .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
+      .select(col("asof_tx"), col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
     one.unionByName(many)
   }
 
