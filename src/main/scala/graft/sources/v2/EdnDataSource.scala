@@ -92,8 +92,30 @@ final class EdnScan(required: StructType, paths: Seq[String], limit: Int,
   override def description(): String =
     s"EdnScan readSchema=[${required.fieldNames.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "")
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.zipWithIndex.map { case (p, i) => EdnFilePartition(p, i): InputPartition }.toArray
+  /** Paths may be files, directories (every visible file inside,
+    * name-sorted — the write side's part-NNNNN naming keeps partition
+    * order) or globs; expansion happens driver-side through Hadoop
+    * FileSystem so object stores behave like local disk. A path that
+    * matches nothing fails HERE with the offending path, not as a
+    * FileNotFound inside some executor. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    def visible(name: String) = !name.startsWith(".") && !name.startsWith("_")
+    val expanded = paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      require(matches.nonEmpty, s"edn scan: no files match $p")
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && visible(f.getPath.getName))
+            .map(_.getPath.toString).sorted
+        else Seq(st.getPath.toString)
+      }
+    }
+    expanded.zipWithIndex.map { case (p, i) => EdnFilePartition(p, i): InputPartition }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     // Serializable snapshot of the session Hadoop conf so executors
     // resolve the same FileSystem (s3a/hdfs credentials etc.), not a

@@ -28,6 +28,12 @@ final class EdnWriteBuilder(schema: StructType, dir: String,
     options: CaseInsensitiveStringMap) extends WriteBuilder with SupportsTruncate {
 
   private val raw = options.getBoolean("raw", false)
+  private val gzip = options.getOrDefault("compression", "none") match {
+    case "none" => false
+    case "gzip" => true
+    case other => throw new IllegalArgumentException(
+      s"edn write: unsupported compression '$other' (none | gzip)")
+  }
 
   override def truncate(): WriteBuilder = {
     val p = new Path(dir)
@@ -41,40 +47,48 @@ final class EdnWriteBuilder(schema: StructType, dir: String,
       throw new IllegalArgumentException(
         s"edn raw write expects exactly one string column, got ${schema.simpleString}")
     new Write {
-      override def toBatch: BatchWrite = new EdnBatchWrite(schema, dir, raw)
+      override def toBatch: BatchWrite = new EdnBatchWrite(schema, dir, raw, gzip)
     }
   }
 }
 
-final class EdnBatchWrite(schema: StructType, dir: String, raw: Boolean) extends BatchWrite {
+final class EdnBatchWrite(schema: StructType, dir: String, raw: Boolean,
+    gzip: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
-    new EdnWriterFactory(schema, dir, raw, conf)
+    new EdnWriterFactory(schema, dir, raw, gzip, conf)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 final class EdnWriterFactory(schema: StructType, dir: String, raw: Boolean,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    gzip: Boolean, conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new EdnDataWriter(schema, dir, raw, partitionId, taskId, conf.value)
+    new EdnDataWriter(schema, dir, raw, gzip, partitionId, taskId, conf.value)
 }
 
 final case class EdnCommit(partitionId: Int, rows: Long) extends WriterCommitMessage
 
 final class EdnDataWriter(schema: StructType, dir: String, raw: Boolean,
-    partitionId: Int, taskId: Long,
+    gzip: Boolean, partitionId: Int, taskId: Long,
     hadoopConf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
 
+  // `.edn.gz` destinations round-trip through the scan side's
+  // extension-based codec detection
+  private val ext = if (gzip) ".edn.gz" else ".edn"
   private val fs = new Path(dir).getFileSystem(hadoopConf)
-  private val tmp = new Path(dir, f".part-$partitionId%05d-attempt-$taskId.edn.tmp")
-  private val dest = new Path(dir, f"part-$partitionId%05d.edn")
-  private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-    fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+  private val tmp = new Path(dir, f".part-$partitionId%05d-attempt-$taskId$ext.tmp")
+  private val dest = new Path(dir, f"part-$partitionId%05d$ext")
+  private val out = {
+    val base: java.io.OutputStream = fs.create(tmp, true)
+    val stream = if (gzip) new java.util.zip.GZIPOutputStream(base) else base
+    new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      stream, java.nio.charset.StandardCharsets.UTF_8))
+  }
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {

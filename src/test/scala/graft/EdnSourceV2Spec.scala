@@ -113,6 +113,20 @@ class EdnSourceV2Spec extends AnyFunSuite {
     assert(rows.toSeq == Seq("n1", "n2"))
   }
 
+  test("gzip write round-trips through the extension-detecting scan") {
+    val dir = java.nio.file.Files.createTempDirectory("gzw").toString + "/out"
+    val src = EdnSource.readEntities(spark, artistsPath, Mbrainz.artists)
+      .select("gid", "name", "sortname")
+    src.write.format("edn").option("compression", "gzip").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.endsWith(".edn.gz")), files.mkString(","))
+    val schema = org.apache.spark.sql.types.StructType(
+      EdnSource.schemaFor(Mbrainz.artists).filterNot(_.name == "row_idx"))
+    val back = spark.read.format("edn").schema(schema).load(dir)
+    assert(back.count() == src.count())
+    assert(back.select("gid").except(src.select("gid")).count() == 0)
+  }
+
   test("missing schema is a clear error") {
     val e = intercept[Exception](spark.read.format("edn").load(artistsPath).count())
     assert(e.getMessage.contains("explicit schema"))
