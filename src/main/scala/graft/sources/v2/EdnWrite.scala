@@ -37,7 +37,10 @@ final class EdnWriteBuilder(schema: StructType, dir: String,
 
   override def truncate(): WriteBuilder = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // session Hadoop conf, not a default one — a default Configuration
+    // has no object-store credentials/filesystem bindings
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
     this
   }
