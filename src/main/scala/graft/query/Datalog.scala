@@ -343,6 +343,8 @@ object Datalog {
           val a = bound
           val eCol = s"var_${ge.eVar}"
           require(a.columns.contains(eCol), s"(get-else …): ?${ge.eVar} must be bound")
+          require(!registry.isMany(ge.attr.qualified),
+            s"(get-else …) needs a cardinality-one attribute, ${ge.attr.qualified} is many")
           val tmp = s"__ge_${ge.out}"
           val vals = eav.filter(col("a") === ge.attr.qualified)
             .select(col("e").as(eCol), col("v").as(tmp))
@@ -403,7 +405,7 @@ object Datalog {
     * mutual recursion is rejected. */
   private def evalRules(eav: DataFrame, registry: SchemaRegistry,
       rules: Map[String, Seq[RuleDef]], resolve: Term => Term,
-      maxIters: Int): Map[String, DataFrame] = {
+      maxIters: Int, rootClauses: Seq[Clause]): Map[String, DataFrame] = {
     val cache = scala.collection.mutable.Map[String, DataFrame]()
     val visiting = scala.collection.mutable.Set[String]()
     def relation(name: String): DataFrame = cache.getOrElseUpdate(name, {
@@ -447,7 +449,21 @@ object Datalog {
       visiting -= name
       total
     })
-    rules.keys.foreach(relation)
+    // evaluate only rules reachable from the query's clauses — a rule
+    // set is a library; unused (possibly expensive) rules cost nothing
+    def referenced(clauses: Seq[Clause]): Set[String] = clauses.flatMap {
+      case RuleCall(n, _) => Set(n)
+      case NotClause(inner) => referenced(inner)
+      case NotJoinClause(_, inner) => referenced(inner)
+      case OrClause(legs, _) => legs.flatMap(referenced).toSet
+      case _ => Set.empty[String]
+    }.toSet
+    def closure(seen: Set[String]): Set[String] = {
+      val next = seen ++ seen.filter(rules.contains)
+        .flatMap(n => referenced(rules(n).flatMap(_.body)))
+      if (next == seen) seen else closure(next)
+    }
+    closure(referenced(rootClauses)).filter(rules.contains).foreach(relation)
     cache.toMap
   }
 
@@ -466,7 +482,7 @@ object Datalog {
       case TVar(n) if args.contains(n) && !collSet.contains(n) => TConst(args(n))
       case other => other
     }
-    val relations = evalRules(eav, registry, rules, resolve, maxRuleIters)
+    val relations = evalRules(eav, registry, rules, resolve, maxRuleIters, q.patterns)
     val joined0 = evalClauses(eav, registry, q.patterns, resolve,
       name => relations.getOrElse(name,
         throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")))
