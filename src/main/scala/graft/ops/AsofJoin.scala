@@ -39,16 +39,21 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward-fill ONE struct per right row — filling each picked
+    // column independently would skip a genuinely-null field back to
+    // an OLDER right row and stitch together a row that never existed
     lu.unionByName(ru)
+      .withColumn("__r", when(col("__side") === 0,
+        struct(pick.map(c => col(s"__r_$c").as(c)): _*)))
       .select(
         keys.map(col) ++
           Seq(col("__side")) ++
-          leftPayload.map(c => col(s"__l_$c")) ++
-          pick.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(prefix + c)): _*)
+          leftPayload.map(c => col(s"__l_$c")) :+
+          last(col("__r"), ignoreNulls = true).over(w).as("__match"): _*)
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++
           leftPayload.map(c => col(s"__l_$c").as(c)) ++
-          pick.map(c => col(prefix + c)): _*)
+          pick.map(c => col(s"__match.$c").as(prefix + c)): _*)
   }
 }

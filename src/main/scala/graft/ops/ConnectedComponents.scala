@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Labels every node that appears in `edges` (undirected) with the
-    * smallest node id reachable from it: (id, label). */
+    * smallest node id reachable from it: (id, label). Id type is
+    * preserved — `min` orders longs numerically and strings
+    * lexicographically, so hash/string ids cluster just as well. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 50): DataFrame = {
     val sym = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges
-        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+        .select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct().localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()

@@ -239,11 +239,16 @@ object Datalog {
   private def evalPattern(eav: DataFrame, registry: SchemaRegistry, p: Pattern): DataFrame = {
     val attrConst = p.a match {
       case TConst(k: EKw) => Some(k.qualified)
+      case TConst(other) => throw new IllegalArgumentException(
+        s"attribute position needs a keyword or variable, got: ${Edn.print(other)}")
       case _ => None
     }
     var scan = eav.select(col("e"), col("a"), col("v"))
     attrConst.foreach(a => scan = scan.filter(col("a") === a))
     p.e match {
+      // a keyword in the entity slot names an ident entity, whose
+      // store key carries the `ident|` prefix (Datoms.entityKey)
+      case TConst(k: EKw) => scan = scan.filter(col("e") === s"ident|${k.qualified}")
       case TConst(c) => scan = scan.filter(col("e") === constText(c, None, registry))
       case _ => ()
     }
@@ -263,6 +268,8 @@ object Datalog {
     * variables. */
   private def evalRuleCall(rel: DataFrame, rc: RuleCall,
       registry: SchemaRegistry): DataFrame = {
+    require(rc.args.size == rel.columns.size,
+      s"rule ${rc.name} expects ${rel.columns.size} args, got ${rc.args.size}")
     var df = rel
     val binds = rc.args.zipWithIndex.flatMap {
       case (TVar(n), i) => Some(n -> s"p$i")
@@ -350,7 +357,11 @@ object Datalog {
             .select(col("e").as(eCol), col("v").as(tmp))
           Some(a.join(vals, Seq(eCol), "left")
             .withColumn(s"var_${ge.out}",
-              coalesce(col(tmp), lit(constText(ge.default, None, registry))))
+              // the attribute is known: a keyword default for a ref
+              // attr renders with the same `ident|` encoding real
+              // values carry, so defaulted and asserted bindings meet
+              coalesce(col(tmp),
+                lit(constText(ge.default, Some(ge.attr.qualified), registry))))
             .drop(tmp))
         case oc: OrClause =>
           val legs0 = oc.legs.map(evalClauses(eav, registry, _, resolve, ruleEnv))
@@ -404,7 +415,7 @@ object Datalog {
     * dir). Linear recursion only (one self-call per recursive body);
     * mutual recursion is rejected. */
   private def evalRules(eav: DataFrame, registry: SchemaRegistry,
-      rules: Map[String, Seq[RuleDef]], resolve: Term => Term,
+      rules: Map[String, Seq[RuleDef]],
       maxIters: Int, rootClauses: Seq[Clause]): Map[String, DataFrame] = {
     val cache = scala.collection.mutable.Map[String, DataFrame]()
     val visiting = scala.collection.mutable.Set[String]()
@@ -427,7 +438,11 @@ object Datalog {
           if (n == name) self.getOrElse(throw new IllegalStateException(
             s"self-reference in base case of $name"))
           else relation(n)
-        evalClauses(eav, registry, d.body, resolve, env)
+        // rule variables are LEXICALLY scoped (Datomic): a body var
+        // that happens to share a name with an :in parameter must NOT
+        // be substituted — constants reach a rule only through its
+        // call-site arguments, which resolve at the call site
+        evalClauses(eav, registry, d.body, identity, env)
           .select(d.params.zipWithIndex.map { case (p, i) => col(s"var_$p").as(s"p$i") }: _*)
       }
       var total = baseDefs.map(evalBody(_, None)).reduce(_ unionByName _)
@@ -482,7 +497,7 @@ object Datalog {
       case TVar(n) if args.contains(n) && !collSet.contains(n) => TConst(args(n))
       case other => other
     }
-    val relations = evalRules(eav, registry, rules, resolve, maxRuleIters, q.patterns)
+    val relations = evalRules(eav, registry, rules, maxRuleIters, q.patterns)
     val joined0 = evalClauses(eav, registry, q.patterns, resolve,
       name => relations.getOrElse(name,
         throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")))
@@ -494,7 +509,15 @@ object Datalog {
         case other => throw new IllegalArgumentException(
           s"collection binding ?$n needs a sequential arg, got: ${Edn.print(other)}")
       }
-      df.filter(col(s"var_$n").isInCollection(values.map(constText(_, None, registry))))
+      // the var may bind from a ref attribute (values carry the
+      // `ident|` prefix) or a plain one — keyword args match both
+      // encodings so the binding works regardless of which pattern
+      // bound the variable
+      val rendered = values.flatMap {
+        case k: EKw => Seq(k.qualified, s"ident|${k.qualified}")
+        case other => Seq(constText(other, None, registry))
+      }
+      df.filter(col(s"var_$n").isInCollection(rendered))
     }
 
     val aggs = q.find.collect { case a: FAgg => a }
@@ -532,6 +555,11 @@ object Datalog {
       val bindingVars = (plainVars ++ q.withVars ++ aggs.map(_.varName)).distinct
       val joinedSet = joined.select(bindingVars.map(n => col(s"var_$n")): _*).distinct()
       val aggCols = aggs.map {
+        // NOTE: min/max compare the TEXT encoding (correct for strings
+        // and idents; numeric attrs should go through (sum …)-style
+        // double aggregates or a typed entity table) — the store is
+        // text-encoded and a blind double cast would break string
+        // min/max.
         case FAgg("count", v) => count(col(s"var_$v")).as(s"count_$v")
         case FAgg("count-distinct", v) => countDistinct(col(s"var_$v")).as(s"count_distinct_$v")
         case FAgg("min", v) => min(col(s"var_$v")).as(s"min_$v")

@@ -27,7 +27,17 @@ final class Store(spark: SparkSession, val dir: String) {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  def exists: Boolean = { val (f, p) = fs(eavPath); f.exists(p) }
+  def exists: Boolean = {
+    val (f, p) = fs(eavPath)
+    val there = f.exists(p)
+    // an interrupted compact (crash between the two renames) leaves
+    // the data in eav_old with no eav — surface that loudly instead
+    // of silently reading an empty store
+    if (!there && f.exists(new org.apache.hadoop.fs.Path(s"$dir/eav_old")))
+      throw new IllegalStateException(
+        s"store at $dir: interrupted compact — recover by renaming eav_old back to eav")
+    there
+  }
 
   def eav: DataFrame = {
     val raw =
@@ -101,7 +111,9 @@ final class Store(spark: SparkSession, val dir: String) {
       .cache()
     val n = resolved.count()
     val tmpPath = s"$dir/eav_compact"
-    resolved.write.partitionBy("a").parquet(tmpPath)
+    // a stale eav_compact from a previous failed run must not block
+    // every future compact
+    resolved.write.mode(SaveMode.Overwrite).partitionBy("a").parquet(tmpPath)
     resolved.unpersist()
     val (f, old) = fs(eavPath)
     val bak = new org.apache.hadoop.fs.Path(s"$dir/eav_old")

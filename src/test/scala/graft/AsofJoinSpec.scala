@@ -53,6 +53,21 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a null field in the matched right row stays null — no stitching across rows") {
+    import org.apache.spark.sql.functions.col
+    val right = Seq(
+      ("k1", 1L, Some("bid7"), Some("ask8")),
+      ("k1", 5L, None: Option[String], Some("ask9")))
+      .toDF("k", "t", "bid", "ask")
+    val left = Seq(("k1", 6L, "p1")).toDF("k", "t", "pid")
+    val row = AsofJoin.leftAsof(left, right, Seq("k"), "t", "t", Seq("bid", "ask"))
+      .select(col("asof_bid"), col("asof_ask")).collect()(0)
+    // the as-of match is the t=5 row: bid must be ITS null, not the
+    // older row's bid7; ask must be ask9
+    assert(row.isNullAt(0), row.toString)
+    assert(row.getString(1) == "ask9", row.toString)
+  }
+
   test("one keyed shuffle, no nested-loop or range cross product") {
     val df = AsofJoin.leftAsof(probes, states, Seq("k"), "t", "t", Seq("state"))
     val plan = df.queryExecution.executedPlan.toString

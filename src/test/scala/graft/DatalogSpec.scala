@@ -276,6 +276,34 @@ class DatalogSpec extends AnyFunSuite {
     assert(out2 == Map("e1" -> "Ace", "e2" -> "none"), out2.toString)
   }
 
+  test("rule-local variables are lexically scoped from :in parameters") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "type", "a"), ("e2", "type", "b"), ("e3", "name", "C"))
+      .toDF("e", "a", "v")
+    // the rule's ?t is internal; the :in ?t must NOT leak into it
+    val rules = Datalog.parseRules("[[(typed ?e) [?e :type ?t]]]")
+    val q = Datalog.parse(
+      """[:find ?e :in $ % ?t :where (typed ?e) [?e :type ?t]]""")
+    val out = Datalog.runOn(eav, emptyRegistry, q,
+        Map("t" -> EStr("b")), rules)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e2"),
+      s"rule must see ALL typed entities, outer pattern narrows to 'b': $out")
+    // keyword in the entity slot resolves through the ident| encoding
+    val eav2 = Seq(("ident|artist.type/person", "db/ident", "artist.type/person"))
+      .toDF("e", "a", "v")
+    val q2 = Datalog.parse("[:find ?v :where [:artist.type/person :db/ident ?v]]")
+    val out2 = Datalog.runOn(eav2, emptyRegistry, q2, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out2 == Set("artist.type/person"), out2.toString)
+    // rule arity mismatches are rejected
+    val qBad = Datalog.parse("[:find ?x :where (typed ?x ?y)]")
+    val err = intercept[IllegalArgumentException](
+      Datalog.runOn(eav, emptyRegistry, qBad, Map.empty, rules))
+    assert(err.getMessage.contains("expects 1 args"), err.getMessage)
+  }
+
   test("mutual recursion is rejected with a clear error") {
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
