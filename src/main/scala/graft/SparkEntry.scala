@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Llm, Multimodal, Relational}
+import graft.queries.{Curate, Llm, Multimodal, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,6 +77,12 @@ object SparkEntry {
     "d16_ann_ivf"            -> (Llm.d16_ann_ivf _),
     "d17_repetition"         -> (Llm.d17_repetition _),
     "d18_dedup_clusters"     -> (Llm.d18_dedup_clusters _),
+    // Corpus curation (scrub / boilerplate / decontaminate / sample)
+    "d19_pii_scrub"          -> (Curate.d19_pii_scrub _),
+    "d20_boilerplate"        -> ((s, d) => Curate.d20_boilerplate(s, d)),
+    "d21_decontaminate"      -> ((s, d) => Curate.d21_decontaminate(s, d)),
+    "d22_hash_sample"        -> (Curate.d22_hash_sample _),
+    "q41_bucketed_join"      -> (graft.ops.Bucketed.q41_bucketed_join _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -523,5 +529,71 @@ object SparkEntry {
     "d08_ann_lsh" -> Llm.d08OracleSql,
     "d15_embedding_near_dup" -> Llm.d15OracleSql,
     "d16_ann_ivf" -> Llm.d16OracleSql,
+    // Curation family: RE2-compatible regexes run verbatim in DuckDB
+    // (note the 'g' flag — DuckDB replaces first-match by default)
+    "d19_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '\bcustomer\b', '<TOK>', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_tok,
+        |  CAST(length(scrubbed) AS BIGINT) AS clean_len,
+        |  md5(scrubbed) AS clean_hash
+        |FROM s""".stripMargin,
+    "d20_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN []
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    END AS grams FROM t),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |b AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 3),
+        |pd AS (SELECT e.doc_id, count(*) AS n_boiler FROM e JOIN b USING (gram) GROUP BY e.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CAST(CASE WHEN len(g.grams) = 0 THEN 0
+        |       ELSE coalesce(pd.n_boiler, 0) * 10000 // len(g.grams) END AS BIGINT) AS boiler_bp
+        |FROM g LEFT JOIN pd ON g.doc_id = pd.doc_id""".stripMargin,
+    "d21_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(ws) = 0 THEN []
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    END AS grams FROM t),
+        |e AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+        |bench AS (SELECT DISTINCT gram FROM e WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_contam FROM e JOIN bench USING (gram)
+        |  WHERE source <> 'src0' GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_contam, 0) AS BIGINT) AS n_contam,
+        |  CAST(CASE WHEN coalesce(h.n_contam, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.source <> 'src0'""".stripMargin,
+    "d22_hash_sample" ->
+      """SELECT doc_id, lang, CAST(b AS BIGINT) AS bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 100 AS b,
+        |    CASE WHEN lang = 'en' THEN 30 ELSE 10 END AS rate
+        |  FROM documents)
+        |WHERE b < rate""".stripMargin,
+    "q41_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }

