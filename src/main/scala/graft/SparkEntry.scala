@@ -83,6 +83,7 @@ object SparkEntry {
     "d21_decontaminate"      -> ((s, d) => Curate.d21_decontaminate(s, d)),
     "d22_hash_sample"        -> (Curate.d22_hash_sample _),
     "q41_bucketed_join"      -> (graft.ops.Bucketed.q41_bucketed_join _),
+    "q42_click_attribution"  -> (Relational.q42_click_attribution _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -595,5 +596,17 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q42_click_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id AS i_user, event_id AS imp_id, epoch_us(ts) AS imp_us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT user_id, click_id, imp_id,
+        |  CAST(click_us // 1000 AS BIGINT) AS click_ms,
+        |  CAST(imp_us // 1000 AS BIGINT) AS imp_ms
+        |FROM c JOIN v ON user_id = i_user
+        |  AND imp_us <= click_us AND imp_us >= click_us - 1800000000""".stripMargin,
   )
 }

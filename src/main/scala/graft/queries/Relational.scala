@@ -556,6 +556,27 @@ object Relational {
       .select(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  // ── Interval self-join (batch twin of Streams.clickAttribution) ───
+  /** Click attribution: each click joins the same user's impressions
+    * in the 30-minute look-back. The equi key (user_id) carries the
+    * shuffle; the time bounds are post-join filters — same state
+    * keying as the watermarked stream-stream join, so the batch and
+    * streaming answers coincide (StreamingSpec pins that). */
+  def q42_click_attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("i_user"), col("event_id").as("imp_id"), col("ts_us").as("imp_us"))
+    clicks.join(views,
+        col("user_id") === col("i_user") &&
+        col("imp_us") <= col("click_us") &&
+        col("imp_us") >= col("click_us") - lit(1800000000L))
+      .select(col("user_id"), col("click_id"), col("imp_id"),
+        expr("click_us div 1000").as("click_ms"),
+        expr("imp_us div 1000").as("imp_ms"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -64,6 +64,31 @@ object Streams {
       .withWatermark("ets", lateness)
       .dropDuplicates(idCols :+ "ets")
 
+  /** Stream-stream interval join (click attribution): every click joins
+    * the same user's impressions within the look-back horizon. BOTH
+    * sides carry watermarks and the join condition is time-bounded, so
+    * Spark can age state out on both sides — the shape that keeps a
+    * stream-stream join's state finite on an unbounded stream. The two
+    * inputs are usually the same source filtered twice; state is keyed
+    * by user, so the shuffle is the join key, not the stream. */
+  def clickAttribution(events: DataFrame, horizon: String = "30 minutes",
+      lateness: String = "1 hour"): DataFrame = {
+    val imps = withEventTime(events)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("i_user"), col("event_id").as("imp_id"),
+        col("ets").as("imp_ts"))
+      .withWatermark("imp_ts", lateness)
+    val clicks = withEventTime(events)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ets").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    clicks.join(imps,
+      expr(s"user_id = i_user AND imp_ts <= click_ts AND imp_ts >= click_ts - interval $horizon"))
+      .select(col("user_id"), col("click_id"), col("imp_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("imp_ts")).as("imp_ms"))
+  }
+
   // ── Custom state: hand-rolled sessionizer ──────────────────────────
   final case class Ev(user_id: Long, ts_ms: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

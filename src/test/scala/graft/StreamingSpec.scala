@@ -33,6 +33,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("stream-stream interval join (click attribution) equals the batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("evjoin")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val joined = Streams.clickAttribution(Streams.readEvents(spark, streamDir.toString))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("attrib_out")
+      .select("user_id", "click_id", "imp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.Relational.q42_click_attribution(spark, dir)
+      .select("user_id", "click_id", "imp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionizer closes sessions on gap, keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
