@@ -82,6 +82,7 @@ object SparkEntry {
     "d20_boilerplate"        -> ((s, d) => Curate.d20_boilerplate(s, d)),
     "d21_decontaminate"      -> ((s, d) => Curate.d21_decontaminate(s, d)),
     "d22_hash_sample"        -> (Curate.d22_hash_sample _),
+    "d23_corpus_stats"       -> (Curate.d23_corpus_stats _),
     "q41_bucketed_join"      -> (graft.ops.Bucketed.q41_bucketed_join _),
     "q42_click_attribution"  -> (Relational.q42_click_attribution _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -591,6 +592,12 @@ object SparkEntry {
         |    CASE WHEN lang = 'en' THEN 30 ELSE 10 END AS rate
         |  FROM documents)
         |WHERE b < rate""".stripMargin,
+    "d23_corpus_stats" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), ' +')) END) AS BIGINT) AS total_tokens,
+        |  CAST(quantile_cont(n_chars, 0.5) * 10 AS BIGINT) AS median_chars_x10
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "q41_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price

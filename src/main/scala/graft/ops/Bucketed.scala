@@ -31,7 +31,12 @@ object Bucketed {
     val loc = new Path(warehouse, table.toLowerCase)
     val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.format("parquet")
+    // repartition on the bucket key with the bucket count: Spark's
+    // repartition hash == bucket-id hash (both murmur3 pmod n), so each
+    // task holds exactly one bucket → one file per bucket, not
+    // tasks × buckets tiny files (and the bucket-side sort is local)
+    df.repartition(buckets, col(key))
+      .write.format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)

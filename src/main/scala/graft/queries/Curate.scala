@@ -132,4 +132,22 @@ object Curate {
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
+
+  // ── d23: corpus stats ("data card") ───────────────────────────────
+  /** Per-(source, lang) corpus statistics: doc counts, token totals,
+    * and the EXACT median document length — the mixing/reporting
+    * numbers a dataset card publishes. One groupBy; the exact
+    * percentile is fine because the cardinality of (source, lang) is
+    * tiny — at 100 TB swap `percentile` for `approx_percentile` and
+    * accept the sketch bound. Median ×10 as BIGINT: int medians can
+    * land on .5, and integer output is comparator-stable. */
+  def d23_corpus_stats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tokens",
+        size(split(trim(col("text")), " +")).cast("long"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(length(trim(col("text"))) === 0, 0L).otherwise(col("n_tokens"))).as("total_tokens"),
+        (expr("percentile(n_chars, 0.5)") * 10).cast("long").as("median_chars_x10"))
 }
