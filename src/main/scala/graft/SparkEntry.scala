@@ -537,14 +537,14 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id, text,
         |    regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |      'https?://[^\s]+', '<URL>', 'g'),
-        |      '\bcustomer\b', '<TOK>', 'g') AS scrubbed
+        |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '(?i)https?://[^\s]+', '<URL>', 'g'),
+        |      '(?i)\bcustomer\b', '<TOK>', 'g') AS scrubbed
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
-        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_tok,
+        |  CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '(?i)https?://[^\s]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bcustomer\b')) AS BIGINT) AS n_tok,
         |  CAST(length(scrubbed) AS BIGINT) AS clean_len,
         |  md5(scrubbed) AS clean_hash
         |FROM s""".stripMargin,
@@ -603,7 +603,7 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
-    "q42_click_attribution" ->
+    "q42_click_attribution" -> (
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
         |  FROM events WHERE event_type = 'click'),
@@ -614,6 +614,8 @@ object SparkEntry {
         |  CAST(click_us // 1000 AS BIGINT) AS click_ms,
         |  CAST(imp_us // 1000 AS BIGINT) AS imp_ms
         |FROM c JOIN v ON user_id = i_user
-        |  AND imp_us <= click_us AND imp_us >= click_us - 1800000000""".stripMargin,
+        |  AND imp_us <= click_us
+        |  AND imp_us >= click_us - """.stripMargin +
+        graft.streaming.Streams.attributionHorizonUs.toString),
   )
 }

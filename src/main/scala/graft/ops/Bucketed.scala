@@ -27,8 +27,11 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = s.conf.get("spark.sql.warehouse.dir")
-    val loc = new Path(warehouse, table.toLowerCase)
+    // resolve the managed location through the catalog (qualified names
+    // and non-default current databases land under <db>.db/<name>, not
+    // <warehouse>/<name>)
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new Path(s.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
     // repartition on the bucket key with the bucket count: Spark's

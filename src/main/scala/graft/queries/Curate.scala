@@ -25,9 +25,11 @@ object Curate {
     * single codegen'd projection — at 100 TB this is a map-only pass
     * with zero shuffle. Patterns are RE2-compatible so the DuckDB
     * oracle runs them verbatim. */
-  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val urlRe = "https?://[^\\s]+"
-  private val tokenRe = "\\bcustomer\\b"
+  // (?i): PII patterns must catch capitalized addresses too; RE2- and
+  // Java-regex-compatible, so the oracle runs the same flags
+  private val emailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val urlRe = "(?i)https?://[^\\s]+"
+  private val tokenRe = "(?i)\\bcustomer\\b"
 
   /** The scrub itself, over any (doc_id, text) frame — fixture-testable. */
   def scrub(docs: DataFrame): DataFrame = {
@@ -70,15 +72,22 @@ object Curate {
     val boiler = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("gram"))
-    val perDoc = grams.join(broadcast(boiler), "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-    docs.select(col("doc_id"), expr("size(ngram_set(text))").cast("long").as("n_grams"))
+      .select(col("gram"), lit(1L).as("is_boiler"))
+    // one aggregation yields BOTH the per-doc gram count and the
+    // boilerplate count (a second corpus-wide gram evaluation just for
+    // size(ngram_set) would triple the most expensive expression);
+    // the docs left join only restores zero-gram documents
+    val perDoc = grams.join(broadcast(boiler), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+    docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("n_grams"),
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        when(col("n_grams") === 0, 0L)
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 0L)
           .otherwise(expr("coalesce(n_boiler, 0) * 10000 div n_grams"))
           .as("boiler_bp"))
   }

@@ -571,7 +571,7 @@ object Relational {
     clicks.join(views,
         col("user_id") === col("i_user") &&
         col("imp_us") <= col("click_us") &&
-        col("imp_us") >= col("click_us") - lit(1800000000L))
+        col("imp_us") >= col("click_us") - lit(graft.streaming.Streams.attributionHorizonUs))
       .select(col("user_id"), col("click_id"), col("imp_id"),
         expr("click_us div 1000").as("click_ms"),
         expr("imp_us div 1000").as("imp_ms"))

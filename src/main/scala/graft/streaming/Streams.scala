@@ -71,7 +71,13 @@ object Streams {
     * stream-stream join's state finite on an unbounded stream. The two
     * inputs are usually the same source filtered twice; state is keyed
     * by user, so the shuffle is the join key, not the stream. */
-  def clickAttribution(events: DataFrame, horizon: String = "30 minutes",
+  /** Attribution look-back, shared by the streaming join, its batch
+    * twin (`Relational.q42_click_attribution`) and the DuckDB oracle —
+    * one constant so the three can't drift apart. */
+  val attributionHorizonUs: Long = 30L * 60 * 1000 * 1000
+  val attributionHorizon: String = s"${attributionHorizonUs / 60000000L} minutes"
+
+  def clickAttribution(events: DataFrame, horizon: String = attributionHorizon,
       lateness: String = "1 hour"): DataFrame = {
     val imps = withEventTime(events)
       .filter(col("event_type") === "view")

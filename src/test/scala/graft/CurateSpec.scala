@@ -73,15 +73,12 @@ class CurateSpec extends AnyFunSuite {
 
   test("d22 bucket arithmetic matches the oracle's hex-parse path") {
     import spark.implicits._
-    // 60-bit md5 prefix, mod 100 — spot-pin a few values against DuckDB
-    // semantics computed by hand: bucket must be in [0, 100) and stable
-    val buckets = Seq(0L, 1L, 41L, 9999L).toDF("doc_id")
+    // literal pins: int(md5("<id>:graft").hex[:15], 16) % 100, computed
+    // independently — a different hash that's merely stable would fail
+    val expected = Map(0L -> 35L, 1L -> 88L, 41L -> 5L, 9999L -> 50L)
+    val buckets = expected.keys.toSeq.toDF("doc_id")
       .select(col("doc_id"), Curate.hashBucket(col("doc_id"), "graft", 100).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(buckets.values.forall(b => b >= 0 && b < 100))
-    val again = Seq(0L, 1L, 41L, 9999L).toDF("doc_id")
-      .select(col("doc_id"), Curate.hashBucket(col("doc_id"), "graft", 100).as("b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(buckets === again)
+    assert(buckets === expected)
   }
 }
