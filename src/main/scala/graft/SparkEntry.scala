@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Curate, Llm, Multimodal, Relational}
+import graft.queries.{Curate, Llm, Multimodal, Relational, XxhOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -528,6 +528,12 @@ object SparkEntry {
         |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    // xxhash-internal family: DuckDB-SQL XXH64 (generated — see
+    // graft.queries.XxhOracle) gives these full value-level oracles
+    "d02_minhash_signatures" -> XxhOracle.d02Sql,
+    "d03_minhash_lsh_pairs" -> XxhOracle.d03Sql,
+    "d05_simhash" -> XxhOracle.d05Sql,
+    "d06_simhash_pairs" -> XxhOracle.d06Sql,
     "d08_ann_lsh" -> Llm.d08OracleSql,
     "d15_embedding_near_dup" -> Llm.d15OracleSql,
     "d16_ann_ivf" -> Llm.d16OracleSql,

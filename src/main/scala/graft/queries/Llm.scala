@@ -157,7 +157,7 @@ object Llm {
     val b = sh.select(col("chunk_idx"), col("chunk"), col("doc_id").as("b_id"), col("simhash").as("b_sh"))
     a.join(b, Seq("chunk_idx", "chunk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr("bit_count(a_sh ^ b_sh)").as("hamming"))
+        expr("bit_count(a_sh ^ b_sh)").cast("long").as("hamming"))
       // threshold BEFORE distinct: the hamming filter is free per row,
       // the distinct is a shuffle — shrink what shuffles
       .filter(col("hamming") <= 16)

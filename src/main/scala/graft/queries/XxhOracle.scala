@@ -1,0 +1,214 @@
+package graft.queries
+
+import scala.collection.mutable.ArrayBuffer
+
+/** DuckDB-SQL implementation of XXH64 — generated, not hand-written —
+  * so the xxhash-derived queries (d02 minhash bands, d03 LSH pairs,
+  * d05 simhash, d06 simhash pairs) get FULL value-level oracles
+  * instead of rows-only checks.
+  *
+  * How: the hash state is a HUGEINT in [0, 2^64); every wrapping
+  * multiply is split 32-bit arithmetic ((x*C) mod 2^64 from xl*C and
+  * xh*C, no 128-bit overflow), rotations are div/mod by powers of
+  * two, xor runs on BIGINT halves. Each intermediate becomes ONE
+  * subquery level (`SELECT *, expr AS name FROM (...)`): DuckDB's
+  * lateral-alias rewrite inlines aliases textually — a 90-deep chain
+  * of multiply-referenced aliases explodes exponentially — while
+  * chained subqueries bind as column references and compute once per
+  * row. Strings are unrolled for ≤15 bytes (shingles are 5 chars,
+  * corpus tokens ≤8); hashes are computed per globally-DISTINCT
+  * shingle/token and joined back (a duplicate can't move a min or
+  * change a vote count, and the distinct set is tiny).
+  *
+  * Bit-parity with `org.apache.spark.sql.catalyst.expressions.XXH64`
+  * (hashUnsafeBytes / hashLong, seed 42) was validated empirically
+  * this round over random strings (len 0–15) and longs, and the four
+  * oracle queries match the Spark outputs row-for-row at sf0.001/0.01.
+  */
+object XxhOracle {
+  // XXH64 primes as unsigned decimal (HUGEINT literals)
+  private val P1 = "11400714785074694791"
+  private val P2 = "14029467366897019727"
+  private val P3 = "1609587929392839161"
+  private val P4 = "9650029242287828579"
+  private val P5 = "2870177450012600261"
+  private val U64 = "18446744073709551616::HUGEINT"
+  private val U32 = "4294967296::HUGEINT"
+
+  private def signed(u: String): String =
+    s"(CASE WHEN $u >= 9223372036854775808::HUGEINT THEN ($u - $U64)::BIGINT ELSE $u::BIGINT END)"
+  private def unsigned(x: String): String =
+    s"(CASE WHEN $x < 0 THEN $x::HUGEINT + $U64 ELSE $x::HUGEINT END)"
+
+  private val pow2List: String =
+    (0 until 64).map(b => (BigInt(1) << b).toString).mkString("[", ",", "]") + "::HUGEINT[]"
+
+  /** let-binding via one subquery level per intermediate. */
+  private final class Gen(prefix: String) {
+    private var n = 0
+    private val levels = ArrayBuffer.empty[(String, String)]
+    def let(expr: String): String = { n += 1; val name = s"$prefix$n"; levels += name -> expr; name }
+    def wrap(base: String): String =
+      levels.foldLeft(s"($base)") { case (sql, (name, expr)) =>
+        s"(SELECT *, ($expr) AS $name FROM $sql)"
+      }
+    def mulc(x: String, c: String): String = {
+      val xl = let(s"$x % $U32")
+      val xh = let(s"$x // $U32")
+      let(s"((($xl * $c::HUGEINT) % $U64) + ((($xh * $c::HUGEINT) % $U32) * $U32)) % $U64")
+    }
+    def rotl(x: String, r: Int): String = {
+      val lo = (BigInt(1) << (64 - r)).toString
+      val hi = (BigInt(1) << r).toString
+      val t = if (x.contains("(")) let(x) else x
+      let(s"(($t % $lo::HUGEINT) * $hi::HUGEINT) + ($t // $lo::HUGEINT)")
+    }
+    def xor64(a: String, b: String): String = {
+      val aa = if (a.contains("(")) let(a) else a
+      val bb = if (b.contains("(")) let(b) else b
+      let(s"xor(($aa % $U32)::BIGINT, ($bb % $U32)::BIGINT)::HUGEINT + " +
+        s"xor(($aa // $U32)::BIGINT, ($bb // $U32)::BIGINT)::HUGEINT * $U32")
+    }
+    def fmix(h: String): String = {
+      val f1 = xor64(h, s"$h // 8589934592::HUGEINT") // >> 33
+      val f2 = mulc(f1, P2)
+      val f3 = xor64(f2, s"$f2 // 536870912::HUGEINT") // >> 29
+      val f4 = mulc(f3, P3)
+      xor64(f4, s"$f4 // $U32") // >> 32
+    }
+    def round8(h: String, w: String): String = {
+      val m1 = mulc(w, P2)
+      val r1 = rotl(m1, 31)
+      val k1 = mulc(r1, P1)
+      val hx = xor64(h, k1)
+      val r2 = rotl(hx, 27)
+      val m2 = mulc(r2, P1)
+      let(s"($m2 + $P4::HUGEINT) % $U64")
+    }
+    def hashLong(x: String, seed: String): String = {
+      val h0 = let(s"(($seed) + $P5::HUGEINT + 8::HUGEINT) % $U64")
+      val xx = let(x)
+      fmix(round8(h0, xx))
+    }
+    /** XXH64 of an ASCII string expr, length ≤ 15 bytes, seed 42. */
+    def hashStr15(s: String): String = {
+      val bs = let(s"list_transform(range(1, length($s)+1), i -> ord(substr($s, i, 1))::HUGEINT)")
+      val n = let(s"length($s)::HUGEINT")
+      val h0 = let(s"(42::HUGEINT + $P5::HUGEINT + $n) % $U64")
+      val w8 = let(s"CASE WHEN $n >= 8 THEN " +
+        (0 until 8).map(i => s"$bs[${i + 1}] * ${BigInt(1) << (8 * i)}::HUGEINT").mkString(" + ") +
+        " ELSE 0::HUGEINT END")
+      val h8x = round8(h0, w8)
+      val h8 = let(s"CASE WHEN $n >= 8 THEN $h8x ELSE $h0 END")
+      val p8 = let(s"CASE WHEN $n >= 8 THEN 8::HUGEINT ELSE 0::HUGEINT END")
+      val rem = let(s"$n - $p8")
+      val w4 = let(s"CASE WHEN $rem >= 4 THEN " +
+        (0 until 4).map(i => s"$bs[($p8 + ${i + 1})::BIGINT] * ${BigInt(1) << (8 * i)}::HUGEINT").mkString(" + ") +
+        " ELSE 0::HUGEINT END")
+      val hx4 = xor64(h8, let(s"($w4 * $P1::HUGEINT) % $U64"))
+      val r4 = rotl(hx4, 23)
+      val m4 = mulc(r4, P2)
+      val h4x = let(s"($m4 + $P3::HUGEINT) % $U64")
+      val h4 = let(s"CASE WHEN $rem >= 4 THEN $h4x ELSE $h8 END")
+      val p4 = let(s"$p8 + CASE WHEN $rem >= 4 THEN 4::HUGEINT ELSE 0::HUGEINT END")
+      var h = h4
+      for (t <- 0 until 3) {
+        val b = let(s"CASE WHEN $p4 + $t < $n THEN $bs[($p4 + ${t + 1})::BIGINT] ELSE 0::HUGEINT END")
+        val hx = xor64(h, let(s"($b * $P5::HUGEINT) % $U64"))
+        val r = rotl(hx, 11)
+        val m = mulc(r, P1)
+        h = let(s"CASE WHEN $p4 + $t < $n THEN $m ELSE $h END")
+      }
+      fmix(h)
+    }
+  }
+
+  /** Shared minhash CTE chain: per-doc distinct 5-char shingles →
+    * hash per globally-distinct shingle → double-hash step → 32
+    * signed lane minimums → signature list (mirrors
+    * `graft.functions.MinHash.computeRaw`). */
+  private def minhashCte: String = {
+    val g1 = new Gen("x")
+    val hu = g1.hashStr15("sg")
+    val hhBody = g1.wrap("SELECT sg FROM uniq")
+    val g2 = new Gen("y")
+    val hl = g2.hashLong("hu", "42::HUGEINT")
+    val hxBody = g2.wrap("SELECT sg, hu FROM hh")
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(range(0, greatest(length(text)-4, 1)), i -> substr(text, i+1, 5))) AS sg
+       |  FROM documents),
+       |uniq AS (SELECT DISTINCT sg FROM sh),
+       |hh AS (SELECT sg, $hu AS hu FROM $hhBody),
+       |hx AS (SELECT sg, hu, ($hl - ($hl % 2) + 1) AS h2u FROM $hxBody),
+       |shx AS (SELECT s.doc_id, h.hu, h.h2u FROM sh s JOIN hx h ON s.sg = h.sg),
+       |lanes AS (
+       |  SELECT doc_id, k, min(${signed(s"((hu + k::HUGEINT * h2u) % $U64)")}) AS m
+       |  FROM shx CROSS JOIN (SELECT unnest(range(0, 32)) AS k)
+       |  GROUP BY doc_id, k),
+       |sig AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM lanes GROUP BY doc_id)""".stripMargin
+  }
+
+  /** LSH band hashes from the signature: v = hashLong(band, 42) chained
+    * through the band's 4 components (mirrors `LshBandsImpl`). */
+  private def bandsCte: String = {
+    val g = new Gen("z")
+    var v = g.hashLong("b::HUGEINT", "42::HUGEINT")
+    for (r <- 0 until 4)
+      v = g.hashLong(unsigned(s"sig[(b*4 + ${r + 1})::BIGINT]"), v)
+    val body = g.wrap("SELECT doc_id, b, sig FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)")
+    s"bh AS (SELECT doc_id, b, $v AS v FROM $body)"
+  }
+
+  def d02Sql: String =
+    s"""WITH $minhashCte,
+       |$bandsCte
+       |SELECT doc_id, b::BIGINT AS band, ${signed("v")} AS band_hash FROM bh""".stripMargin
+
+  def d03Sql: String =
+    s"""WITH $minhashCte,
+       |$bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bh a JOIN bh b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT c.a_id, c.b_id,
+       |  round(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0, 6) AS est_jaccard
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id""".stripMargin
+
+  /** Simhash CTE: per-token xxhash votes, bit set when strictly
+    * positive; tokenless docs get simhash 0 (mirrors `SimHash`). */
+  private def simhashCte: String = {
+    val g = new Gen("x")
+    val hu = g.hashStr15("w")
+    val thBody = g.wrap("SELECT w FROM tuniq")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS w
+       |  FROM documents),
+       |tuniq AS (SELECT DISTINCT w FROM tok),
+       |tha AS (SELECT w, $hu AS hu FROM $thBody),
+       |th AS (SELECT t.doc_id, h.hu FROM tok t JOIN tha h ON t.w = h.w),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (hu // ($pow2List)[b+1]) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+       |  GROUP BY doc_id, b),
+       |simu AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN ($pow2List)[b+1] ELSE 0::HUGEINT END) AS su
+       |  FROM votes GROUP BY doc_id),
+       |sim AS (
+       |  SELECT d.doc_id, coalesce(${signed("s.su")}, 0) AS simhash
+       |  FROM documents d LEFT JOIN simu s ON d.doc_id = s.doc_id)""".stripMargin
+  }
+
+  def d05Sql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sim""".stripMargin
+
+  def d06Sql: String =
+    s"""WITH $simhashCte,
+       |ch AS (
+       |  SELECT doc_id, simhash, c AS chunk_idx, xor(simhash >> (c*16)::INT, 0)::BIGINT & 65535 AS chunk
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS c))
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""".stripMargin
+}
