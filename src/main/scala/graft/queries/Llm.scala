@@ -38,9 +38,20 @@ object Llm {
     * re-inlined the shingle array into every lambda (HashExprsSpec
     * pins bit-equivalence). The explicit repartition spreads the
     * single-file scan; only the band table shuffles. */
+  /** Spread a narrow scan across the cluster ONLY when it is actually
+    * narrow (the single-file testdata arrives as 1–2 splits): at scale
+    * the input is already hundreds of splits and an unconditional
+    * repartition would re-shuffle the whole corpus for nothing.
+    * Values are per-row deterministic, so partitioning never changes
+    * results. */
+  private[queries] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private def spread(df: DataFrame): DataFrame = {
     graft.functions.HashExprs.register(df.sparkSession)
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    spreadIfNarrow(df)
   }
 
   /** Exploded (doc_id, band, band_hash) rows. The generator input is
@@ -123,8 +134,7 @@ object Llm {
     * shape: bucket join produces pairs, exact Jaccard confirms. */
   def d04_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val g = documents(s, d)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val g = spreadIfNarrow(documents(s, d))
       .select(col("doc_id"), expr("ngram_set(text)").as("grams"))
       .filter(size(col("grams")) > 0)
       .withColumn("block", array_min(col("grams")))
@@ -143,8 +153,7 @@ object Llm {
     * 16-bit chunks equal, so the join key is (chunk_idx, chunk). */
   def d05_simhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    documents(s, d)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    spreadIfNarrow(documents(s, d))
       .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
   }
 
@@ -172,7 +181,7 @@ object Llm {
     * currency for every downstream join. */
   private def withNorm(df: DataFrame): DataFrame = {
     graft.functions.HashExprs.register(df.sparkSession)
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    spreadIfNarrow(df)
       .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
   }
 
