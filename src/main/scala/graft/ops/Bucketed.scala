@@ -51,8 +51,15 @@ object Bucketed {
     * The join itself is exchange-free; the only shuffle in the query
     * is the final small aggregation. */
   def q41_bucketed_join(s: SparkSession, d: String): DataFrame = {
-    writeBucketed(graft.sources.Tables.orders(s, d), "graft_bkt_orders", 8, "o_custkey")
-    writeBucketed(graft.sources.Tables.customer(s, d), "graft_bkt_customer", 8, "c_custkey")
+    // the two table writes are independent jobs — run them concurrently
+    // (Spark schedulers handle concurrent jobs in one session)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future(writeBucketed(graft.sources.Tables.orders(s, d), "graft_bkt_orders", 8, "o_custkey")),
+      Future(writeBucketed(graft.sources.Tables.customer(s, d), "graft_bkt_customer", 8, "c_custkey")))
+    writes.foreach(Await.result(_, Duration.Inf))
     bucketedJoinAgg(s)
   }
 
