@@ -85,6 +85,7 @@ object SparkEntry {
     "d23_corpus_stats"       -> (Curate.d23_corpus_stats _),
     "q41_bucketed_join"      -> (graft.ops.Bucketed.q41_bucketed_join _),
     "q42_click_attribution"  -> (Relational.q42_click_attribution _),
+    "q43_datalog_relation_binding" -> (Relational.q43_datalog_relation_binding _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -623,5 +624,10 @@ object SparkEntry {
         |  AND imp_us <= click_us
         |  AND imp_us >= click_us - """.stripMargin +
         graft.streaming.Streams.attributionHorizonUs.toString),
+    "q43_datalog_relation_binding" ->
+      """SELECT CAST(n_nationkey AS INT) AS e, n_name AS name
+        |FROM nation
+        |JOIN (VALUES (5, 0), (7, 2), (10, 2)) t(tk, tr)
+        |  ON n_nationkey = t.tk AND n_regionkey = t.tr""".stripMargin,
   )
 }

@@ -577,6 +577,29 @@ object Relational {
         expr("imp_us div 1000").as("imp_ms"))
   }
 
+  // ── Datalog relation binding ([[?a ?b]]) under the oracle gate ────
+  /** Datomic's relation input binding: the arg is a SET OF TUPLES that
+    * constrains variable combinations (a broadcast inner join in the
+    * plan), not each variable independently — ("7","0") names a real
+    * nation and a real region but the wrong pairing, so it matches
+    * nothing. */
+  def q43_datalog_relation_binding(s: SparkSession, d: String): DataFrame = {
+    import graft.edn.Edn._
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?name
+        | :in $ [[?e ?r]]
+        | :where [?e :n_name ?name]
+        |        [?e :n_regionkey ?r]]""".stripMargin)
+    val tuples = EVec(Vector(
+      EVec(Vector(EStr("5"), EStr("0"))),   // nation 5 really is in region 0
+      EVec(Vector(EStr("7"), EStr("2"))),   // nation 7 really is in region 2
+      EVec(Vector(EStr("10"), EStr("2"))))) // nation 10 is in region 0 — wrong pairing
+    graft.query.Datalog.runOn(
+        nationEav(s, d).select(col("e").cast("string").as("e"), col("a"), col("v")),
+        new graft.model.SchemaRegistry(Map.empty), q, Map("e" -> tuples))
+      .select(col("e").cast("int").as("e"), col("name"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -74,7 +74,8 @@ object Datalog {
     * the rule itself is recursive. */
   final case class RuleDef(params: Seq[String], body: Seq[Clause])
   final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause],
-    withVars: Seq[String] = Seq.empty, collIn: Seq[String] = Seq.empty)
+    withVars: Seq[String] = Seq.empty, collIn: Seq[String] = Seq.empty,
+    tupleIn: Seq[Seq[String]] = Seq.empty, relIn: Seq[Seq[String]] = Seq.empty)
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -99,12 +100,34 @@ object Datalog {
       case other => throw new IllegalArgumentException(s"bad :find element: ${Edn.print(other)}")
     }
     require(find.nonEmpty, "query needs :find")
-    // `$` (the db) is implicit; `[?x ...]` declares a collection binding
+    // `$` (the db) is implicit; the four Datomic binding forms:
+    //   ?x            scalar
+    //   [?x ...]      collection (IN filter)
+    //   [?a ?b]       tuple (destructures one sequential arg)
+    //   [[?a ?b]]     relation (joins a set of tuples)
     val inForms = sections.getOrElse("in", Vector())
-    val in = inForms.collect {
-      case ESym("", v) if v.startsWith("?") => v.drop(1)
-      case EVec(Vector(ESym("", v), ESym("", "..."))) if v.startsWith("?") => v.drop(1)
+    def varNames(elems: Seq[Edn]): Option[Seq[String]] = {
+      val vs = elems.collect { case ESym("", v) if v.startsWith("?") => v.drop(1) }
+      if (vs.size == elems.size && vs.nonEmpty) Some(vs) else None
     }
+    val isColl: Edn => Boolean = {
+      case EVec(Vector(ESym("", v), ESym("", "..."))) => v.startsWith("?")
+      case _ => false
+    }
+    val tupleIn = inForms.collect {
+      case e @ EVec(elems) if !isColl(e) && varNames(elems).exists(_.size >= 2) =>
+        varNames(elems).get
+    }
+    val relIn = inForms.collect {
+      case EVec(Vector(EVec(elems))) if varNames(elems).isDefined => varNames(elems).get
+    }
+    val in = inForms.collect {
+      case ESym("", v) if v.startsWith("?") => Vector(v.drop(1))
+      case e @ EVec(_) if isColl(e) =>
+        val EVec(Vector(ESym("", v), _)) = e: @unchecked; Vector(v.drop(1))
+      case e @ EVec(elems) if !isColl(e) && varNames(elems).exists(_.size >= 2) =>
+        varNames(elems).get // tuple vars resolve as scalars after destructuring
+    }.flatten
     val collIn = inForms.collect {
       case EVec(Vector(ESym("", v), ESym("", "..."))) if v.startsWith("?") => v.drop(1)
     }
@@ -114,7 +137,7 @@ object Datalog {
       case ESym("", v) if v.startsWith("?") => v.drop(1)
       case other => throw new IllegalArgumentException(s"bad :with element: ${Edn.print(other)}")
     }
-    Query(find, in, patterns, withVars, collIn)
+    Query(find, in, patterns, withVars, collIn, tupleIn, relIn)
   }
 
   private def clause(e: Edn): Clause = e match {
@@ -484,15 +507,27 @@ object Datalog {
 
   /** Plan the query over any EAV-shaped DataFrame (e, a, v). */
   def runOn(eav: DataFrame, registry: SchemaRegistry, q: Query,
-      args: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
+      args0: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
       maxRuleIters: Int = 100): DataFrame = {
+    // tuple binding [?a ?b]: one sequential arg under the first var's
+    // name destructures positionally (Datomic passes it as one value)
+    val args = q.tupleIn.foldLeft(args0) { (a, vars) =>
+      if (vars.forall(a.contains)) a
+      else a.get(vars.head) match {
+        case Some(EVec(xs)) if xs.size == vars.size => a ++ vars.zip(xs)
+        case Some(EList(xs)) if xs.size == vars.size => a ++ vars.zip(xs)
+        case _ => a // leaves the unbound-parameter error to fire below
+      }
+    }
     val missing = q.in.filterNot(args.contains)
     require(missing.isEmpty, s"unbound :in parameters: $missing")
 
     // scalar :in params substitute into clauses; collection bindings
     // `[?x ...]` become an IN filter on the bound variable, which
     // Catalyst pushes through the joins into the pattern scans
-    val collSet = q.collIn.toSet
+    // collection- and relation-bound vars must NOT scalar-substitute
+    // (their arg is the value SET, keyed by the first var's name)
+    val collSet = q.collIn.toSet ++ q.relIn.flatten
     def resolve(t: Term): Term = t match {
       case TVar(n) if args.contains(n) && !collSet.contains(n) => TConst(args(n))
       case other => other
@@ -520,6 +555,47 @@ object Datalog {
       df.filter(col(s"var_$n").isInCollection(rendered))
     }
 
+    // relation binding [[?a ?b]]: the arg (under the first var's name)
+    // is a set of tuples; it becomes a broadcast inner join on the
+    // bound vars — constraining COMBINATIONS, not each var separately.
+    // Keyword elements expand to both text encodings (plain and
+    // `ident|`-prefixed) as extra rows, which is exactly OR semantics
+    // under the join.
+    val joinedRel = q.relIn.foldLeft(joined) { (df, vars) =>
+      val key = vars.head
+      require(args.contains(key),
+        s"relation binding [[${vars.map("?" + _).mkString(" ")}]] expects an argument under '$key'")
+      val tuples = args(key) match {
+        case EVec(xs) => xs
+        case EList(xs) => xs
+        case s: ESet => s.items.toVector
+        case other => throw new IllegalArgumentException(
+          s"relation binding ?$key needs a sequential of tuples, got: ${Edn.print(other)}")
+      }
+      val rows: Seq[Seq[String]] = tuples.flatMap { t =>
+        val elems = t match {
+          case EVec(xs) => xs
+          case EList(xs) => xs
+          case other => throw new IllegalArgumentException(
+            s"relation tuple must be sequential, got: ${Edn.print(other)}")
+        }
+        require(elems.size == vars.size,
+          s"relation tuple arity ${elems.size} != binding arity ${vars.size}")
+        val opts: Seq[Seq[String]] = elems.map {
+          case k: EKw => Seq(k.qualified, s"ident|${k.qualified}")
+          case other => Seq(constText(other, None, registry))
+        }
+        opts.foldLeft(Seq(Seq.empty[String]))((acc, o) => for { a <- acc; x <- o } yield a :+ x)
+      }
+      val spark = df.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        vars.map(v => org.apache.spark.sql.types.StructField(s"var_$v", org.apache.spark.sql.types.StringType)))
+      import scala.jdk.CollectionConverters._
+      val reldf = spark.createDataFrame(
+        rows.distinct.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+      df.join(broadcast(reldf), vars.map(v => s"var_$v"))
+    }
+
     val aggs = q.find.collect { case a: FAgg => a }
     val plainVars = q.find.collect { case FVar(n) => n }
     val pulls = q.find.collect { case p: FPull => p }
@@ -529,7 +605,7 @@ object Datalog {
       // state), attach as a pull_<var> struct column
       require(aggs.isEmpty, "(pull …) cannot mix with aggregates in :find")
       val vars = (plainVars ++ pulls.map(_.varName)).distinct
-      val base = joined.select(vars.map(n => col(s"var_$n").as(n)): _*).distinct()
+      val base = joinedRel.select(vars.map(n => col(s"var_$n").as(n)): _*).distinct()
       pulls.foldLeft(base) { (df, p) =>
         val hydrated = Pull.pullFrom(eav, registry, p.pattern,
           df.select(col(p.varName).as("e")).distinct())
@@ -540,10 +616,10 @@ object Datalog {
       }.select((plainVars.map(col) ++ pulls.map(p => col(s"pull_${p.varName}"))): _*)
     } else if (aggs.isEmpty) {
       if (q.withVars.isEmpty)
-        joined.select(plainVars.map(n => col(s"var_$n").as(n)): _*).distinct()
+        joinedRel.select(plainVars.map(n => col(s"var_$n").as(n)): _*).distinct()
       else
         // :with ⇒ bag semantics: dedupe over find+with vars, project find
-        joined.select((plainVars ++ q.withVars).distinct.map(n => col(s"var_$n")): _*)
+        joinedRel.select((plainVars ++ q.withVars).distinct.map(n => col(s"var_$n")): _*)
           .distinct()
           .select(plainVars.map(n => col(s"var_$n").as(n)): _*)
     } else {
@@ -553,7 +629,7 @@ object Datalog {
       // the bag counts Datomic users reach for (e.g. count per ?e
       // WITH ?v keeps one row per (e, v))
       val bindingVars = (plainVars ++ q.withVars ++ aggs.map(_.varName)).distinct
-      val joinedSet = joined.select(bindingVars.map(n => col(s"var_$n")): _*).distinct()
+      val joinedSet = joinedRel.select(bindingVars.map(n => col(s"var_$n")): _*).distinct()
       val aggCols = aggs.map {
         // NOTE: min/max compare the TEXT encoding (correct for strings
         // and idents; numeric attrs should go through (sum …)-style

@@ -212,6 +212,48 @@ class DatalogSpec extends AnyFunSuite {
     assert(out == Set("e1", "e3"), out.toString)
   }
 
+  test(":in tuple binding [?a ?b] destructures one sequential arg") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "kind", "a"), ("e1", "size", "1"),
+      ("e2", "kind", "a"), ("e2", "size", "2"),
+      ("e3", "kind", "b"), ("e3", "size", "1"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse("[:find ?e :in $ [?k ?s] :where [?e :kind ?k] [?e :size ?s]]")
+    // one sequential arg under the first var's name (Datomic shape)
+    val out = Datalog.runOn(eav, emptyRegistry, q,
+        Map("k" -> EVec(Vector(EStr("a"), EStr("1")))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e1"), out.toString)
+    // per-var args still work (both vars bound individually)
+    val out2 = Datalog.runOn(eav, emptyRegistry, q,
+        Map("k" -> EStr("b"), "s" -> EStr("1")))
+      .collect().map(_.getString(0)).toSet
+    assert(out2 == Set("e3"), out2.toString)
+  }
+
+  test(":in relation binding [[?a ?b]] constrains combinations, not vars") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "kind", "a"), ("e1", "size", "1"),
+      ("e2", "kind", "a"), ("e2", "size", "2"),
+      ("e3", "kind", "b"), ("e3", "size", "1"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse("[:find ?e :in $ [[?k ?s]] :where [?e :kind ?k] [?e :size ?s]]")
+    // ("a","1") and ("b","1") are allowed combos; e2 has ("a","2") — out.
+    // A per-var IN filter (k in {a,b}, s in {1}) would wrongly keep it
+    // only if it had size 1; the real test: ("a","2") is NOT allowed even
+    // though "a" and "2"... use combos that per-var filters would pass:
+    val out = Datalog.runOn(eav, emptyRegistry, q,
+        Map("k" -> EVec(Vector(
+          EVec(Vector(EStr("a"), EStr("1"))),
+          EVec(Vector(EStr("b"), EStr("2")))))))
+      .collect().map(_.getString(0)).toSet
+    // per-var: k in {a,b}, s in {1,2} would admit e1,e2,e3; the relation
+    // admits only e1 (a,1) — e2 is (a,2), e3 is (b,1): both excluded
+    assert(out == Set("e1"), out.toString)
+  }
+
   test("or-join and not-join scope on declared vars only") {
     import spark.implicits._
     val eav = Seq(
