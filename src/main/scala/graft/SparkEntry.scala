@@ -344,8 +344,9 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
         |FROM lineitem GROUP BY 1""".stripMargin,
-    // LLM-pipeline oracles (hash-dependent ops — minhash/simhash/LSH —
-    // use Spark's xxhash64 and have no DuckDB equivalent → rows-only)
+    // LLM-pipeline oracles. The xxhash-dependent family (minhash/
+    // simhash/LSH) is covered too: XxhOracle (further down) generates
+    // a DuckDB-SQL implementation of XXH64 itself.
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

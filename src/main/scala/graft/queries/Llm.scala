@@ -29,15 +29,6 @@ object Llm {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  // ── d02: MinHash signatures + LSH banding ──────────────────────────
-  /** 5-char shingles → 32 minhashes → 8 bands of 4 (collision prob ≈
-    * sim⁴ per band, so candidate volume stays near-linear even on a
-    * homogeneous corpus). Signatures come from the native codegen'd
-    * `minhash_sig` expression (graft.functions) — the higher-order-
-    * function formulation it replaced evaluated interpreted and
-    * re-inlined the shingle array into every lambda (HashExprsSpec
-    * pins bit-equivalence). The explicit repartition spreads the
-    * single-file scan; only the band table shuffles. */
   /** Spread a narrow scan across the cluster ONLY when it is actually
     * narrow (the single-file testdata arrives as 1–2 splits): at scale
     * the input is already hundreds of splits and an unconditional
@@ -54,7 +45,16 @@ object Llm {
     spreadIfNarrow(df)
   }
 
-  /** Exploded (doc_id, band, band_hash) rows. The generator input is
+  // ── d02: MinHash signatures + LSH banding ──────────────────────────
+  /** 5-char shingles → 32 minhashes → 8 bands of 4 (collision prob ≈
+    * sim⁴ per band, so candidate volume stays near-linear even on a
+    * homogeneous corpus). Signatures come from the native codegen'd
+    * `minhash_sig` expression (graft.functions) — the higher-order-
+    * function formulation it replaced evaluated interpreted and
+    * re-inlined the shingle array into every lambda (HashExprsSpec
+    * pins bit-equivalence). Only the band table shuffles.
+    *
+    * Exploded (doc_id, band, band_hash) rows. The generator input is
     * the `lsh_bands` EXPRESSION, deliberately not a projected column:
     * exploding an attribute makes the optimizer infer a non-empty-
     * array filter, which then collapses through the projection and

@@ -90,10 +90,16 @@ object XxhOracle {
       val xx = let(x)
       fmix(round8(h0, xx))
     }
-    /** XXH64 of an ASCII string expr, length ≤ 15 bytes, seed 42. */
+    /** XXH64 of an ASCII string expr, length ≤ 15 bytes, seed 42.
+      * Inputs outside that envelope fail LOUDLY (DuckDB `error(...)`)
+      * instead of hashing wrong: a future corpus with a 16+ byte token
+      * or non-ASCII text should break the gate with a clear message,
+      * not an inscrutable hash mismatch. */
     def hashStr15(s: String): String = {
       val bs = let(s"list_transform(range(1, length($s)+1), i -> ord(substr($s, i, 1))::HUGEINT)")
-      val n = let(s"length($s)::HUGEINT")
+      val n = let(s"CASE WHEN strlen($s) > 15 OR strlen($s) <> length($s) " +
+        s"THEN error('xxh64 oracle supports ASCII <= 15 bytes, got: ' || $s) " +
+        s"ELSE strlen($s) END::HUGEINT")
       val h0 = let(s"(42::HUGEINT + $P5::HUGEINT + $n) % $U64")
       val w8 = let(s"CASE WHEN $n >= 8 THEN " +
         (0 until 8).map(i => s"$bs[${i + 1}] * ${BigInt(1) << (8 * i)}::HUGEINT").mkString(" + ") +

@@ -75,7 +75,8 @@ object Datalog {
   final case class RuleDef(params: Seq[String], body: Seq[Clause])
   final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause],
     withVars: Seq[String] = Seq.empty, collIn: Seq[String] = Seq.empty,
-    tupleIn: Seq[Seq[String]] = Seq.empty, relIn: Seq[Seq[String]] = Seq.empty)
+    tupleIn: Seq[Seq[Option[String]]] = Seq.empty, // None = `_` (ignored slot)
+    relIn: Seq[Seq[String]] = Seq.empty)
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -110,13 +111,24 @@ object Datalog {
       val vs = elems.collect { case ESym("", v) if v.startsWith("?") => v.drop(1) }
       if (vs.size == elems.size && vs.nonEmpty) Some(vs) else None
     }
+    // tuple slots: each position is a var or a `_` blank; at least one var
+    def tupleSlots(elems: Seq[Edn]): Option[Seq[Option[String]]] = {
+      val slots = elems.map {
+        case ESym("", v) if v.startsWith("?") => Some(Some(v.drop(1)))
+        case ESym("", "_") => Some(None)
+        case _ => None
+      }
+      if (slots.nonEmpty && slots.forall(_.isDefined) && slots.exists(_.get.isDefined))
+        Some(slots.map(_.get))
+      else None
+    }
     val isColl: Edn => Boolean = {
       case EVec(Vector(ESym("", v), ESym("", "..."))) => v.startsWith("?")
       case _ => false
     }
     val tupleIn = inForms.collect {
-      case e @ EVec(elems) if !isColl(e) && varNames(elems).exists(_.size >= 2) =>
-        varNames(elems).get
+      case e @ EVec(elems) if !isColl(e) && tupleSlots(elems).isDefined =>
+        tupleSlots(elems).get
     }
     val relIn = inForms.collect {
       case EVec(Vector(EVec(elems))) if varNames(elems).isDefined => varNames(elems).get
@@ -125,9 +137,19 @@ object Datalog {
       case ESym("", v) if v.startsWith("?") => Vector(v.drop(1))
       case e @ EVec(_) if isColl(e) =>
         val EVec(Vector(ESym("", v), _)) = e: @unchecked; Vector(v.drop(1))
-      case e @ EVec(elems) if !isColl(e) && varNames(elems).exists(_.size >= 2) =>
-        varNames(elems).get // tuple vars resolve as scalars after destructuring
+      case e @ EVec(elems) if !isColl(e) && tupleSlots(elems).isDefined =>
+        tupleSlots(elems).get.flatten // tuple vars resolve as scalars after destructuring
     }.flatten
+    // reject :in forms that matched nothing (silent drops hide typos)
+    inForms.foreach {
+      case ESym("", "$") | ESym("", "%") => ()
+      case ESym("", v) if v.startsWith("?") => ()
+      case e @ EVec(_) if isColl(e) => ()
+      case EVec(Vector(EVec(elems))) if varNames(elems).isDefined => ()
+      case EVec(elems) if tupleSlots(elems).isDefined => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported :in form: ${Edn.print(other)}")
+    }
     val collIn = inForms.collect {
       case EVec(Vector(ESym("", v), ESym("", "..."))) if v.startsWith("?") => v.drop(1)
     }
@@ -509,14 +531,29 @@ object Datalog {
   def runOn(eav: DataFrame, registry: SchemaRegistry, q: Query,
       args0: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
       maxRuleIters: Int = 100): DataFrame = {
-    // tuple binding [?a ?b]: one sequential arg under the first var's
-    // name destructures positionally (Datomic passes it as one value)
-    val args = q.tupleIn.foldLeft(args0) { (a, vars) =>
-      if (vars.forall(a.contains)) a
-      else a.get(vars.head) match {
-        case Some(EVec(xs)) if xs.size == vars.size => a ++ vars.zip(xs)
-        case Some(EList(xs)) if xs.size == vars.size => a ++ vars.zip(xs)
-        case _ => a // leaves the unbound-parameter error to fire below
+    // tuple binding [?a ?b] / [?a _]: one sequential arg under the
+    // first var's name destructures positionally (Datomic passes it as
+    // one value); `_` slots are skipped. Destructuring wins over
+    // treating the sequential as a scalar value — otherwise a Datomic-
+    // shape arg would silently scalar-substitute as a vector constant.
+    val args = q.tupleIn.foldLeft(args0) { (a, slots) =>
+      val vars = slots.flatten
+      val seqArg = a.get(vars.head) match {
+        case Some(EVec(xs)) => Some(xs)
+        case Some(EList(xs)) => Some(xs)
+        case _ => None
+      }
+      seqArg match {
+        case Some(xs) if xs.size == slots.size =>
+          a ++ slots.zip(xs).collect { case (Some(v), x) => v -> x }
+        // a blank slot leaves no per-var-scalar reading; likewise when
+        // not every var has its own arg — a mismatched sequential is a
+        // loud arity error, not a silent vector-as-scalar substitution
+        case Some(xs) if slots.exists(_.isEmpty) || !vars.forall(a.contains) =>
+          throw new IllegalArgumentException(
+            s"tuple binding [${slots.map(_.map("?" + _).getOrElse("_")).mkString(" ")}] " +
+              s"got a sequential of arity ${xs.size}")
+        case _ => a // per-var scalar args, or missing (error fires below)
       }
     }
     val missing = q.in.filterNot(args.contains)
@@ -587,6 +624,10 @@ object Datalog {
         }
         opts.foldLeft(Seq(Seq.empty[String]))((acc, o) => for { a <- acc; x <- o } yield a :+ x)
       }
+      val unbound = vars.filterNot(v => df.columns.contains(s"var_$v"))
+      require(unbound.isEmpty,
+        s"relation binding vars not bound by any :where clause: " +
+          unbound.map("?" + _).mkString(", "))
       val spark = df.sparkSession
       val schema = org.apache.spark.sql.types.StructType(
         vars.map(v => org.apache.spark.sql.types.StructField(s"var_$v", org.apache.spark.sql.types.StringType)))

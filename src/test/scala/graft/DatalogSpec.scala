@@ -232,6 +232,34 @@ class DatalogSpec extends AnyFunSuite {
     assert(out2 == Set("e3"), out2.toString)
   }
 
+  test(":in tuple binding supports `_` blanks and rejects wrong arity") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "kind", "a"), ("e2", "kind", "b"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse("[:find ?e :in $ [?k _] :where [?e :kind ?k]]")
+    val out = Datalog.runOn(eav, emptyRegistry, q,
+        Map("k" -> EVec(Vector(EStr("a"), EStr("ignored")))))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e1"), out.toString)
+    // wrong arity is a loud error, not a silent scalar substitution
+    val err = intercept[IllegalArgumentException] {
+      Datalog.runOn(eav, emptyRegistry, q, Map("k" -> EVec(Vector(EStr("a")))))
+    }
+    assert(err.getMessage.contains("arity"), err.getMessage)
+  }
+
+  test(":in relation binding with a var unbound by :where is a clear error") {
+    import spark.implicits._
+    val eav = Seq(("e1", "kind", "a")).toDF("e", "a", "v")
+    val q = Datalog.parse("[:find ?e :in $ [[?e ?x]] :where [?e :kind _]]")
+    val err = intercept[IllegalArgumentException] {
+      Datalog.runOn(eav, emptyRegistry, q,
+        Map("e" -> EVec(Vector(EVec(Vector(EStr("e1"), EStr("y")))))))
+    }
+    assert(err.getMessage.contains("not bound"), err.getMessage)
+  }
+
   test(":in relation binding [[?a ?b]] constrains combinations, not vars") {
     import spark.implicits._
     val eav = Seq(
@@ -240,10 +268,10 @@ class DatalogSpec extends AnyFunSuite {
       ("e3", "kind", "b"), ("e3", "size", "1"))
       .toDF("e", "a", "v")
     val q = Datalog.parse("[:find ?e :in $ [[?k ?s]] :where [?e :kind ?k] [?e :size ?s]]")
-    // ("a","1") and ("b","1") are allowed combos; e2 has ("a","2") — out.
-    // A per-var IN filter (k in {a,b}, s in {1}) would wrongly keep it
-    // only if it had size 1; the real test: ("a","2") is NOT allowed even
-    // though "a" and "2"... use combos that per-var filters would pass:
+    // allowed combos ("a","1") and ("b","2"): a per-var IN filter
+    // (k in {a,b}, s in {1,2}) would admit all three entities; the
+    // relation admits only e1 = ("a","1") — e2 is ("a","2") and e3 is
+    // ("b","1"), both real values but disallowed PAIRINGS
     val out = Datalog.runOn(eav, emptyRegistry, q,
         Map("k" -> EVec(Vector(
           EVec(Vector(EStr("a"), EStr("1"))),
