@@ -86,6 +86,8 @@ object SparkEntry {
     "q41_bucketed_join"      -> (graft.ops.Bucketed.q41_bucketed_join _),
     "q42_click_attribution"  -> (Relational.q42_click_attribution _),
     "q43_datalog_relation_binding" -> (Relational.q43_datalog_relation_binding _),
+    "q44_rollup"             -> (Relational.q44_rollup _),
+    "q45_pivot"              -> (Relational.q45_pivot _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -630,5 +632,27 @@ object SparkEntry {
         |FROM nation
         |JOIN (VALUES (5, 0), (7, 2), (10, 2)) t(tk, tr)
         |  ON n_nationkey = t.tk AND n_regionkey = t.tr""".stripMargin,
+    "q44_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q45_pivot" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_1,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '1-URGENT'), 0) * 100 AS BIGINT) AS cents_1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_2,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '2-HIGH'), 0) * 100 AS BIGINT) AS cents_2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_3,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '3-MEDIUM'), 0) * 100 AS BIGINT) AS cents_3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 0) * 100 AS BIGINT) AS cents_4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_5,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '5-LOW'), 0) * 100 AS BIGINT) AS cents_5
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }

@@ -600,6 +600,46 @@ object Relational {
       .select(col("e").cast("int").as("e"), col("name"))
   }
 
+  // ── Rollup (grouping sets): subtotals + grand total in one pass ───
+  /** `ROLLUP(flag, status)` — per-group, per-flag subtotal, and grand
+    * total computed in ONE aggregation (Spark expands grouping sets
+    * map-side; no second scan). Rollup's NULL group keys are
+    * COALESCEd to a sentinel on both engines: a NULL key would
+    * stringify differently across the comparator's two load paths,
+    * and `grouping_id` disambiguates real NULLs from subtotal rows. */
+  def q44_rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"), col("gid"))
+
+  // ── Pivot: long → wide conditional aggregation ────────────────────
+  /** Order counts + revenue cents per priority, pivoted to one row
+    * per market segment. The pivot value list is EXPLICIT — at scale
+    * an inferred list means an extra distinct scan AND a
+    * nondeterministic column set. Pivot is planned as one hash
+    * aggregate with conditional partials (the oracle spells that
+    * formulation out). */
+  def q45_pivot(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)).as("n"), money(col("o_totalprice")).as("cents"))
+      // a pivot cell with no rows is NULL in Spark but 0 under the
+      // oracle's COUNT/SUM FILTER formulation — coalesce both
+      .select(col("c_mktsegment") +: prios.flatMap(p => Seq(
+        coalesce(col(s"`${p}_n`"), lit(0L)).as(s"n_${p.charAt(0)}"),
+        coalesce(col(s"`${p}_cents`"), lit(0L)).as(s"cents_${p.charAt(0)}"))): _*)
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

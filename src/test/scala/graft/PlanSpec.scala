@@ -50,6 +50,15 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q44/q45: grouping sets and pivot are single-pass aggregations") {
+    val p44 = plan(Relational.q44_rollup(spark, sf))
+    assert(p44.contains("Expand"), p44.take(500)) // grouping sets expand, not a scan per set
+    assert("HashAggregate".r.findAllIn(p44).size >= 2, p44.take(500)) // partial + final
+    val p45 = plan(Relational.q45_pivot(spark, sf))
+    assert(!p45.contains("Union"), p45.take(500)) // one conditional agg, not a union of scans
+    assert("HashAggregate".r.findAllIn(p45).size >= 2, p45.take(500))
+  }
+
   test("hot paths are inside whole-stage codegen") {
     // codegen markers ("*(n)") only appear once AQE finalizes; execute first
     val df = Relational.q01_pricing_summary(spark, sf)
