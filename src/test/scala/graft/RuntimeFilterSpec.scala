@@ -17,16 +17,13 @@ class RuntimeFilterSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("selective dim filter injects a bloom might_contain into the fact scan") {
-    val confs = Map(
+    TestSpark.withConfs(Map(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       // broadcast would bypass the shuffle (and the bloom's reason to exist)
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
       val big = graft.sources.Tables.lineitem(spark, sf)
       val dim = graft.sources.Tables.orders(spark, sf)
         .filter(col("o_totalprice") > 450000.0) // selective creation side (top ~few %)
@@ -42,9 +39,6 @@ class RuntimeFilterSpec extends AnyFunSuite {
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
         .agg(sum("n")).collect()(0).getLong(0)
       assert(n === n2)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }

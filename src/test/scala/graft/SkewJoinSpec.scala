@@ -13,7 +13,7 @@ class SkewJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("a hot key triggers AQE skew-join splitting (skew=true in plan)") {
-    val confs = Map(
+    TestSpark.withConfs(Map(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
@@ -21,10 +21,7 @@ class SkewJoinSpec extends AnyFunSuite {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
       import spark.implicits._
       // 200k rows on ONE key + a thin tail: classic hot-entity skew
       val fact = spark.range(200000).select(lit(1L).as("k"), col("id").as("payload"))
@@ -40,9 +37,6 @@ class SkewJoinSpec extends AnyFunSuite {
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"),
         "expected AQE to mark the hot partition skewed:\n" + p.take(1500))
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }

@@ -18,4 +18,16 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Run `body` with SQL confs overridden, restoring prior values (or
+    * unsetting) afterwards — for specs that flip optimizer knobs. */
+  def withConfs[A](confs: Map[String, String])(body: => A): A = {
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
