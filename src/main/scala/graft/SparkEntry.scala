@@ -83,6 +83,7 @@ object SparkEntry {
     "d21_decontaminate"      -> ((s, d) => Curate.d21_decontaminate(s, d)),
     "d22_hash_sample"        -> (Curate.d22_hash_sample _),
     "d23_corpus_stats"       -> (Curate.d23_corpus_stats _),
+    "d24_pii_fixture"        -> (Curate.d24_pii_fixture _),
     "q41_bucketed_join"      -> (graft.ops.Bucketed.q41_bucketed_join _),
     "q42_click_attribution"  -> (Relational.q42_click_attribution _),
     "q43_datalog_relation_binding" -> (Relational.q43_datalog_relation_binding _),
@@ -551,6 +552,30 @@ object SparkEntry {
         |      '(?i)https?://[^\s]+', '<URL>', 'g'),
         |      '(?i)\bcustomer\b', '<TOK>', 'g') AS scrubbed
         |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '(?i)https?://[^\s]+')) AS BIGINT) AS n_url,
+        |  CAST(len(regexp_extract_all(text, '(?i)\bcustomer\b')) AS BIGINT) AS n_tok,
+        |  CAST(length(scrubbed) AS BIGINT) AS clean_len,
+        |  md5(scrubbed) AS clean_hash
+        |FROM s""".stripMargin,
+    // d24 injects synthetic PII on BOTH sides so the email/URL regexes
+    // (never fired by the clean corpus — see d19) get a true cross-
+    // engine parity check under the hash gate
+    "d24_pii_fixture" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    text || ' Contact John.Doe+' || CAST(doc_id AS VARCHAR)
+        |         || '@Example-Mail.COM or HTTPS://t.example.org/p/'
+        |         || CAST(doc_id AS VARCHAR) || '?q=1&r=2 now.' AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '(?i)https?://[^\s]+', '<URL>', 'g'),
+        |      '(?i)\bcustomer\b', '<TOK>', 'g') AS scrubbed
+        |  FROM f)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
         |  CAST(len(regexp_extract_all(text, '(?i)https?://[^\s]+')) AS BIGINT) AS n_url,

@@ -50,16 +50,24 @@ object Bucketed {
     * bucket win at test scale; at 100 TB neither side broadcasts).
     * The join itself is exchange-free; the only shuffle in the query
     * is the final small aggregation. */
+  // the graft_bkt_* table names are fixed (the read-side query below
+  // must reference them), so overlapping q41 calls would race on the
+  // DROP + location delete — serialize the write phase process-wide
+  private val writeLock = new Object
+
   def q41_bucketed_join(s: SparkSession, d: String): DataFrame = {
     // the two table writes are independent jobs — run them concurrently
-    // (Spark schedulers handle concurrent jobs in one session)
+    // (Spark schedulers handle concurrent jobs in one session); bound
+    // the wait so a wedged write fails the query instead of hanging
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val writes = Seq(
-      Future(writeBucketed(graft.sources.Tables.orders(s, d), "graft_bkt_orders", 8, "o_custkey")),
-      Future(writeBucketed(graft.sources.Tables.customer(s, d), "graft_bkt_customer", 8, "c_custkey")))
-    writes.foreach(Await.result(_, Duration.Inf))
+    writeLock.synchronized {
+      val writes = Seq(
+        Future(writeBucketed(graft.sources.Tables.orders(s, d), "graft_bkt_orders", 8, "o_custkey")),
+        Future(writeBucketed(graft.sources.Tables.customer(s, d), "graft_bkt_customer", 8, "c_custkey")))
+      writes.foreach(Await.result(_, 10.minutes))
+    }
     bucketedJoinAgg(s)
   }
 

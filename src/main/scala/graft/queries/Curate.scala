@@ -51,6 +51,24 @@ object Curate {
   def d19_pii_scrub(s: SparkSession, d: String): DataFrame =
     scrub(documents(s, d)).drop("scrubbed")
 
+  /** d24: the scrub regexes under CROSS-ENGINE fire. The corpus holds
+    * no real emails/URLs (d19 proves sums are 0), so d19 alone never
+    * exercises the email/URL patterns against the DuckDB oracle. Here
+    * every doc gets a deterministic synthetic email + URL appended —
+    * mixed case, `+` tag, dotted local part, hyphenated domain,
+    * uppercase scheme, query string, trailing sentence punctuation —
+    * and BOTH engines build the identical string, so the hash-match
+    * is a true Java-regex ↔ RE2 parity check on the PII patterns. */
+  def d24_pii_fixture(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val injected = concat(
+      col("text"),
+      lit(" Contact John.Doe+"), col("doc_id").cast("string"),
+      lit("@Example-Mail.COM or HTTPS://t.example.org/p/"),
+      col("doc_id").cast("string"), lit("?q=1&r=2 now."))
+    scrub(docs.select(col("doc_id"), injected.as("text"))).drop("scrubbed")
+  }
+
   // ── d20: boilerplate gram detection + per-doc ratio ───────────────
   /** C4-style boilerplate pass at gram granularity (the corpus has no
     * line structure): a word-3-gram occurring in ≥ `minDocs` distinct

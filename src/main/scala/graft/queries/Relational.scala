@@ -580,9 +580,10 @@ object Relational {
   // ── Datalog relation binding ([[?a ?b]]) under the oracle gate ────
   /** Datomic's relation input binding: the arg is a SET OF TUPLES that
     * constrains variable combinations (a broadcast inner join in the
-    * plan), not each variable independently — ("7","0") names a real
-    * nation and a real region but the wrong pairing, so it matches
-    * nothing. */
+    * plan), not each variable independently — ("10","2") names a real
+    * nation and a real region but the WRONG pairing (nation 10 lives
+    * in region 0), so it matches nothing; only the two correct
+    * pairings below survive. */
   def q43_datalog_relation_binding(s: SparkSession, d: String): DataFrame = {
     import graft.edn.Edn._
     val q = graft.query.Datalog.parse(
@@ -593,7 +594,7 @@ object Relational {
     val tuples = EVec(Vector(
       EVec(Vector(EStr("5"), EStr("0"))),   // nation 5 really is in region 0
       EVec(Vector(EStr("7"), EStr("2"))),   // nation 7 really is in region 2
-      EVec(Vector(EStr("10"), EStr("2"))))) // nation 10 is in region 0 — wrong pairing
+      EVec(Vector(EStr("10"), EStr("2"))))) // WRONG pairing: nation 10 is in region 0, not 2
     graft.query.Datalog.runOn(
         nationEav(s, d).select(col("e").cast("string").as("e"), col("a"), col("v")),
         new graft.model.SchemaRegistry(Map.empty), q, Map("e" -> tuples))

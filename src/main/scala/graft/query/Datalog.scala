@@ -544,6 +544,14 @@ object Datalog {
         case _ => None
       }
       seqArg match {
+        // ambiguous: the head holds a Datomic-shape sequential AND other
+        // tuple vars carry their own args — destructuring would silently
+        // overwrite the caller's per-var values. Refuse loudly.
+        case Some(_) if vars.tail.exists(a.contains) =>
+          throw new IllegalArgumentException(
+            s"tuple binding [${slots.map(_.map("?" + _).getOrElse("_")).mkString(" ")}]: " +
+              s"?${vars.head} holds a sequential but other tuple vars also have args — " +
+              "pass EITHER one tuple value under the first var OR one scalar per var")
         case Some(xs) if xs.size == slots.size =>
           a ++ slots.zip(xs).collect { case (Some(v), x) => v -> x }
         // a blank slot leaves no per-var-scalar reading; likewise when

@@ -36,6 +36,21 @@ class CurateSpec extends AnyFunSuite {
     assert(agg.getLong(2) > 0L) // the wordlist token occurs in the corpus
   }
 
+  test("d24: injected PII fires the email/URL patterns on every doc") {
+    val out = Curate.d24_pii_fixture(spark, sf)
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.count() === n)
+    // every doc got exactly one synthetic email and one synthetic URL
+    val bad = out.filter(col("n_email") =!= 1L || col("n_url") =!= 1L).count()
+    assert(bad === 0L)
+    // redaction really shortened the text: <EMAIL>/<URL> replace longer spans
+    val unshrunk = Curate.d24_pii_fixture(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf), "doc_id")
+      .filter(col("clean_len") >= length(col("text")) + lit(60))
+      .count()
+    assert(unshrunk === 0L)
+  }
+
   test("d20: boilerplate set joins back as a broadcast, corpus never self-joins") {
     val df = Curate.d20_boilerplate(spark, sf)
     val p = df.queryExecution.executedPlan.toString

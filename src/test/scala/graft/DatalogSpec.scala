@@ -249,6 +249,22 @@ class DatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("arity"), err.getMessage)
   }
 
+  test(":in tuple binding rejects a sequential head mixed with per-var args") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "kind", "a"), ("e1", "size", "1"),
+      ("e2", "kind", "b"), ("e2", "size", "1"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse("[:find ?e :in $ [?k ?s] :where [?e :kind ?k] [?e :size ?s]]")
+    // ambiguous: ?k holds a Datomic-shape sequential AND ?s has its own
+    // arg — destructuring would overwrite s="1" with "b"; must throw
+    val err = intercept[IllegalArgumentException] {
+      Datalog.runOn(eav, emptyRegistry, q,
+        Map("k" -> EVec(Vector(EStr("a"), EStr("b"))), "s" -> EStr("1")))
+    }
+    assert(err.getMessage.contains("per var"), err.getMessage)
+  }
+
   test(":in relation binding with a var unbound by :where is a clear error") {
     import spark.implicits._
     val eav = Seq(("e1", "kind", "a")).toDF("e", "a", "v")
