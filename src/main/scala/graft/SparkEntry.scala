@@ -89,6 +89,11 @@ object SparkEntry {
     "q43_datalog_relation_binding" -> (Relational.q43_datalog_relation_binding _),
     "q44_rollup"             -> (Relational.q44_rollup _),
     "q45_pivot"              -> (Relational.q45_pivot _),
+    "q46_fulltext"           -> (Relational.q46_fulltext _),
+    "q47_index_range"        -> (Relational.q47_index_range _),
+    "q48_cas"                -> (Relational.q48_cas _),
+    "q49_retract_entity"     -> (Relational.q49_retract_entity _),
+    "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -665,6 +670,69 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // fulltext: needle "small" also occurs in the NON-fulltext
+    // part/type attr ("SMALL") — the oracle only searches p_name, so a
+    // hash match proves the schema gate
+    "q46_fulltext" ->
+      """SELECT p_partkey AS e, 'part/name' AS a, p_name AS v FROM part
+        |WHERE list_contains(
+        |  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> length(t) > 0),
+        |  'small')""".stripMargin,
+    "q47_index_range" ->
+      """SELECT o_orderkey AS e,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5000000
+        |  AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) < 6000000""".stripMargin,
+    "q48_cas" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT
+        |  (SELECT COUNT(*) FROM o WHERE k % 4 = 0) AS n_accepted,
+        |  (SELECT COUNT(*) FROM o WHERE k % 4 = 1) AS n_rejected,
+        |  (SELECT CAST(SUM(CASE WHEN k % 4 = 0 THEN cents + 100 ELSE cents END) AS BIGINT)
+        |     FROM o) AS total_cents""".stripMargin,
+    "q49_retract_entity" ->
+      """WITH alive_o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ck,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 100 <> 0),
+        |alive_l AS (
+        |  SELECT l_orderkey AS k, (l_orderkey, l_linenumber, l_partkey, l_suppkey) AS lid,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qcents
+        |  FROM lineitem WHERE l_orderkey % 100 <> 0)
+        |SELECT 'order/price' AS a, COUNT(*) AS n_datoms,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_entities,
+        |  CAST(SUM(cents) AS BIGINT) AS total_v
+        |FROM alive_o
+        |UNION ALL
+        |SELECT 'order/line', COUNT(*), CAST(COUNT(DISTINCT k) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM alive_l
+        |UNION ALL
+        |SELECT 'line/qty', COUNT(*),
+        |  CAST(COUNT(DISTINCT lid) AS BIGINT), CAST(SUM(qcents) AS BIGINT)
+        |FROM alive_l
+        |UNION ALL
+        |SELECT 'cust/order', COUNT(*), CAST(COUNT(DISTINCT ck) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM alive_o""".stripMargin,
+    "d25_segment_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, pos // 8 AS seg_idx,
+        |    string_agg(word, ' ' ORDER BY pos) AS seg
+        |  FROM w GROUP BY doc_id, pos // 8),
+        |c AS (SELECT seg, min(doc_id * 1000000 + seg_idx) AS canon_key FROM s GROUP BY seg)
+        |SELECT s.doc_id, COUNT(*) AS n_segs,
+        |  CAST(SUM(CASE WHEN s.doc_id * 1000000 + s.seg_idx = c.canon_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN s.doc_id * 1000000 + s.seg_idx = c.canon_key THEN s.seg END,
+        |    ' ' ORDER BY s.seg_idx), '')) AS clean_hash
+        |FROM s JOIN c USING (seg) GROUP BY s.doc_id""".stripMargin,
     "q45_pivot" ->
       """SELECT c_mktsegment,
         |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_1,

@@ -468,6 +468,41 @@ object Llm {
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"), col("cosine"))
   }
 
+  // ── d25: segment-level dedup (paragraph dedup without paragraphs) ──
+  /** Sub-document exact dedup — the RefinedWeb/CCNet "line dedup"
+    * pass: documents split into fixed 8-word segments (the synthetic
+    * corpus has no newline structure, so segment = the paragraph
+    * stand-in), every segment's FIRST corpus occurrence (min
+    * (doc_id, seg_idx)) is kept, later copies are dropped, and each
+    * doc reports its segment counts plus the hash of its reassembled
+    * cleaned text.
+    *
+    * Scale shape — the d01 pattern pushed down a level: one word-
+    * explode + (doc, seg)-keyed agg to build segments (shuffle ∝
+    * corpus tokens), one segment-text groupBy for the canonical
+    * occurrence, one join back, one per-doc agg. No self-join, no
+    * window over the corpus; everything keys on segment hash or
+    * doc_id. The 1e6 key-packing bounds seg_idx, not corpus size
+    * (docs with ≥8M words would need a wider pack). */
+  def d25_segment_dedup(s: SparkSession, d: String): DataFrame = {
+    val segs = documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("seg_idx", expr("pos div 8"))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").as("seg"))
+      .withColumn("key", col("doc_id") * 1000000L + col("seg_idx"))
+    val canon = segs.groupBy(col("seg")).agg(min(col("key")).as("canon_key"))
+    segs.join(canon, "seg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("key") === col("canon_key"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+            when(col("key") === col("canon_key"), struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ")).as("clean_hash"))
+  }
+
   /** Exact all-pairs variant on a deterministic sample — the recall
     * baseline d15 is measured against in LlmSpec; NOT a gated query
     * (a BroadcastNestedLoopJoin is quadratic work however you sample). */

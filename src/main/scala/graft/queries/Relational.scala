@@ -641,6 +641,109 @@ object Relational {
         coalesce(col(s"`${p}_cents`"), lit(0L)).as(s"cents_${p.charAt(0)}"))): _*)
   }
 
+  // ── Fulltext search under the oracle gate ─────────────────────────
+  /** Datomic's `fulltext` Datalog function (schema-gated token
+    * search): parts as an EAV with `part/name` fulltext-indexed and
+    * `part/type` NOT. The needle "small" occurs in BOTH — p_name
+    * "small ring" and p_type "SMALL" — so the oracle-matched result
+    * proves the schema gate: only name datoms come back. Tokenization
+    * is split-on-non-alphanumeric, lowercased (the same contract the
+    * store-level `Explore.fulltext` applies to `:db/fulltext` attrs). */
+  def q46_fulltext(s: SparkSession, d: String): DataFrame = {
+    val eav = part(s, d).select(
+      col("p_partkey").cast("string").as("e"),
+      expr("stack(2, 'part/name', p_name, 'part/type', p_type)").as(Seq("a", "v")))
+    graft.query.Explore.fulltextOn(eav, Seq("part/name"), "small")
+      .select(col("e").cast("long").as("e"), col("a"), col("v"))
+  }
+
+  // ── AVET index-range scan ─────────────────────────────────────────
+  /** Datomic `d/index-range`: all values of one attribute within a
+    * half-open value range, in value order. Orders' price attribute in
+    * [$50k, $60k) cents. At 100 TB the filter is attribute-partition
+    * pruning + parquet min/max row-group pruning — see
+    * `Store.indexRange`; the oracle is a plain range predicate. */
+  def q47_index_range(s: SparkSession, d: String): DataFrame = {
+    val c = cents(col("o_totalprice"))
+    val eav = orders(s, d).select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      c.cast("string").as("v"), c.as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    graft.store.Store.indexRange(eav, "order/price", 5000000L, 6000000L)
+      .select(col("e").cast("long").as("e"), col("v_long").as("price_cents"))
+  }
+
+  // ── :db/cas transaction function ──────────────────────────────────
+  /** Compare-and-swap: ops against orders' price attribute — e%4==0
+    * ops carry the CORRECT expected value (accepted, price bumps by
+    * 100 cents at tx 2), e%4==1 ops carry a stale expected (rejected,
+    * error-as-data). Output: op outcome counts + the resolved final
+    * total, proving rejected ops did NOT mutate state. */
+  def q48_cas(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val state = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      c.cast("string").as("v"), c.as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val k = col("o_orderkey")
+    val ops = o.filter(pmod(k, lit(4)) < 2).select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      when(pmod(k, lit(4)) === 0, c).otherwise(c + 1).cast("string").as("expected"),
+      (c + 100).cast("string").as("new_v"), (c + 100).as("new_v_long"))
+    val out = graft.store.Store.cas(state, ops, 2L)
+    val accepted = out.filter(col("cas_ok"))
+      .select("e", "a", "v", "v_long", "is_ref", "tx", "op")
+    val finalState = graft.store.Store.resolve(state.unionByName(accepted), Seq.empty)
+    out.agg(
+        sum(when(col("cas_ok"), 1L).otherwise(0L)).as("n_accepted"),
+        sum(when(!col("cas_ok"), 1L).otherwise(0L)).as("n_rejected"))
+      .crossJoin(finalState.agg(sum(col("v_long")).cast("long").as("total_cents")))
+  }
+
+  // ── :db.fn/retractEntity with component cascade ───────────────────
+  /** Entity-wholesale retraction: orders divisible by 100 are
+    * retracted at tx 2. The graph: orders own their lineitems via the
+    * COMPONENT ref `order/line` (cascade: the lines' own datoms go
+    * too), and customers point at orders via the non-component
+    * `cust/order` (inbound refs to a dead entity are retracted, the
+    * customer itself survives). Output: post-retraction datom counts
+    * and sums per attribute — every row class (target datoms, cascaded
+    * component datoms, inbound refs, untouched survivors) lands in a
+    * different group, so the oracle pins the full semantics. */
+  def q49_retract_entity(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    val oe = concat(lit("o"), col("o_orderkey").cast("string"))
+    // the synthetic lineitem is only unique on the full 4-tuple
+    // (orderkey, linenumber, partkey, suppkey) — a narrower entity id
+    // would alias distinct lines into one entity
+    val le = concat(lit("l"), col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"), lit("-"),
+      col("l_partkey").cast("string"), lit("-"), col("l_suppkey").cast("string"))
+    val price = cents(col("o_totalprice"))
+    val qty = cents(col("l_quantity"))
+    def datoms(e: Column, a: String, v: Column, vLong: Column, isRef: Boolean, src: DataFrame) =
+      src.select(e.as("e"), lit(a).as("a"), v.cast("string").as("v"),
+        vLong.as("v_long"), lit(isRef).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val loe = concat(lit("o"), col("l_orderkey").cast("string"))
+    val log = datoms(oe, "order/price", price, price, isRef = false, o)
+      .unionByName(datoms(loe, "order/line", le, lit(null).cast("long"), isRef = true, li))
+      .unionByName(datoms(le, "line/qty", qty, qty, isRef = false, li))
+      .unionByName(datoms(concat(lit("c"), col("o_custkey").cast("string")),
+        "cust/order", oe, lit(null).cast("long"), isRef = true, o))
+    val targets = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select(concat(lit("o"), col("o_orderkey").cast("string")).as("e"))
+    val retractions = graft.store.Store.retractEntityTx(
+      log, targets, componentAttrs = Seq("order/line"), tx = 2L)
+    graft.store.Store.resolve(log.unionByName(retractions),
+        manyAttrs = Seq("order/line", "cust/order"))
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_datoms"),
+        countDistinct(col("e")).as("n_entities"),
+        coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_v"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -53,8 +53,17 @@ object Explore {
     * prunes to the fulltext attrs' partitions before matching. */
   def fulltext(store: Store, registry: SchemaRegistry, needle: String): DataFrame = {
     val ftAttrs = registry.attrs.values.filter(_.fulltext).map(_.ident).toSeq
+    fulltextOn(store.eav, ftAttrs, needle)
+  }
+
+  /** The fulltext core over any EAV-shaped frame: only datoms of the
+    * declared fulltext attrs are searched — a token occurring in a
+    * non-indexed attr's value must NOT match, exactly as in Datomic
+    * (only `:db/fulltext true` attrs feed the Lucene index). Oracle-
+    * gated by q46. */
+  def fulltextOn(eav: DataFrame, ftAttrs: Seq[String], needle: String): DataFrame = {
     require(ftAttrs.nonEmpty, "schema declares no fulltext attrs")
-    store.eav
+    eav
       .filter(col("a").isInCollection(ftAttrs))
       .filter(array_contains(
         expr("filter(split(lower(v), '[^a-z0-9]+'), t -> length(t) > 0)"),

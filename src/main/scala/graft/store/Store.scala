@@ -202,6 +202,74 @@ object Store {
     one.unionByName(many)
   }
 
+  /** AVET index-range scan (Datomic `d/index-range`): the datoms of
+    * attribute `a` whose numeric value lies in [vFrom, vUntil), in
+    * value order. On the attribute-partitioned log this is partition
+    * pruning on `a` plus parquet min/max row-group pruning on
+    * `v_long` — an index-range over a 100 TB store reads one
+    * attribute's partitions and only the row groups intersecting the
+    * range; the sort is the iteration order the Datomic API promises. */
+  def indexRange(eav: DataFrame, a: String, vFrom: Long, vUntil: Long): DataFrame =
+    eav.filter(col("a") === a && col("v_long") >= vFrom && col("v_long") < vUntil)
+      .orderBy(col("v_long"), col("e"))
+
+  /** `:db/cas` transaction function (compare-and-swap). `ops` columns:
+    * (e, a, expected, new_v, new_v_long). An op succeeds iff the
+    * current value of (e, a) in `state` equals `expected` — null
+    * expected matches a not-yet-asserted attr, as in Datomic. Output
+    * is one row per op: accepted rows are assertion datoms at `tx`
+    * (`cas_ok` = true); failed ops come back as error-as-data rows
+    * carrying the observed current value (like `ops/Validate`) — in
+    * Datomic a failed CAS aborts its whole transaction, so callers
+    * gate on zero failures before appending the accepted datoms.
+    * Plan shape: ONE left broadcast/hash join of the op set against
+    * the (e, a)-keyed current state — ops are small relative to the
+    * store, so this scales as a map-side join over the pruned scan. */
+  def cas(state: DataFrame, ops: DataFrame, tx: Long): DataFrame = {
+    val cur = state.select(col("e"), col("a"), col("v").as("cur_v"))
+    ops.join(cur, Seq("e", "a"), "left")
+      .withColumn("cas_ok", col("cur_v") <=> col("expected"))
+      .select(col("e"), col("a"),
+        col("new_v").as("v"), col("new_v_long").as("v_long"),
+        lit(false).as("is_ref"), lit(tx).as("tx"), lit(true).as("op"),
+        col("cas_ok"), col("cur_v"), col("expected"))
+  }
+
+  /** `:db.fn/retractEntity`: retract a set of entities wholesale at
+    * `tx`. Generates retraction datoms (op = false) for
+    *  - every current datom whose E is a target,
+    *  - every ref datom whose V points AT a target (inbound refs), and
+    *  - the recursive closure of sub-entities owned via COMPONENT ref
+    *    attrs (Datomic cascades ownership exactly this way).
+    * The closure loop runs once per component-NESTING level — bounded
+    * by the schema's component depth, not by data size — and each
+    * round is a semi-join of the component edge set against the new
+    * frontier. Append the result to the log; `resolve` then hides the
+    * retracted values at horizons ≥ `tx`. */
+  def retractEntityTx(state: DataFrame, targets: DataFrame,
+      componentAttrs: Seq[String], tx: Long): DataFrame = {
+    var dead = targets.select(col("e")).distinct().localCheckpoint()
+    if (componentAttrs.nonEmpty) {
+      val compEdges = state
+        .filter(col("a").isInCollection(componentAttrs) && col("is_ref"))
+        .select(col("e").as("src"), col("v").as("dst"))
+      var frontier = dead
+      var growing = true
+      while (growing) {
+        val next = compEdges.join(frontier, compEdges("src") === frontier("e"), "left_semi")
+          .select(col("dst").as("e")).distinct()
+          .join(dead, Seq("e"), "left_anti").localCheckpoint()
+        if (next.isEmpty) growing = false
+        else { dead = dead.unionByName(next).localCheckpoint(); frontier = next }
+      }
+    }
+    val byE = state.join(dead, Seq("e"), "left_semi")
+    val byV = state.filter(col("is_ref"))
+      .join(dead.select(col("e").as("dead_e")), col("v") === col("dead_e"), "left_semi")
+    byE.unionByName(byV).distinct()
+      .withColumn("tx", lit(tx)).withColumn("op", lit(false))
+  }
+
   import org.apache.spark.sql.types._
   val schema: StructType = StructType(Seq(
     StructField("e", StringType, nullable = false),

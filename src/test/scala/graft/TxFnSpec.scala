@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.Store
+
+/** Transaction functions (:db/cas, :db.fn/retractEntity), the AVET
+  * index-range scan, and schema-gated fulltext — the Datomic write/
+  * read surface beyond plain assert/retract. Oracle-gated by
+  * q46-q49; these specs pin the semantic edges the harness data
+  * doesn't reach (null-expected CAS, depth-2 component cascade,
+  * non-component refs NOT cascading). */
+class TxFnSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def datoms(rows: (String, String, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("e", "a", "v", "tx")
+      .withColumn("v_long", lit(null).cast("long"))
+      .withColumn("is_ref", lit(false))
+      .withColumn("op", lit(true))
+  }
+
+  private def refDatoms(rows: (String, String, String, Long)*) =
+    datoms(rows: _*).withColumn("is_ref", lit(true))
+
+  test("cas: correct expected accepts, stale rejects, null expected matches unset attr") {
+    import spark.implicits._
+    val state = datoms(
+      ("e1", "price", "100", 1L),
+      ("e2", "price", "200", 1L))
+    val ops = Seq(
+      ("e1", "price", Some("100"), "150"), // correct expected → accept
+      ("e2", "price", Some("999"), "250"), // stale expected → reject
+      ("e3", "price", None, "300"))        // unset attr + null expected → accept
+      .toDF("e", "a", "expected", "new_v")
+      .withColumn("new_v_long", col("new_v").cast("long"))
+    val out = Store.cas(state, ops, 2L).collect().map(r =>
+      r.getString(0) -> r.getBoolean(r.fieldIndex("cas_ok"))).toMap
+    assert(out === Map("e1" -> true, "e2" -> false, "e3" -> true))
+    // rejected op carries the observed current value (error-as-data)
+    val rej = Store.cas(state, ops, 2L).filter(!col("cas_ok")).collect()(0)
+    assert(rej.getString(rej.fieldIndex("cur_v")) === "200")
+    // applying only accepted datoms: e2 unchanged, e1 swapped, e3 created
+    val accepted = Store.cas(state, ops, 2L).filter(col("cas_ok"))
+      .select("e", "a", "v", "v_long", "is_ref", "tx", "op")
+    val resolved = Store.resolve(state.unionByName(accepted), Seq.empty)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(resolved === Map("e1" -> "150", "e2" -> "200", "e3" -> "300"))
+  }
+
+  test("retractEntity: depth-2 component cascade + inbound refs; non-component survives") {
+    import spark.implicits._
+    // order o1 owns line l1 (component), l1 owns sub s1 (component,
+    // depth 2); customer c1 points at o1 (non-component ref); o1
+    // points at nation n1 via a non-component ref — n1 must survive
+    val state = datoms(
+      ("o1", "price", "100", 1L),
+      ("l1", "qty", "5", 1L),
+      ("s1", "note", "x", 1L),
+      ("o2", "price", "999", 1L),
+      ("n1", "name", "JP", 1L))
+      .unionByName(refDatoms(
+        ("o1", "order/line", "l1", 1L),
+        ("l1", "line/sub", "s1", 1L),
+        ("c1", "cust/order", "o1", 1L),
+        ("c1", "cust/order", "o2", 1L),
+        ("o1", "order/nation", "n1", 1L)))
+    val targets = Seq("o1").toDF("e")
+    val retr = Store.retractEntityTx(state, targets,
+      componentAttrs = Seq("order/line", "line/sub"), tx = 2L)
+    // retracted: o1's 3 datoms (price, order/line, order/nation),
+    // cascade l1 (qty, line/sub), cascade s1 (note), inbound c1→o1
+    val retracted = retr.select("e", "a", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(retracted === Set(
+      ("o1", "price", "100"), ("o1", "order/line", "l1"), ("o1", "order/nation", "n1"),
+      ("l1", "qty", "5"), ("l1", "line/sub", "s1"),
+      ("s1", "note", "x"),
+      ("c1", "cust/order", "o1")))
+    assert(retr.filter(col("op")).count() === 0, "all generated datoms are retractions")
+    // post-retraction state: o2, n1, and c1's OTHER ref survive
+    val after = Store.resolve(state.unionByName(retr), Seq("cust/order"))
+      .select("e", "a", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(after === Set(
+      ("o2", "price", "999"), ("n1", "name", "JP"), ("c1", "cust/order", "o2")))
+  }
+
+  test("indexRange: half-open value range in value order, attr-pruned on a real store") {
+    val store = new Store(spark, java.nio.file.Files.createTempDirectory("idxrange").toString)
+    store.append(datoms(
+      ("e1", "price", "10", 1L), ("e2", "price", "20", 1L),
+      ("e3", "price", "30", 1L), ("e4", "other", "20", 1L))
+      .withColumn("v_long", col("v").cast("long")))
+    val out = Store.indexRange(store.eav, "price", 10L, 30L)
+    assert(out.select("e").collect().map(_.getString(0)).toSeq === Seq("e1", "e2"),
+      "half-open [10, 30) in value order; the 'other' attr's 20 is excluded")
+    // the attr filter prunes store partitions; the range rides the scan
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p.take(800))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(v_long,10"), p.take(800))
+  }
+
+  test("fulltextOn: schema gate and tokenization") {
+    import spark.implicits._
+    val eav = Seq(
+      ("p1", "part/name", "small ring"),
+      ("p2", "part/name", "Smallish ring"), // 'smallish' tokenizes whole: no match
+      ("p3", "part/type", "SMALL"),         // non-fulltext attr: must not match
+      ("p4", "part/name", "SMALL bolt"))    // case-insensitive match
+      .toDF("e", "a", "v")
+    val hits = graft.query.Explore.fulltextOn(eav, Seq("part/name"), "Small")
+      .select("e").collect().map(_.getString(0)).toSet
+    assert(hits === Set("p1", "p4"))
+  }
+
+  test("d25 segments: within-doc duplicates dedup to the first occurrence") {
+    import spark.implicits._
+    // doc 1: segment A appears twice (idx 0 and 1); doc 2 repeats A again
+    // and adds its own B; 8 words per segment
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val b = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val docs = Seq((1L, s"$a $a"), (2L, s"$a $b"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d25").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Llm.d25_segment_dedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))),
+      "doc1 keeps one of two copies of A; doc2 keeps only B")
+  }
+}
