@@ -93,6 +93,7 @@ object SparkEntry {
     "q47_index_range"        -> (Relational.q47_index_range _),
     "q48_cas"                -> (Relational.q48_cas _),
     "q49_retract_entity"     -> (Relational.q49_retract_entity _),
+    "q50_datalog_multi_db"   -> (Relational.q50_datalog_multi_db _),
     "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
@@ -717,6 +718,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'cust/order', COUNT(*), CAST(COUNT(DISTINCT ck) AS BIGINT), CAST(0 AS BIGINT)
         |FROM alive_o""".stripMargin,
+    "q50_datalog_multi_db" ->
+      """SELECT n_nationkey AS e, n_name AS nation_name, r_name AS region_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "d25_segment_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -641,6 +641,33 @@ object Relational {
         coalesce(col(s"`${p}_cents`"), lit(0L)).as(s"cents_${p.charAt(0)}"))): _*)
   }
 
+  // ── Multi-source Datalog ($ + $2) ─────────────────────────────────
+  /** Datomic's multi-database joins: `:in $ $2` binds a second
+    * database, addressed per-pattern as `[$2 ?e :attr ?v]`. Here the
+    * default db holds nations, `$2` holds regions — the shared ?rk
+    * variable joins ACROSS databases exactly like any shared var
+    * (each source is its own attribute-pruned scan; Catalyst plans
+    * the cross-db equi-join and broadcasts the small side). */
+  def q50_datalog_multi_db(s: SparkSession, d: String): DataFrame = {
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?n ?rname
+        | :in $ $2
+        | :where [?e :n_name ?n]
+        |        [?e :n_regionkey ?rk]
+        |        [$2 ?r :r_regionkey ?rk]
+        |        [$2 ?r :r_name ?rname]]""".stripMargin)
+    val regionEav = region(s, d).select(
+      col("r_regionkey").cast("string").as("e"),
+      expr("stack(2, 'r_regionkey', cast(r_regionkey as string), 'r_name', r_name)")
+        .as(Seq("a", "v")))
+    graft.query.Datalog.runOn(
+        nationEav(s, d).select(col("e").cast("string").as("e"), col("a"), col("v")),
+        new graft.model.SchemaRegistry(Map.empty), q, Map.empty,
+        extraSrcs = Map("2" -> regionEav))
+      .select(col("e").cast("int").as("e"), col("n").as("nation_name"),
+        col("rname").as("region_name"))
+  }
+
   // ── Fulltext search under the oracle gate ─────────────────────────
   /** Datomic's `fulltext` Datalog function (schema-gated token
     * search): parts as an EAV with `part/name` fulltext-indexed and

@@ -37,7 +37,11 @@ object Datalog {
   final case class FPull(varName: String, pattern: Seq[Pull.Spec]) extends FindElem
 
   sealed trait Clause
-  final case class Pattern(e: Term, a: Term, v: Term) extends Clause
+  /** `src` = None for the default database `$`; Some(name) for an
+    * extra `:in` database (`$2`, `$docs`, …) named at the pattern head
+    * (`[$2 ?e :attr ?v]`) — Datomic's multi-source joins. */
+  final case class Pattern(e: Term, a: Term, v: Term,
+    src: Option[String] = None) extends Clause
   /** `(rule-name ?arg …)` — invocation of a rule from the `%` rule set
     * (Datomic rules, including self-recursive ones). */
   final case class RuleCall(name: String, args: Seq[Term]) extends Clause
@@ -76,7 +80,8 @@ object Datalog {
   final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause],
     withVars: Seq[String] = Seq.empty, collIn: Seq[String] = Seq.empty,
     tupleIn: Seq[Seq[Option[String]]] = Seq.empty, // None = `_` (ignored slot)
-    relIn: Seq[Seq[String]] = Seq.empty)
+    relIn: Seq[Seq[String]] = Seq.empty,
+    srcs: Seq[String] = Seq.empty) // extra databases beyond `$` (`$2`, …)
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -140,9 +145,15 @@ object Datalog {
       case e @ EVec(elems) if !isColl(e) && tupleSlots(elems).isDefined =>
         tupleSlots(elems).get.flatten // tuple vars resolve as scalars after destructuring
     }.flatten
+    // extra databases: any `$name` after the first `$` (Datomic multi-
+    // source: each joins via `[$name e a v]` patterns)
+    val srcs = inForms.collect {
+      case ESym("", v) if v.startsWith("$") && v != "$" => v.drop(1)
+    }
     // reject :in forms that matched nothing (silent drops hide typos)
     inForms.foreach {
       case ESym("", "$") | ESym("", "%") => ()
+      case ESym("", v) if v.startsWith("$") => ()
       case ESym("", v) if v.startsWith("?") => ()
       case e @ EVec(_) if isColl(e) => ()
       case EVec(Vector(EVec(elems))) if varNames(elems).isDefined => ()
@@ -159,10 +170,17 @@ object Datalog {
       case ESym("", v) if v.startsWith("?") => v.drop(1)
       case other => throw new IllegalArgumentException(s"bad :with element: ${Edn.print(other)}")
     }
-    Query(find, in, patterns, withVars, collIn, tupleIn, relIn)
+    Query(find, in, patterns, withVars, collIn, tupleIn, relIn, srcs)
   }
 
   private def clause(e: Edn): Clause = e match {
+    // `[$src ?e :attr ?v]` — pattern against a named extra database
+    case EVec(ESym("", src) +: terms)
+        if src.startsWith("$") && src != "$" && terms.size == 3 =>
+      Pattern(term(terms(0)), term(terms(1)), term(terms(2)), Some(src.drop(1)))
+    // `[$ ?e :attr ?v]` — explicit default-db marker, same as bare
+    case EVec(ESym("", "$") +: terms) if terms.size == 3 =>
+      Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
     case EVec(terms) if terms.size == 3 && !terms(0).isInstanceOf[EList] =>
       Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
     // `[(missing? $ ?e :attr)]` — sugar for (not [?e :attr _])
@@ -371,10 +389,14 @@ object Datalog {
 
   /** Conjunction of clauses → natural joins on shared variables;
     * predicate / function clauses apply to the frame built so far
-    * (their variables must already be bound). */
-  private def evalClauses(eav: DataFrame, registry: SchemaRegistry,
+    * (their variables must already be bound). `srcEav` resolves a
+    * pattern's database: None = the default `$`, Some(name) = an
+    * extra `:in` source — multi-source patterns join like any other
+    * (shared vars become equi-joins across the two scans). */
+  private def evalClauses(srcEav: Option[String] => DataFrame, registry: SchemaRegistry,
       clauses: Seq[Clause], resolve: Term => Term,
       ruleEnv: String => DataFrame): DataFrame = {
+    val eav = srcEav(None)
     require(clauses.nonEmpty, "empty clause body")
     clauses.foldLeft(Option.empty[DataFrame]) { (acc, c) =>
       def bound = acc.getOrElse(throw new IllegalArgumentException(
@@ -387,7 +409,7 @@ object Datalog {
             fnColumn(fc.copy(args = fc.args.map(resolve)), registry)))
         case nc: NotClause =>
           val a = bound
-          val inner = evalClauses(eav, registry, nc.clauses, resolve, ruleEnv)
+          val inner = evalClauses(srcEav, registry, nc.clauses, resolve, ruleEnv)
           val shared = a.columns.intersect(inner.columns).toSeq
           require(shared.nonEmpty, "(not …) shares no variables with the outer query")
           Some(a.join(inner.select(shared.map(col): _*).distinct(), shared, "left_anti"))
@@ -409,7 +431,7 @@ object Datalog {
                 lit(constText(ge.default, Some(ge.attr.qualified), registry))))
             .drop(tmp))
         case oc: OrClause =>
-          val legs0 = oc.legs.map(evalClauses(eav, registry, _, resolve, ruleEnv))
+          val legs0 = oc.legs.map(evalClauses(srcEav, registry, _, resolve, ruleEnv))
           // or-join projects each leg to the declared vars; plain or
           // requires identical bindings across legs
           val legs = oc.joinVars match {
@@ -429,7 +451,7 @@ object Datalog {
           })
         case nj: NotJoinClause =>
           val a = bound
-          val inner = evalClauses(eav, registry, nj.clauses, resolve, ruleEnv)
+          val inner = evalClauses(srcEav, registry, nj.clauses, resolve, ruleEnv)
           val cols = nj.joinVars.map(v => s"var_$v")
           require(cols.forall(a.columns.contains),
             s"(not-join …) vars must be bound in the outer query: ${nj.joinVars}")
@@ -437,7 +459,8 @@ object Datalog {
         case _ =>
           val projected = c match {
             case p: Pattern =>
-              evalPattern(eav, registry, Pattern(resolve(p.e), resolve(p.a), resolve(p.v)))
+              evalPattern(srcEav(p.src), registry,
+                Pattern(resolve(p.e), resolve(p.a), resolve(p.v)))
             case rc: RuleCall =>
               evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
             case _ => throw new IllegalStateException("unreachable")
@@ -459,7 +482,7 @@ object Datalog {
     * cluster scale, swap in reliable `checkpoint` on a checkpoint
     * dir). Linear recursion only (one self-call per recursive body);
     * mutual recursion is rejected. */
-  private def evalRules(eav: DataFrame, registry: SchemaRegistry,
+  private def evalRules(srcEav: Option[String] => DataFrame, registry: SchemaRegistry,
       rules: Map[String, Seq[RuleDef]],
       maxIters: Int, rootClauses: Seq[Clause]): Map[String, DataFrame] = {
     val cache = scala.collection.mutable.Map[String, DataFrame]()
@@ -487,7 +510,7 @@ object Datalog {
         // that happens to share a name with an :in parameter must NOT
         // be substituted — constants reach a rule only through its
         // call-site arguments, which resolve at the call site
-        evalClauses(eav, registry, d.body, identity, env)
+        evalClauses(srcEav, registry, d.body, identity, env)
           .select(d.params.zipWithIndex.map { case (p, i) => col(s"var_$p").as(s"p$i") }: _*)
       }
       var total = baseDefs.map(evalBody(_, None)).reduce(_ unionByName _)
@@ -527,10 +550,21 @@ object Datalog {
     cache.toMap
   }
 
-  /** Plan the query over any EAV-shaped DataFrame (e, a, v). */
+  /** Plan the query over any EAV-shaped DataFrame (e, a, v).
+    * `extraSrcs` supplies the additional databases a multi-source
+    * query names in `:in` (`$2`, `$docs`, …), each an EAV-shaped
+    * frame; patterns address them as `[$2 ?e :attr ?v]`. */
   def runOn(eav: DataFrame, registry: SchemaRegistry, q: Query,
       args0: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
-      maxRuleIters: Int = 100): DataFrame = {
+      maxRuleIters: Int = 100,
+      extraSrcs: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val missingSrcs = q.srcs.filterNot(extraSrcs.contains)
+    require(missingSrcs.isEmpty, s"unbound :in databases: ${missingSrcs.map("$" + _)}")
+    val srcEav: Option[String] => DataFrame = {
+      case None => eav
+      case Some(n) => extraSrcs.getOrElse(n, throw new IllegalArgumentException(
+        s"pattern names unknown database $$$n (declare it in :in and pass extraSrcs)"))
+    }
     // tuple binding [?a ?b] / [?a _]: one sequential arg under the
     // first var's name destructures positionally (Datomic passes it as
     // one value); `_` slots are skipped. Destructuring wins over
@@ -577,8 +611,8 @@ object Datalog {
       case TVar(n) if args.contains(n) && !collSet.contains(n) => TConst(args(n))
       case other => other
     }
-    val relations = evalRules(eav, registry, rules, maxRuleIters, q.patterns)
-    val joined0 = evalClauses(eav, registry, q.patterns, resolve,
+    val relations = evalRules(srcEav, registry, rules, maxRuleIters, q.patterns)
+    val joined0 = evalClauses(srcEav, registry, q.patterns, resolve,
       name => relations.getOrElse(name,
         throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")))
     val joined = q.collIn.filter(args.contains).foldLeft(joined0) { (df, n) =>

@@ -265,6 +265,38 @@ class DatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("per var"), err.getMessage)
   }
 
+  test("multi-source: [$2 …] patterns scan the second database; shared vars join across") {
+    import spark.implicits._
+    val db1 = Seq(
+      ("n1", "name", "tokyo"), ("n1", "rk", "0"),
+      ("n2", "name", "osaka"), ("n2", "rk", "1"))
+      .toDF("e", "a", "v")
+    val db2 = Seq(
+      ("r0", "rk", "0"), ("r0", "rname", "east"),
+      ("r1", "rk", "1"), ("r1", "rname", "west"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse(
+      """[:find ?n ?rname
+        | :in $ $2
+        | :where [?e :name ?n] [?e :rk ?k]
+        |        [$2 ?r :rk ?k] [$2 ?r :rname ?rname]]""".stripMargin)
+    val out = Datalog.runOn(db1, emptyRegistry, q, Map.empty,
+        extraSrcs = Map("2" -> db2))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set("tokyo" -> "east", "osaka" -> "west"))
+  }
+
+  test("multi-source: a missing :in database is a clear error") {
+    import spark.implicits._
+    val db1 = Seq(("n1", "name", "tokyo")).toDF("e", "a", "v")
+    val q = Datalog.parse(
+      "[:find ?n :in $ $2 :where [?e :name ?n] [$2 ?e :extra _]]")
+    val err = intercept[IllegalArgumentException] {
+      Datalog.runOn(db1, emptyRegistry, q, Map.empty)
+    }
+    assert(err.getMessage.contains("unbound :in databases"), err.getMessage)
+  }
+
   test(":in relation binding with a var unbound by :where is a clear error") {
     import spark.implicits._
     val eav = Seq(("e1", "kind", "a")).toDF("e", "a", "v")
