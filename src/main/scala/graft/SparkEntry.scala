@@ -94,6 +94,7 @@ object SparkEntry {
     "q48_cas"                -> (Relational.q48_cas _),
     "q49_retract_entity"     -> (Relational.q49_retract_entity _),
     "q50_datalog_multi_db"   -> (Relational.q50_datalog_multi_db _),
+    "q51_entity_api"         -> (Relational.q51_entity_api _),
     "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
@@ -721,6 +722,10 @@ object SparkEntry {
     "q50_datalog_multi_db" ->
       """SELECT n_nationkey AS e, n_name AS nation_name, r_name AS region_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q51_entity_api" ->
+      """SELECT n_nationkey AS e, n_name AS name,
+        |  CAST(n_regionkey AS VARCHAR) AS region_key
+        |FROM nation""".stripMargin,
     "d25_segment_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -668,6 +668,23 @@ object Relational {
         col("rname").as("region_name"))
   }
 
+  // ── Entity API: pull [*] wildcard ─────────────────────────────────
+  /** Datomic's `d/entity` / pull `[*]`: every schema attribute of the
+    * root entities, one wide row each. The wildcard expands against
+    * the schema registry (stable columns); each attr is one pruned
+    * scan joined back on e — N attrs, N keyed joins, no pivot window. */
+  def q51_entity_api(s: SparkSession, d: String): DataFrame = {
+    import graft.model.{AttrDef, SchemaRegistry}
+    def attr(n: String) = n -> AttrDef(n, "string", many = false,
+      uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false)
+    val reg = new SchemaRegistry(Map(attr("n_name"), attr("n_regionkey")))
+    val eav = nationEav(s, d).select(col("e").cast("string").as("e"), col("a"), col("v"))
+    graft.query.Pull.pullFrom(eav, reg, Seq(graft.query.Pull.PWild),
+        eav.select(col("e")).distinct())
+      .select(col("e").cast("int").as("e"), col("n_name").as("name"),
+        col("n_regionkey").as("region_key"))
+  }
+
   // ── Fulltext search under the oracle gate ─────────────────────────
   /** Datomic's `fulltext` Datalog function (schema-gated token
     * search): parts as an EAV with `part/name` fulltext-indexed and

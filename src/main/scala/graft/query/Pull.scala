@@ -27,6 +27,13 @@ object Pull {
   sealed trait Spec
   final case class PAttr(attr: String) extends Spec
   final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec]) extends Spec
+  /** `*` — every registry attribute, as scalar columns (Datomic's
+    * wildcard renders refs un-recursed; combine with explicit map
+    * specs to hydrate chosen refs). Expansion is schema-driven (the
+    * registry), giving the STABLE column set a DataFrame needs — the
+    * data-driven variant would make output schema depend on row
+    * contents. */
+  case object PWild extends Spec
 
   def parsePattern(text: String): Seq[Spec] = parsePattern(Edn.parse(text))
 
@@ -36,6 +43,7 @@ object Pull {
   }
 
   private def specOf(e: Edn): Spec = e match {
+    case ESym("", "*") => PWild
     case k: EKw => PAttr(k.qualified)
     case m: EMap =>
       require(m.entries.size == 1, s"pull map spec must have one entry: ${Edn.print(m)}")
@@ -62,11 +70,28 @@ object Pull {
       roots: DataFrame): DataFrame =
     pullFrom(store.current(registry), registry, parsePattern(patternEdn), roots)
 
+  /** `d/entity` analog: every attribute of the root entities as one
+    * wide row each — pull `[*]`. */
+  def entity(store: Store, registry: SchemaRegistry, roots: DataFrame): DataFrame =
+    pullFrom(store.current(registry), registry, Seq(PWild), roots)
+
   /** Pull over an already-resolved current-state EAV (e, a, v). */
   def pullFrom(cur: DataFrame, registry: SchemaRegistry, pattern: Seq[Spec],
-      roots: DataFrame): DataFrame =
-    pattern.foldLeft(roots.select(col("e"))) { (acc, spec) =>
+      roots: DataFrame): DataFrame = {
+    // `*` expands to the registry's attrs (sorted, deduped against
+    // explicit entries so `[* {:x/ref [...]}]` keeps the hydrated form)
+    val explicit = pattern.collect {
+      case PAttr(a) => a
+      case PRef(a, reverse, _) if !reverse => a
+    }.toSet
+    val expanded = pattern.flatMap {
+      case PWild => registry.attrs.keys.toSeq.sorted
+        .filterNot(explicit.contains).map(PAttr)
+      case s => Seq(s)
+    }
+    expanded.foldLeft(roots.select(col("e"))) { (acc, spec) =>
       spec match {
+        case PWild => throw new IllegalStateException("unreachable: * expanded above")
         case PAttr(attr) =>
           val vals = cur.filter(col("a") === attr).select(col("e"), col("v"))
           val agged =
@@ -97,4 +122,5 @@ object Pull {
           acc.join(agged, Seq("e"), "left")
       }
     }
+  }
 }

@@ -34,6 +34,31 @@ class PullSpec extends AnyFunSuite {
 
   private def roots(es: String*) = es.toDF("e")
 
+  test("[*] expands to every registry attr; explicit map specs keep hydration") {
+    // wildcard alone: all six attrs as scalar columns (refs un-recursed)
+    val wide = Pull.pullFrom(cur, registry, Pull.parsePattern("[*]"), roots("b1"))
+    assert(wide.columns.sorted.toSeq ===
+      Seq("album_band", "album_name", "band_genres", "band_label", "band_name", "e", "label_name"))
+    val r = wide.collect()(0)
+    assert(r.getAs[String]("band_name") === "Alpha")
+    assert(r.getAs[String]("band_label") === "l1", "wildcard renders the ref as its id")
+    // [* {:band/label [...]}]: the explicit entry wins (hydrated struct)
+    val hydrated = Pull.pullFrom(cur, registry,
+      Pull.parsePattern("[* {:band/label [:label/name]}]"), roots("b1"))
+    assert(hydrated.columns.count(_ == "band_label") === 1, "no duplicate column")
+    assert(hydrated.select(col("band_label.label_name")).collect()(0).getString(0) === "BigLabel")
+  }
+
+  test("entity: one wide row per root, every attribute") {
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("entity").toString)
+    store.append(cur.withColumn("v_long", lit(null).cast("long"))
+      .withColumn("is_ref", lit(false)).withColumn("tx", lit(1L)))
+    val row = Pull.entity(store, registry, roots("b2")).collect()(0)
+    assert(row.getAs[String]("band_name") === "Beta")
+    assert(row.getAs[String]("label_name") === null, "absent attrs are null")
+  }
+
   test("scalars, card-many arrays, and missing-attr nulls") {
     val out = Pull.pullFrom(cur, registry,
       Pull.parsePattern("[:band/name :band/genres]"), roots("b1", "b2"))
