@@ -95,6 +95,8 @@ object SparkEntry {
     "q49_retract_entity"     -> (Relational.q49_retract_entity _),
     "q50_datalog_multi_db"   -> (Relational.q50_datalog_multi_db _),
     "q51_entity_api"         -> (Relational.q51_entity_api _),
+    "q52_datalog_tx"         -> (Relational.q52_datalog_tx _),
+    "d26_source_mix"         -> ((s, d) => Curate.d26_source_mix(s, d)),
     "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
@@ -726,6 +728,30 @@ object SparkEntry {
       """SELECT n_nationkey AS e, n_name AS name,
         |  CAST(n_regionkey AS VARCHAR) AS region_key
         |FROM nation""".stripMargin,
+    "q52_datalog_tx" ->
+      """SELECT o_orderkey AS e,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(1 AS BIGINT) AS tx
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2,
+        |  CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "d26_source_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, least(10000, 800 * 10000 // sum(n_tokens)) AS rate_bp
+        |  FROM t GROUP BY source)
+        |SELECT t.doc_id, t.source, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+        |  CAST(t.n_tokens AS BIGINT) AS n_tokens
+        |FROM t JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000
+        |      < r.rate_bp""".stripMargin,
     "d25_segment_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -160,6 +160,30 @@ object Curate {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  // ── d26: source mixing under a token budget ───────────────────────
+  /** Data-mixing pass: every source gets the same token budget; a
+    * source over budget is down-sampled to rate_bp = budget/total
+    * basis points, picked by the d22 deterministic hash bucket (mod
+    * 10000) so the mix is reproducible across runs, engines, and
+    * repartitioning. The per-source totals are ONE tiny aggregate
+    * (rows = #sources) broadcast back onto the corpus — the corpus
+    * itself is scanned twice but never shuffled; at 100 TB the totals
+    * side is kilobytes. Output: the kept documents with their
+    * source's rate (basis points). */
+  def d26_source_mix(s: SparkSession, d: String, budgetTokens: Long = 800L): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("n_tokens",
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), " +")).cast("long")))
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .select(col("source"),
+        least(lit(10000L), expr(s"$budgetTokens * 10000 div src_tokens")).as("rate_bp"))
+    docs.join(broadcast(totals), "source")
+      .filter(hashBucket(col("doc_id"), "mix", 10000) < col("rate_bp"))
+      .select(col("doc_id"), col("source"), col("rate_bp"), col("n_tokens"))
+  }
+
   // ── d23: corpus stats ("data card") ───────────────────────────────
   /** Per-(source, lang) corpus statistics: doc counts, token totals,
     * and the EXACT median document length — the mixing/reporting

@@ -668,6 +668,29 @@ object Relational {
         col("rname").as("region_name"))
   }
 
+  // ── Datalog tx position: [?e :attr ?v ?tx] ────────────────────────
+  /** The full datom pattern — binding the asserting TRANSACTION, the
+    * provenance query every audited Datomic system runs ("when did
+    * this value arrive"). Over a two-tx log (tx 1: every order;
+    * tx 2: every 10th re-asserted at double), `?tx` surfaces both
+    * versions with their provenance. History semantics: the log view,
+    * not the resolved state (binding tx against a resolved view is a
+    * loud error — see DatalogSpec). */
+  def q52_datalog_tx(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    def asLog(v: Column, tx: Long, pred: Column) = o.filter(pred).select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      v.cast("string").as("v"), lit(tx).as("tx"))
+    val log = asLog(c, 1L, lit(true))
+      .unionByName(asLog(c * 2, 2L, pmod(col("o_orderkey"), lit(10)) === 0))
+    val q = graft.query.Datalog.parse(
+      "[:find ?e ?v ?tx :where [?e :order/price ?v ?tx]]")
+    graft.query.Datalog.runOn(log, new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("e").cast("long").as("e"), col("v").cast("long").as("cents"),
+        col("tx").cast("long").as("tx"))
+  }
+
   // ── Entity API: pull [*] wildcard ─────────────────────────────────
   /** Datomic's `d/entity` / pull `[*]`: every schema attribute of the
     * root entities, one wide row each. The wildcard expands against

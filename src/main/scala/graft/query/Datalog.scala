@@ -39,9 +39,12 @@ object Datalog {
   sealed trait Clause
   /** `src` = None for the default database `$`; Some(name) for an
     * extra `:in` database (`$2`, `$docs`, …) named at the pattern head
-    * (`[$2 ?e :attr ?v]`) — Datomic's multi-source joins. */
+    * (`[$2 ?e :attr ?v]`) — Datomic's multi-source joins.
+    * `tx` is the optional fourth datom position (`[?e :attr ?v ?tx]`):
+    * binds or constrains the asserting transaction — meaningful over
+    * log/history views, which carry a `tx` column. */
   final case class Pattern(e: Term, a: Term, v: Term,
-    src: Option[String] = None) extends Clause
+    src: Option[String] = None, tx: Term = TWild) extends Clause
   /** `(rule-name ?arg …)` — invocation of a rule from the `%` rule set
     * (Datomic rules, including self-recursive ones). */
   final case class RuleCall(name: String, args: Seq[Term]) extends Clause
@@ -174,15 +177,21 @@ object Datalog {
   }
 
   private def clause(e: Edn): Clause = e match {
-    // `[$src ?e :attr ?v]` — pattern against a named extra database
+    // `[$src ?e :attr ?v]` / `[$src ?e :attr ?v ?tx]` — pattern
+    // against a named extra database
     case EVec(ESym("", src) +: terms)
-        if src.startsWith("$") && src != "$" && terms.size == 3 =>
-      Pattern(term(terms(0)), term(terms(1)), term(terms(2)), Some(src.drop(1)))
+        if src.startsWith("$") && src != "$" && (terms.size == 3 || terms.size == 4) =>
+      Pattern(term(terms(0)), term(terms(1)), term(terms(2)), Some(src.drop(1)),
+        if (terms.size == 4) term(terms(3)) else TWild)
     // `[$ ?e :attr ?v]` — explicit default-db marker, same as bare
-    case EVec(ESym("", "$") +: terms) if terms.size == 3 =>
-      Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
+    case EVec(ESym("", "$") +: terms) if terms.size == 3 || terms.size == 4 =>
+      Pattern(term(terms(0)), term(terms(1)), term(terms(2)), None,
+        if (terms.size == 4) term(terms(3)) else TWild)
     case EVec(terms) if terms.size == 3 && !terms(0).isInstanceOf[EList] =>
       Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
+    // `[?e :attr ?v ?tx]` — the full datom pattern (tx position)
+    case EVec(terms) if terms.size == 4 && !terms(0).isInstanceOf[EList] =>
+      Pattern(term(terms(0)), term(terms(1)), term(terms(2)), None, term(terms(3)))
     // `[(missing? $ ?e :attr)]` — sugar for (not [?e :attr _])
     case EVec(Vector(EList(Vector(ESym("", "missing?"), ESym("", "$"), ESym("", e), k: EKw))))
         if e.startsWith("?") =>
@@ -306,8 +315,20 @@ object Datalog {
         s"attribute position needs a keyword or variable, got: ${Edn.print(other)}")
       case _ => None
     }
-    var scan = eav.select(col("e"), col("a"), col("v"))
+    val wantsTx = p.tx != TWild
+    if (wantsTx) require(eav.columns.contains("tx"),
+      "pattern binds the tx position but this view carries no tx column " +
+        "(query the log/history view, not a resolved state)")
+    var scan =
+      if (wantsTx) eav.select(col("e"), col("a"), col("v"), col("tx").cast("string").as("t"))
+      else eav.select(col("e"), col("a"), col("v"))
     attrConst.foreach(a => scan = scan.filter(col("a") === a))
+    p.tx match {
+      case TConst(ELong(n)) => scan = scan.filter(col("t") === n.toString)
+      case TConst(c) => throw new IllegalArgumentException(
+        s"tx position needs a long or variable, got: ${Edn.print(c)}")
+      case _ => ()
+    }
     p.e match {
       // a keyword in the entity slot names an ident entity, whose
       // store key carries the `ident|` prefix (Datoms.entityKey)
@@ -323,7 +344,8 @@ object Datalog {
       case TVar(n) => Some(n -> src)
       case _ => None
     }
-    project(scan, Seq(bind(p.e, "e"), bind(p.a, "a"), bind(p.v, "v")).flatten)
+    project(scan, Seq(bind(p.e, "e"), bind(p.a, "a"), bind(p.v, "v"),
+      bind(p.tx, "t")).flatten)
   }
 
   /** A rule invocation → the rule's relation (positional columns
@@ -460,7 +482,7 @@ object Datalog {
           val projected = c match {
             case p: Pattern =>
               evalPattern(srcEav(p.src), registry,
-                Pattern(resolve(p.e), resolve(p.a), resolve(p.v)))
+                Pattern(resolve(p.e), resolve(p.a), resolve(p.v), p.src, resolve(p.tx)))
             case rc: RuleCall =>
               evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
             case _ => throw new IllegalStateException("unreachable")

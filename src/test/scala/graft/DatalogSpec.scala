@@ -286,6 +286,29 @@ class DatalogSpec extends AnyFunSuite {
     assert(out === Set("tokyo" -> "east", "osaka" -> "west"))
   }
 
+  test("tx position: constant filters, variable binds; resolved views reject it") {
+    import spark.implicits._
+    val log = Seq(
+      ("e1", "price", "100", 1L), ("e1", "price", "150", 2L),
+      ("e2", "price", "200", 1L))
+      .toDF("e", "a", "v", "tx")
+    // constant tx: only the tx-2 assertion
+    val q2 = Datalog.parse("[:find ?e ?v :where [?e :price ?v 2]]")
+    val at2 = Datalog.runOn(log, emptyRegistry, q2, Map.empty)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(at2 === Set("e1" -> "150"))
+    // variable tx: every assertion with provenance
+    val qv = Datalog.parse("[:find ?e ?v ?tx :where [?e :price ?v ?tx]]")
+    val all = Datalog.runOn(log, emptyRegistry, qv, Map.empty)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(all === Set(("e1", "100", "1"), ("e1", "150", "2"), ("e2", "200", "1")))
+    // a view without a tx column rejects tx patterns loudly
+    val err = intercept[IllegalArgumentException] {
+      Datalog.runOn(log.drop("tx"), emptyRegistry, qv, Map.empty).collect()
+    }
+    assert(err.getMessage.contains("no tx column"), err.getMessage)
+  }
+
   test("multi-source: a missing :in database is a clear error") {
     import spark.implicits._
     val db1 = Seq(("n1", "name", "tokyo")).toDF("e", "a", "v")
