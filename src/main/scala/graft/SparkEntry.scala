@@ -96,6 +96,12 @@ object SparkEntry {
     "q50_datalog_multi_db"   -> (Relational.q50_datalog_multi_db _),
     "q51_entity_api"         -> (Relational.q51_entity_api _),
     "q52_datalog_tx"         -> (Relational.q52_datalog_tx _),
+    "q53_speculative_with"   -> (Relational.q53_speculative_with _),
+    "q54_tuple_attrs"        -> (Relational.q54_tuple_attrs _),
+    "q55_ensure_specs"       -> (Relational.q55_ensure_specs _),
+    "d27_kmeans"             -> (Llm.d27_kmeans _),
+    "d28_tfidf"              -> (Llm.d28_tfidf _),
+    "d29_sequence_pack"      -> ((s, d) => Curate.d29_sequence_pack(s, d)),
     "d26_source_mix"         -> ((s, d) => Curate.d26_source_mix(s, d)),
     "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -768,6 +774,39 @@ object SparkEntry {
         |    CASE WHEN s.doc_id * 1000000 + s.seg_idx = c.canon_key THEN s.seg END,
         |    ' ' ORDER BY s.seg_idx), '')) AS clean_hash
         |FROM s JOIN c USING (seg) GROUP BY s.doc_id""".stripMargin,
+    "q53_speculative_with" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT
+        |  (SELECT COUNT(*) FROM o) AS n_base,
+        |  (SELECT CAST(SUM(cents) AS BIGINT) FROM o) AS base_cents,
+        |  (SELECT COUNT(*) FROM o) AS n_with,
+        |  (SELECT CAST(SUM(CASE WHEN k % 10 = 0 THEN cents * 2 ELSE cents END) AS BIGINT)
+        |     FROM o) AS with_cents""".stripMargin,
+    "q54_tuple_attrs" ->
+      """SELECT '[' || CAST(o_custkey AS VARCHAR) || ' '
+        |    || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ']' AS cust_date,
+        |  COUNT(*) AS n_orders, min(o_orderkey) AS first_order
+        |FROM orders GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "q55_ensure_specs" ->
+      """WITH o AS (
+        |  SELECT o_orderkey // 100 AS tx,
+        |    (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 49800000
+        |     OR (o_orderstatus = 'P'
+        |         AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) < 600000)) AS bad
+        |  FROM orders),
+        |v AS (SELECT tx, bool_or(bad) AS tx_bad FROM o GROUP BY tx)
+        |SELECT
+        |  (SELECT COUNT(*) FROM v) AS n_tx,
+        |  (SELECT COUNT(*) FROM v WHERE tx_bad) AS n_tx_rejected,
+        |  (SELECT COUNT(*) FROM o JOIN v USING (tx) WHERE NOT tx_bad) AS n_accepted,
+        |  (SELECT COUNT(*) FROM o JOIN v USING (tx) WHERE tx_bad AND NOT bad) AS n_collateral,
+        |  (SELECT COUNT(*) FROM o WHERE bad) AS n_violating""".stripMargin,
+    "d27_kmeans" -> Llm.d27OracleSql,
+    "d28_tfidf" -> Llm.d28OracleSql,
+    "d29_sequence_pack" -> Curate.d29OracleSql,
     "q45_pivot" ->
       """SELECT c_mktsegment,
         |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_1,

@@ -40,4 +40,30 @@ object GlobalIndex {
     val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Global RUNNING TOTAL of `valueIdx` (a LongType column index into
+    * the row) following a total order — same two-pass shape as
+    * `withDenseIndex` (an unpartitioned `sum() over (order by ...)`
+    * window is the single-partition trap): range-partition on the
+    * order key, per-partition totals to the driver (numPartitions
+    * longs), broadcast cumulative offsets, then a running sum within
+    * each partition. Output column `name` is the INCLUSIVE prefix sum. */
+  def withPrefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+      name: String = "running_total"): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sortedRdd = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*).rdd
+    val totals = sortedRdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.map(_.getLong(vIdx)).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val summed = sortedRdd.mapPartitionsWithIndex { case (i, it) =>
+      var acc = offsets(i)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    spark.createDataFrame(summed, schema)
+  }
 }

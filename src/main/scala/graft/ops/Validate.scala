@@ -30,6 +30,27 @@ object Validate {
       annotated.filter(size(col("errors")) > 0))
   }
 
+  /** Datomic `:db/ensure` (entity specs): tx-TIME validation with
+    * ALL-OR-NOTHING transaction semantics — one failing entity aborts
+    * its whole transaction, not just the row (Datomic rolls back the
+    * entire tx on any entity-spec violation). Input rows carry a
+    * transaction grouping column `txCol`; `checks` name the spec
+    * predicates (TRUE = violated). Output: the input annotated with
+    *  - `errors`   per-entity violated spec names (error-as-data), and
+    *  - `tx_ok`    whether the row's WHOLE transaction is clean.
+    * Plan shape: the per-row annotate is scan-side; the tx verdict is
+    * one keyed aggregation on `txCol` joined back — a broadcast-able
+    * verdict table when txs ≪ rows, so the pass scales as scan +
+    * small join rather than a second full shuffle. */
+  def ensureTx(df: DataFrame, txCol: Column, checks: Seq[(String, Column)]): DataFrame = {
+    val annotated = annotate(df, checks).withColumn("__tx", txCol)
+    val verdict = annotated.groupBy(col("__tx"))
+      .agg(max(size(col("errors")) > 0).as("tx_bad"))
+    annotated.join(verdict, "__tx") // AQE broadcasts when txs ≪ rows
+      .withColumn("tx_ok", !col("tx_bad"))
+      .drop("tx_bad")
+  }
+
   /** Fail-fast mode (the reference's halt-when): throws on the first
     * violation with per-rule counts. */
   def requireValid(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {

@@ -184,6 +184,48 @@ object Curate {
       .select(col("doc_id"), col("source"), col("rate_bp"), col("n_tokens"))
   }
 
+  // ── d29: sequence packing (context-window assembly) ───────────────
+  /** Training-batch assembly: documents concatenated in doc_id order
+    * and chunked into fixed token-budget context windows (the
+    * "concat-then-chunk" packing used for LLM pretraining). Each doc
+    * lands in the pack where its first token falls: pack_id =
+    * floor(start_offset / budget), start_offset from a GLOBAL running
+    * token total.
+    *
+    * Scale shape: the running total is `GlobalIndex.withPrefixSum` —
+    * range-partition + per-partition totals + broadcast offsets, NOT
+    * an unpartitioned `sum() over (order by ...)` window (that is the
+    * q10 single-partition trap). Everything after is a map-side-
+    * partial groupBy on pack_id. */
+  def d29_sequence_pack(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048L
+    val toks = documents(s, d).select(col("doc_id"),
+      when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), " +")).cast("long")).as("n_tokens"))
+    graft.ops.GlobalIndex.withPrefixSum(toks, Seq(col("doc_id")), "n_tokens", "cum")
+      .withColumn("pack_id", ((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  def d29OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) END AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin
+
   // ── d23: corpus stats ("data card") ───────────────────────────────
   /** Per-(source, lang) corpus statistics: doc counts, token totals,
     * and the EXACT median document length — the mixing/reporting

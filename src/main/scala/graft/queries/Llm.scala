@@ -503,6 +503,122 @@ object Llm {
           x => x.getField("seg")), " ")).as("clean_hash"))
   }
 
+  // ── d27: k-means topic clustering (Lloyd, 2 rounds) ───────────────
+  /** Embedding-space clustering — the topic-bucketing pass a corpus
+    * curation pipeline runs before per-topic sampling. Deterministic
+    * throughout: centroids init from vec_id 0..7, cosine assignment
+    * with (cos desc, cid asc) tiebreak, ONE Lloyd update, reassign.
+    *
+    * Scale shape: each assignment is corpus × k=8 against a BROADCAST
+    * centroid table with a map-side `max_by` partial — never a corpus
+    * shuffle. The centroid update posexplodes to (cell, dim) and
+    * aggregates avg with map-side combine, so the update shuffle is
+    * #partitions × k × 64 rows, independent of corpus size. Updated
+    * components round to 6 decimals BEFORE reassignment — that makes
+    * the float mean cross-engine stable (and at scale, stable under
+    * re-partitioning of the partial sums). */
+  def d27_kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    def assign(cent: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+          first(col("embedding")).as("embedding"))
+    val cent0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("c_vec"),
+        col("norm").as("c_norm"))
+    val cent1 = assign(cent0)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy(col("cell"), col("j"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("jc"))
+      .select(col("cell").as("cid"), expr("transform(jc, p -> p.c)").as("c_vec"))
+      .withColumn("c_norm", sqrt(expr("vec_dot(c_vec, c_vec)")))
+    assign(cent1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("first_member"), max(col("vec_id")).as("last_member"))
+  }
+
+  /** The same two Lloyd rounds in DuckDB: identical init, tiebreaks,
+    * and 6-decimal centroid rounding, so assignments match exactly. */
+  def d27OracleSql: String =
+    s"""WITH m AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+       |    sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |                            list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, vec AS c_vec, norm AS c_norm FROM m WHERE vec_id < 8),
+       |a1 AS (
+       |  SELECT vec_id, cid AS cell, vec FROM (
+       |    SELECT m.vec_id, c0.cid, m.vec,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_inner_product(m.vec, c0.c_vec) / (m.norm * c0.c_norm) DESC, c0.cid ASC) AS rn
+       |    FROM m CROSS JOIN c0) WHERE rn = 1),
+       |comps AS (
+       |  SELECT cell, j, round(avg(vec[j]), 6) AS c
+       |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+       |  GROUP BY cell, j),
+       |c1 AS (
+       |  SELECT cell AS cid, list(CAST(c AS DOUBLE) ORDER BY j) AS c_vec FROM comps GROUP BY cell),
+       |c1n AS (SELECT cid, c_vec, sqrt(list_inner_product(c_vec, c_vec)) AS c_norm FROM c1),
+       |a2 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT m.vec_id, c1n.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_inner_product(m.vec, c1n.c_vec) / (m.norm * c1n.c_norm) DESC, c1n.cid ASC) AS rn
+       |    FROM m CROSS JOIN c1n) WHERE rn = 1)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       |  min(vec_id) AS first_member, max(vec_id) AS last_member
+       |FROM a2 GROUP BY cell""".stripMargin
+
+  // ── d28: TF-IDF top terms per document ────────────────────────────
+  /** Keyword extraction — the per-document salient-term pass (search
+    * indexing, topic labeling, near-dup explanation). tf = in-doc
+    * count, idf = ln(N/df), top-3 terms per doc by (score desc, term
+    * asc).
+    *
+    * Scale shape: one token explode (∝ corpus tokens) feeding two
+    * map-side-partial aggs — (doc, term) for tf and term for df; the
+    * tf⋈df join keys on term (shuffle ∝ vocabulary + tf pairs, never
+    * corpus²); the top-3 window partitions by doc_id, so no global
+    * sort. N (total docs) is a 1-row broadcast cross join. */
+  def d28_tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tokens = spread(docs).select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
+  def d28OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    w -> length(w) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3""".stripMargin
+
   /** Exact all-pairs variant on a deterministic sample — the recall
     * baseline d15 is measured against in LlmSpec; NOT a gated query
     * (a BroadcastNestedLoopJoin is quadratic work however you sample). */

@@ -811,6 +811,75 @@ object Relational {
         coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_v"))
   }
 
+  // ── d/with: speculative transaction ───────────────────────────────
+  /** Datomic `d/with` — the what-if database: a speculative tx doubles
+    * every 10th order's price; the query reports the BASE total and
+    * the WITH total side by side from the same basis state. Nothing is
+    * committed: both aggregates read plan-level views (`Store.withDb`
+    * composes resolve over state ∪ txData), and the base total in the
+    * output is the proof the speculation did not leak into state. */
+  def q53_speculative_with(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val state = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      c.cast("string").as("v"), c.as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val txData = o.filter(pmod(col("o_orderkey"), lit(10)) === 0).select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      (c * 2).cast("string").as("v"), (c * 2).as("v_long"),
+      lit(false).as("is_ref"), lit(2L).as("tx"), lit(true).as("op"))
+    val base = graft.store.Store.resolve(state, Seq.empty)
+      .agg(count(lit(1)).as("n_base"), sum(col("v_long")).cast("long").as("base_cents"))
+    val speculative = graft.store.Store.withDb(state, txData, Seq.empty)
+      .agg(count(lit(1)).as("n_with"), sum(col("v_long")).cast("long").as("with_cents"))
+    base.crossJoin(speculative)
+  }
+
+  // ── :db/tupleAttrs: composite tuples ──────────────────────────────
+  /** Datomic composite tuples: `order/cust+date` is auto-derived from
+    * (order/cust, order/date). With `:db.unique/identity` on the
+    * tuple attr, composite-key conflicts are exactly the derived
+    * values asserted by more than one entity — the query surfaces
+    * them (same-customer-same-day order pairs). Derivation is one
+    * groupBy(e) over the two source attrs' partitions; the uniqueness
+    * probe is a groupBy on the derived value — both map-side-partial. */
+  def q54_tuple_attrs(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val eav = o.select(
+      col("o_orderkey").cast("string").as("e"),
+      expr("stack(2, 'order/cust', cast(o_custkey as string), " +
+        "'order/date', cast(cast(o_orderdate as date) as string))").as(Seq("a", "v")))
+    val derived = graft.store.Store.deriveTupleAttr(
+      eav, "order/cust+date", Seq("order/cust", "order/date"), tx = 2L)
+    derived.groupBy(col("v").as("cust_date"))
+      .agg(count(lit(1)).as("n_orders"), min(col("e").cast("long")).as("first_order"))
+      .filter(col("n_orders") >= 2)
+  }
+
+  // ── :db/ensure: entity specs, all-or-nothing tx ───────────────────
+  /** Datomic entity specs: `:db/ensure` runs spec predicates at tx
+    * time and one failing entity ABORTS its whole transaction. Orders
+    * arrive in batch-of-100 transactions (floor(key/100)); two specs
+    * gate them (price cap, comment length). Output: tx-level and
+    * entity-level accept/reject totals — entities rejected ONLY
+    * because a sibling failed (clean rows in bad txs) are the
+    * distinctive column, pinning the all-or-nothing semantics. */
+  def q55_ensure_specs(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val checks = Seq(
+      "price-cap" -> (cents(col("o_totalprice")) >= 49800000L),
+      "pending-low" -> (col("o_orderstatus") === "P" && cents(col("o_totalprice")) < 600000L))
+    val out = graft.ops.Validate.ensureTx(o, expr("o_orderkey div 100"), checks)
+    out.agg(
+      countDistinct(col("__tx")).as("n_tx"),
+      countDistinct(when(!col("tx_ok"), col("__tx"))).as("n_tx_rejected"),
+      sum(when(col("tx_ok"), 1L).otherwise(0L)).as("n_accepted"),
+      sum(when(!col("tx_ok") && size(col("errors")) === 0, 1L).otherwise(0L))
+        .as("n_collateral"),
+      sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("n_violating"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

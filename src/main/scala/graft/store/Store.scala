@@ -235,6 +235,47 @@ object Store {
         col("cas_ok"), col("cur_v"), col("expected"))
   }
 
+  /** Datomic `d/with`: a SPECULATIVE transaction — the database value
+    * that WOULD result from applying `txData` to `state`, without
+    * committing anything. Pure plan composition: the returned view is
+    * `resolve(state ∪ txData)`; nothing is written, the caller's
+    * `state` is untouched, and two `with`s from the same basis are
+    * independent (exactly the what-if semantics Datomic documents for
+    * `d/with`, reference analog: conflict-checked batches are dry-run
+    * against the current db before commit). At scale this costs one
+    * resolution pass over (visible state + tx rows) — the tx side is
+    * typically tiny, so the union adds no shuffle of its own. */
+  def withDb(state: DataFrame, txData: DataFrame, manyAttrs: Seq[String]): DataFrame = {
+    val aligned =
+      if (txData.columns.contains("op")) txData else txData.withColumn("op", lit(true))
+    resolve(state.unionByName(aligned, allowMissingColumns = true), manyAttrs)
+  }
+
+  /** `:db/tupleAttrs` — Datomic's composite tuples: a derived attribute
+    * whose value is the tuple of N sibling scalar attrs of the same
+    * entity, auto-maintained by the transactor whenever any source
+    * attr changes. Given a RESOLVED current-state view, emits the
+    * derived datoms `(e, tupleAttr, "[v1 v2 ...]")` for every entity
+    * that has at least one source attr (missing slots render as nil,
+    * as in Datomic). One groupBy(e) over the source attrs' pruned
+    * partitions — the derivation is map-side-partial and never touches
+    * other attributes' data. Composite uniqueness (`:db.unique/identity`
+    * on the tuple attr) then reduces to plain groupBy on `v`. */
+  def deriveTupleAttr(current: DataFrame, tupleAttr: String,
+      srcAttrs: Seq[String], tx: Long): DataFrame = {
+    require(srcAttrs.size >= 2, "a composite tuple needs at least 2 source attrs")
+    val slots = srcAttrs.map(a => max(when(col("a") === a, col("v"))).as(a))
+    current.filter(col("a").isInCollection(srcAttrs))
+      .groupBy(col("e"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("e"), lit(tupleAttr).as("a"),
+        concat(lit("["),
+          concat_ws(" ", srcAttrs.map(a => coalesce(col(s"`$a`"), lit("nil"))): _*),
+          lit("]")).as("v"),
+        lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
+        lit(tx).as("tx"), lit(true).as("op"))
+  }
+
   /** `:db.fn/retractEntity`: retract a set of entities wholesale at
     * `tx`. Generates retraction datoms (op = false) for
     *  - every current datom whose E is a target,

@@ -96,4 +96,35 @@ class CurateSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets === expected)
   }
+
+  test("withPrefixSum matches the window prefix sum; no single-partition exchange") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "v")
+      .repartition(8) // scrambled input partitioning
+    val got = graft.ops.GlobalIndex.withPrefixSum(df, Seq(col("k")), "v", "cum")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    var acc = 0L
+    (1L to 1000L).foreach { i =>
+      acc += i % 7
+      assert(got(i.toInt - 1) === ((i, acc)), s"at k=$i")
+    }
+  }
+
+  test("d29: packs partition the corpus in doc order and reconcile token totals") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Curate.d29_sequence_pack(spark, sf).orderBy("pack_id").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .select(when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), " +")).cast("long")).as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("pack_tokens")).sum === total,
+      "every token lands in exactly one pack")
+    // doc ranges are contiguous and non-overlapping across pack ids
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc") ||
+          a.getAs[Long]("last_doc") + 1 == b.getAs[Long]("first_doc"))
+      case _ => ()
+    }
+  }
 }

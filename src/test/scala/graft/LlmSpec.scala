@@ -208,4 +208,29 @@ class LlmSpec extends AnyFunSuite {
     assert(f5.length == 1, "10-byte payload → single frame")
     assert(f5(0).getAs[Long]("frame_len") == 10L)
   }
+
+  test("d27: every vector lands in one cluster; co-directional vectors co-cluster") {
+    // fixture centroids = vec_id < 8 → ids 0 and 1; vec 8 is 5× vec 0
+    // (same direction, cosine 1) and vec 9 is -1× vec 1 (opposite)
+    val out = Llm.d27_kmeans(spark, fixtureDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.values.map(_._1).sum === 5L, "all 5 vectors assigned exactly once")
+    assert(out.keySet.subsetOf(Set(0, 1)))
+    assert(out(0)._2 === 0L, "cluster 0's first member is vector 0")
+    assert(out(0)._3 >= 8L, "vector 8 (same direction as 0) joined cluster 0")
+  }
+
+  test("d28: three ranked terms per doc, rare term outranks shared vocabulary") {
+    val out = Llm.d28_tfidf(spark, fixtureDir)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rows) =>
+      // a doc with <3 distinct terms yields a shorter prefix of ranks
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq && ranks.length <= 3, s"doc $doc: $ranks")
+    }
+    // doc 1's distinguishing token 'spork' (absent everywhere else)
+    // must beat the corpus-wide boilerplate
+    val top1 = byDoc(1L).find(_.getLong(1) == 1L).get.getString(2)
+    assert(top1 === "spork", s"got $top1")
+  }
 }

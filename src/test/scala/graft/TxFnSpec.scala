@@ -133,4 +133,58 @@ class TxFnSpec extends AnyFunSuite {
     assert(out === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))),
       "doc1 keeps one of two copies of A; doc2 keeps only B")
   }
+
+  test("withDb: speculation sees the tx, base state does not; two withs are independent") {
+    val state = datoms(("e1", "price", "100", 1L), ("e2", "price", "200", 1L))
+    val tx1 = datoms(("e1", "price", "150", 2L))
+    val tx2 = datoms(("e2", "price", "999", 2L))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(snap(Store.withDb(state, tx1, Seq.empty)) ===
+      Map("e1" -> "150", "e2" -> "200"))
+    // a second with from the SAME basis sees tx2 but never tx1
+    assert(snap(Store.withDb(state, tx2, Seq.empty)) ===
+      Map("e1" -> "100", "e2" -> "999"))
+    // the basis itself is untouched
+    assert(snap(Store.resolve(state, Seq.empty)) ===
+      Map("e1" -> "100", "e2" -> "200"))
+    // with also sees retractions speculatively
+    val retr = tx1.withColumn("op", lit(false))
+      .withColumn("v", lit("100")).withColumn("tx", lit(2L))
+    assert(snap(Store.withDb(state, retr, Seq.empty)) === Map("e2" -> "200"))
+  }
+
+  test("deriveTupleAttr: composite from siblings, nil for missing slots") {
+    val cur = datoms(
+      ("e1", "order/cust", "7", 1L), ("e1", "order/date", "1995-01-01", 1L),
+      ("e2", "order/cust", "7", 1L), ("e2", "order/date", "1995-01-01", 1L),
+      ("e3", "order/cust", "9", 1L), // no date → nil slot
+      ("e4", "other/attr", "x", 1L)) // neither source attr → no tuple
+    val out = Store.deriveTupleAttr(cur, "order/cust+date",
+      Seq("order/cust", "order/date"), tx = 2L)
+    val m = out.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(m === Map(
+      "e1" -> "[7 1995-01-01]", "e2" -> "[7 1995-01-01]", "e3" -> "[9 nil]"))
+    assert(out.filter(col("a") =!= "order/cust+date").count() === 0)
+    // composite uniqueness = groupBy on the derived value
+    val conflicts = out.groupBy("v").count().filter(col("count") >= 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(conflicts === Seq("[7 1995-01-01]"))
+  }
+
+  test("ensureTx: one failing entity rejects its whole tx, clean txs pass") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, "a"), (2L, 10L, "BAD"), (3L, 10L, "c"), // tx 10: one violator
+      (4L, 20L, "d"), (5L, 20L, "e"))                   // tx 20: clean
+      .toDF("id", "txid", "payload")
+    val out = graft.ops.Validate.ensureTx(rows, col("txid"),
+      Seq("no-bad" -> (col("payload") === "BAD")))
+    val byId = out.collect().map(r => r.getLong(r.fieldIndex("id")) ->
+      ((r.getSeq[String](r.fieldIndex("errors")).nonEmpty, r.getBoolean(r.fieldIndex("tx_ok"))))).toMap
+    assert(byId === Map(
+      1L -> ((false, false)), 2L -> ((true, false)), 3L -> ((false, false)),
+      4L -> ((false, true)), 5L -> ((false, true))),
+      "rows 1 and 3 are collateral rejections: clean rows in a failed tx")
+  }
 }
