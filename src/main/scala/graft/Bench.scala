@@ -33,6 +33,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-26s $sec%8.2f s" + (if (ok) "" else "  FAILED"))
+      // queries are independent: drop cached plans and any blocks left
+      // behind (localCheckpoint fixpoints, bucketed temp tables) so a
+      // long run measures each query, not the residue of the previous
+      // 80 — without this, late queries read 10-20x slower than they
+      // run in isolation
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (name, sec, ok)
     }
     // a failed query must be visible in the JSON (negative time) and in

@@ -17,9 +17,12 @@ import graft.store.Store
   *
   * Supported surface (covers every query in the reference examples):
   *   [:find ?var (count ?var) (count-distinct ?v) (min …) (max …) (sum …)
+  *    :keys name …
   *    :in $ ?param …
   *    :where [?e :attr ?v] [?e ?a _] …]
   * Constants: keywords, strings, longs, uuids. `_` is a wildcard.
+  * Expression clauses include missing?/get-else/get-some/ground,
+  * arithmetic and str binding, and predicate filters.
   */
 object Datalog {
 
@@ -76,6 +79,11 @@ object Datalog {
     * (left join + coalesce). */
   final case class GetElseClause(eVar: String, attr: EKw, default: Edn, out: String)
     extends Clause
+  /** `[(get-some $ ?e :a1 :a2 …) ?out]` — bind ?out to the value of
+    * the FIRST listed attribute the entity has (Datomic get-some);
+    * rows where none is present drop (no binding). */
+  final case class GetSomeClause(eVar: String, attrs: Seq[EKw], out: String)
+    extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
     * the rule itself is recursive. */
@@ -84,7 +92,8 @@ object Datalog {
     withVars: Seq[String] = Seq.empty, collIn: Seq[String] = Seq.empty,
     tupleIn: Seq[Seq[Option[String]]] = Seq.empty, // None = `_` (ignored slot)
     relIn: Seq[Seq[String]] = Seq.empty,
-    srcs: Seq[String] = Seq.empty) // extra databases beyond `$` (`$2`, …)
+    srcs: Seq[String] = Seq.empty, // extra databases beyond `$` (`$2`, …)
+    keys: Seq[String] = Seq.empty) // `:keys` — output column names, positional over :find
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -94,7 +103,7 @@ object Datalog {
     val sections = scala.collection.mutable.Map[String, Vector[Edn]]()
     var current: String = null
     items.foreach {
-      case EKw("", kw @ ("find" | "in" | "where" | "with")) =>
+      case EKw("", kw @ ("find" | "in" | "where" | "with" | "keys")) =>
         current = kw; sections.getOrElseUpdate(kw, Vector())
       case form =>
         require(current != null, s"form before :find/:in/:where: ${Edn.print(form)}")
@@ -173,7 +182,13 @@ object Datalog {
       case ESym("", v) if v.startsWith("?") => v.drop(1)
       case other => throw new IllegalArgumentException(s"bad :with element: ${Edn.print(other)}")
     }
-    Query(find, in, patterns, withVars, collIn, tupleIn, relIn, srcs)
+    val keys = sections.getOrElse("keys", Vector()).map {
+      case ESym("", k) => k
+      case other => throw new IllegalArgumentException(s"bad :keys element: ${Edn.print(other)}")
+    }
+    require(keys.isEmpty || keys.size == find.size,
+      s":keys arity ${keys.size} must match :find arity ${find.size}")
+    Query(find, in, patterns, withVars, collIn, tupleIn, relIn, srcs, keys)
   }
 
   private def clause(e: Edn): Clause = e match {
@@ -200,6 +215,11 @@ object Datalog {
         k: EKw, default)), ESym("", out)))
         if e.startsWith("?") && out.startsWith("?") =>
       GetElseClause(e.drop(1), k, default, out.drop(1))
+    case EVec(Vector(EList(ESym("", "get-some") +: ESym("", "$") +: ESym("", e) +: kws),
+        ESym("", out)))
+        if e.startsWith("?") && out.startsWith("?") && kws.nonEmpty &&
+          kws.forall(_.isInstanceOf[EKw]) =>
+      GetSomeClause(e.drop(1), kws.map(_.asInstanceOf[EKw]), out.drop(1))
     case EVec(Vector(EList(ESym("", fn) +: args))) =>
       PredClause(fn, args.map(term))
     case EVec(Vector(EList(ESym("", fn) +: args), ESym("", out))) if out.startsWith("?") =>
@@ -406,6 +426,12 @@ object Datalog {
         case "/" => a / b
       })
     case "str" => concat(fc.args.map(termCol(_, numeric = false, registry)): _*)
+    // `[(ground <const>) ?x]` — bind a constant (Datomic ground; most
+    // useful inside or/or-join legs to tag which leg matched)
+    case "ground" =>
+      require(fc.args.size == 1, "(ground …) takes exactly one constant")
+      require(fc.args.head.isInstanceOf[TConst], "(ground …) needs a constant argument")
+      termCol(fc.args.head, numeric = false, registry)
     case other => throw new IllegalArgumentException(s"unsupported function: $other")
   }
 
@@ -452,6 +478,24 @@ object Datalog {
               coalesce(col(tmp),
                 lit(constText(ge.default, Some(ge.attr.qualified), registry))))
             .drop(tmp))
+        case gs: GetSomeClause =>
+          val a = bound
+          val eCol = s"var_${gs.eVar}"
+          require(a.columns.contains(eCol), s"(get-some …): ?${gs.eVar} must be bound")
+          gs.attrs.foreach(k => require(!registry.isMany(k.qualified),
+            s"(get-some …) needs cardinality-one attributes, ${k.qualified} is many"))
+          // one pruned scan over the attr set, pivoted per entity —
+          // coalesce in declaration order picks the first present
+          val tmps = gs.attrs.zipWithIndex.map { case (_, i) => s"__gs_${gs.out}_$i" }
+          val vals = eav.filter(col("a").isInCollection(gs.attrs.map(_.qualified)))
+            .groupBy(col("e").as(eCol))
+            .agg(max(when(col("a") === gs.attrs.head.qualified, col("v"))).as(tmps.head),
+              gs.attrs.tail.zip(tmps.tail).map { case (k, t) =>
+                max(when(col("a") === k.qualified, col("v"))).as(t) }: _*)
+          Some(a.join(vals, Seq(eCol), "left")
+            .withColumn(s"var_${gs.out}", coalesce(tmps.map(col): _*))
+            .filter(col(s"var_${gs.out}").isNotNull)
+            .drop(tmps: _*))
         case oc: OrClause =>
           val legs0 = oc.legs.map(evalClauses(srcEav, registry, _, resolve, ruleEnv))
           // or-join projects each leg to the declared vars; plain or
@@ -704,7 +748,7 @@ object Datalog {
     val aggs = q.find.collect { case a: FAgg => a }
     val plainVars = q.find.collect { case FVar(n) => n }
     val pulls = q.find.collect { case p: FPull => p }
-    if (pulls.nonEmpty) {
+    val projected = if (pulls.nonEmpty) {
       // Datomic's (pull ?e pattern) in :find: dedupe the bindings,
       // hydrate each pulled var over the SAME eav (treated as current
       // state), attach as a pull_<var> struct column
@@ -756,6 +800,17 @@ object Datalog {
       if (plainVars.isEmpty) joinedSet.agg(aggCols.head, aggCols.tail: _*)
       else joinedSet.groupBy(plainVars.map(n => col(s"var_$n").as(n)): _*)
         .agg(aggCols.head, aggCols.tail: _*)
+    }
+    // `:keys` — Datomic's result-map keys: rename positionally over
+    // the :find elements (and normalize output to :find order)
+    if (q.keys.isEmpty) projected
+    else {
+      val findCols = q.find.map {
+        case FVar(n) => n
+        case FAgg(fn, v) => s"${fn.replace('-', '_')}_$v"
+        case FPull(v, _) => s"pull_$v"
+      }
+      projected.select(findCols.zip(q.keys).map { case (c, k) => col(c).as(k) }: _*)
     }
   }
 }

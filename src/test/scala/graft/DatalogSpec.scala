@@ -417,6 +417,40 @@ class DatalogSpec extends AnyFunSuite {
     assert(out2 == Map("e1" -> "Ace", "e2" -> "none"), out2.toString)
   }
 
+  test("get-some, ground, and :keys") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "name", "A"), ("e1", "nick", "Ace"),
+      ("e2", "name", "B"), ("e2", "alias", "Bee"),
+      ("e3", "other", "x"))
+      .toDF("e", "a", "v")
+    // get-some: first present attr wins; e3 (neither attr) drops
+    val q = Datalog.parse(
+      """[:find ?e ?label
+        | :where [?e ?a _] [(get-some $ ?e :nick :alias) ?label]]""".stripMargin)
+    val out = Datalog.runOn(eav, emptyRegistry, q, Map.empty)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("e1" -> "Ace", "e2" -> "Bee"), out.toString)
+    // ground inside or-join legs tags which leg matched
+    val q2 = Datalog.parse(
+      """[:find ?e ?kind
+        | :where (or-join [?e ?kind]
+        |          (and [?e :nick _] [(ground "nicked") ?kind])
+        |          (and [?e :alias _] [(ground "aliased") ?kind]))]""".stripMargin)
+    val out2 = Datalog.runOn(eav, emptyRegistry, q2, Map.empty)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out2 == Map("e1" -> "nicked", "e2" -> "aliased"), out2.toString)
+    // :keys renames output columns positionally over :find
+    val q3 = Datalog.parse(
+      """[:find ?e (count ?a)
+        | :keys entity n_attrs
+        | :where [?e ?a _]]""".stripMargin)
+    val df3 = Datalog.runOn(eav, emptyRegistry, q3, Map.empty)
+    assert(df3.columns.toSeq == Seq("entity", "n_attrs"))
+    val m3 = df3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m3 == Map("e1" -> 2L, "e2" -> 2L, "e3" -> 1L), m3.toString)
+  }
+
   test("rule-local variables are lexically scoped from :in parameters") {
     import spark.implicits._
     val eav = Seq(
