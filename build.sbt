@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // harness grew past ~80 queries (localCheckpoint blocks + broadcasts
   // accumulate) — late queries read 10-20x slower than isolated runs
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // whole-stage codegen emits one class per stage; a long harness run
+  // (88 queries, each several codegen stages) overflows the default
+  // 240m code cache, the JIT stops compiling, and later queries run
+  // partly interpreted at 10-20x cost
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -25,6 +25,26 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
 
+    // JIT warmup: run EVERY query once at the smallest SF before timing.
+    // Whole-stage codegen emits the same classes regardless of data
+    // volume, so this compiles + JITs each query's generated code on
+    // ~100x less data — without it the first heavy execution of a
+    // stage runs partly interpreted and times 10-20x worse than the
+    // engine's steady state (measured: q49 227s cold vs 6s warm).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      System.err.println(f"[bench] warmup pass done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -99,7 +99,9 @@ object SparkEntry {
     "q53_speculative_with"   -> (Relational.q53_speculative_with _),
     "q54_tuple_attrs"        -> (Relational.q54_tuple_attrs _),
     "q55_ensure_specs"       -> (Relational.q55_ensure_specs _),
+    "q56_vaet_scan"          -> (Relational.q56_vaet_scan _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
+    "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
     "d29_sequence_pack"      -> ((s, d) => Curate.d29_sequence_pack(s, d)),
     "d26_source_mix"         -> ((s, d) => Curate.d26_source_mix(s, d)),
@@ -804,6 +806,13 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM o JOIN v USING (tx) WHERE NOT tx_bad) AS n_accepted,
         |  (SELECT COUNT(*) FROM o JOIN v USING (tx) WHERE tx_bad AND NOT bad) AS n_collateral,
         |  (SELECT COUNT(*) FROM o WHERE bad) AS n_violating""".stripMargin,
+    "q56_vaet_scan" ->
+      """SELECT 'cust/order' AS a,
+        |  COUNT(*) AS n_inbound,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_targets,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_sources
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "d30_unigram_logprob" -> Llm.d30OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

@@ -619,6 +619,46 @@ object Llm {
        |  FROM scored)
        |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ── d30: unigram log-probability (perplexity-proxy filter) ────────
+  /** The classic cheap quality score: per-doc mean unigram log-prob
+    * under the corpus's own unigram LM. Docs full of rare/garbage
+    * tokens score far below the mode — the "perplexity filter" pass a
+    * pretraining pipeline runs when a real LM is too expensive.
+    *
+    * Scale shape: reuses the d28 tf decomposition — the per-(doc,term)
+    * tf table (∝ distinct pairs, much smaller than the token stream)
+    * joins term-keyed against the vocabulary (corpus term counts +
+    * one 1-row total broadcast), then one per-doc agg of
+    * Σ tf·ln p(w) / Σ tf. No corpus self-join; every shuffle keys on
+    * term or doc_id. */
+  def d30_unigram_logprob(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tf = spread(docs).select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    tf.join(vocab, "term").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round((sum(col("tf") * log(col("cnt").cast("double") / col("n_total")))
+          / sum(col("tf"))), 6).as("mean_logprob"))
+  }
+
+  def d30OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    w -> length(w) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+       |total AS (SELECT sum(cnt) AS n_total FROM vocab)
+       |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |  round(sum(tf.tf * ln(CAST(vocab.cnt AS DOUBLE) / total.n_total))
+       |        / sum(tf.tf), 6) AS mean_logprob
+       |FROM tf JOIN vocab USING (term) CROSS JOIN total
+       |GROUP BY tf.doc_id""".stripMargin
+
   /** Exact all-pairs variant on a deterministic sample — the recall
     * baseline d15 is measured against in LlmSpec; NOT a gated query
     * (a BroadcastNestedLoopJoin is quadratic work however you sample). */

@@ -880,6 +880,36 @@ object Relational {
       sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("n_violating"))
   }
 
+  // ── VAET reverse-index scan: who references these entities? ───────
+  /** Datomic `d/datoms db :vaet v` — the reverse-ref walk. The graph
+    * reuses q49's shape (customers point at orders via `cust/order`,
+    * orders own lines via `order/line`); for every 100th order the
+    * scan returns ALL inbound ref datoms: the owning customer's edge
+    * and nothing else pointing at it, while `order/line` edges point
+    * FROM the order (outbound) and must not appear. Aggregated per
+    * attribute so the oracle pins both the hit set and the exclusion. */
+  def q56_vaet_scan(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    val oe = concat(lit("o"), col("o_orderkey").cast("string"))
+    val le = concat(lit("l"), col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"))
+    def refs(e: Column, a: String, v: Column, src: DataFrame) =
+      src.select(e.as("e"), lit(a).as("a"), v.as("v"),
+        lit(null).cast("long").as("v_long"), lit(true).as("is_ref"),
+        lit(1L).as("tx"), lit(true).as("op"))
+    val log = refs(concat(lit("c"), col("o_custkey").cast("string")), "cust/order", oe, o)
+      .unionByName(refs(concat(lit("o"), col("l_orderkey").cast("string")),
+        "order/line", le, li))
+    val targets = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select(concat(lit("o"), col("o_orderkey").cast("string")).as("e"))
+    graft.store.Store.vaet(log, targets)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_inbound"),
+        countDistinct(col("v")).as("n_targets"),
+        countDistinct(col("e")).as("n_sources"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

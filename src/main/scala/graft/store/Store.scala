@@ -213,6 +213,20 @@ object Store {
     eav.filter(col("a") === a && col("v_long") >= vFrom && col("v_long") < vUntil)
       .orderBy(col("v_long"), col("e"))
 
+  /** VAET reverse-index scan (Datomic `d/datoms db :vaet v`): every
+    * ref datom pointing AT one of the target entities — "who
+    * references X", the query behind retractEntity's inbound-ref
+    * cascade and any back-reference navigation. On the
+    * attribute-partitioned log the is_ref population lives in the ref
+    * attrs' partitions; the target probe is a semi-join (broadcast
+    * when targets are a bounded set), so the scan never widens beyond
+    * ref partitions. Output in (v, a, e) — VAET — order. */
+  def vaet(eav: DataFrame, targets: DataFrame): DataFrame =
+    eav.filter(col("is_ref"))
+      .join(targets.select(col("e").as("__vaet_t")).distinct(),
+        col("v") === col("__vaet_t"), "left_semi")
+      .orderBy(col("v"), col("a"), col("e"))
+
   /** `:db/cas` transaction function (compare-and-swap). `ops` columns:
     * (e, a, expected, new_v, new_v_long). An op succeeds iff the
     * current value of (e, a) in `state` equals `expected` — null

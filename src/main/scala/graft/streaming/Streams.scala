@@ -64,6 +64,18 @@ object Streams {
       .withWatermark("ets", lateness)
       .dropDuplicates(idCols :+ "ets")
 
+  /** Dedup on the ID ALONE within the watermark window: a replayed
+    * record whose timestamp drifted (retry after seconds, clock skew
+    * between producers) still dedups — `dropDuplicates` above keys on
+    * (id, ets) and would pass both copies through. State per id is
+    * dropped once the watermark passes its first-seen time, so memory
+    * stays bounded on an unbounded stream — this is the streaming
+    * twin of d01 for at-least-once upstream delivery. */
+  def dedupStreamById(events: DataFrame, idCols: Seq[String], lateness: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream-stream interval join (click attribution): every click joins
     * the same user's impressions within the look-back horizon. BOTH
     * sides carry watermarks and the join condition is time-bounded, so

@@ -119,6 +119,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup within watermark catches same-id records with drifted timestamps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+      .selectExpr("event_id", "ts * 1000000 as ts", "value") // ms → ns
+    val out = Streams.dedupStreamById(events, Seq("event_id"), "1 hour")
+      .select("event_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out").start()
+    try {
+      // id 1 replayed 5 s later with a DIFFERENT timestamp — the
+      // (id, ts)-keyed dedupStream would emit both; this emits one
+      mem.addData((1L, 1000L, 1.0), (2L, 2000L, 2.0), (1L, 6000L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 9000L, 1.0), (3L, 3000L, 3.0)) // late replay of id 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: broadcast dim joins inside the micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
