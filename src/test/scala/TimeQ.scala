@@ -1,4 +1,9 @@
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time individual harness queries at sf0.1 under the
+  * Bench session config (2 runs each — cold incl. codegen/JIT, then
+  * warm). `sbt "Test/runMain TimeQ q49_retract_entity d28_tfidf"`.
+  * TQ_AQE=false disables adaptive execution for plan comparison. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
