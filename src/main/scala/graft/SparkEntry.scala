@@ -100,6 +100,7 @@ object SparkEntry {
     "q54_tuple_attrs"        -> (Relational.q54_tuple_attrs _),
     "q55_ensure_specs"       -> (Relational.q55_ensure_specs _),
     "q56_vaet_scan"          -> (Relational.q56_vaet_scan _),
+    "q57_pull_options"       -> (Relational.q57_pull_options _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -812,6 +813,20 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_targets,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_sources
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "q57_pull_options" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |per AS (
+        |  SELECT c, list_sort(list(CAST(cents AS VARCHAR)))[1:3] AS prices
+        |  FROM o GROUP BY c)
+        |SELECT 'c' || CAST(c AS VARCHAR) AS e,
+        |  CASE WHEN c % 10 = 0 THEN 'name-' || CAST(c AS VARCHAR)
+        |       ELSE 'unknown' END AS name,
+        |  CAST(len(prices) AS BIGINT) AS n_orders,
+        |  array_to_string(prices, ',') AS prices
+        |FROM per""".stripMargin,
     "d30_unigram_logprob" -> Llm.d30OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,

@@ -910,6 +910,43 @@ object Relational {
         countDistinct(col("e")).as("n_sources"))
   }
 
+  // ── Pull options: :limit / :default / :as ─────────────────────────
+  /** Datomic pull attribute options over a customer→orders graph:
+    * `:default` fills customers without a name, `{(:cust/order
+    * :limit 3) […]}` truncates each customer's SORTED order list
+    * (deterministic first-3, not arbitrary-3), `:as` renames the
+    * nested price column. Arrays flatten to csv for the comparator.
+    * Plan shape unchanged from plain pull: one pruned scan + keyed
+    * join per pattern entry; the limit slices post-collect (state per
+    * group is the collected list — at true scale a pathological fan-out
+    * would want a pre-aggregation top-n, which `eio/top`-style
+    * windowing covers elsewhere). */
+  def q57_pull_options(s: SparkSession, d: String): DataFrame = {
+    import graft.model.{AttrDef, SchemaRegistry}
+    val o = orders(s, d)
+    val ce = concat(lit("c"), col("o_custkey").cast("string"))
+    val oe = concat(lit("o"), col("o_orderkey").cast("string"))
+    val eav = o.select(ce.as("e"), lit("cust/order").as("a"), oe.as("v"))
+      .unionByName(o.select(oe.as("e"), lit("order/price").as("a"),
+        cents(col("o_totalprice")).cast("string").as("v")))
+      .unionByName(o.filter(pmod(col("o_custkey"), lit(10)) === 0)
+        .select(ce.as("e"), lit("cust/name").as("a"),
+          concat(lit("name-"), col("o_custkey").cast("string")).as("v")).distinct())
+    def attr(n: String, many: Boolean) = n -> AttrDef(n, "string", many = many,
+      uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false)
+    val reg = new SchemaRegistry(Map(
+      attr("cust/order", many = true), attr("cust/name", many = false),
+      attr("order/price", many = false)))
+    val roots = o.select(ce.as("e")).distinct()
+    graft.query.Pull.pullFrom(eav, reg, graft.query.Pull.parsePattern(
+        """[(:cust/name :default "unknown")
+          | {(:cust/order :limit 3) [(:order/price :as "price")]}]""".stripMargin),
+        roots)
+      .select(col("e"), col("cust_name").as("name"),
+        size(col("cust_order")).cast("long").as("n_orders"),
+        concat_ws(",", expr("transform(cust_order, x -> x.price)")).as("prices"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

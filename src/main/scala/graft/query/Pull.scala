@@ -25,8 +25,16 @@ import graft.store.Store
 object Pull {
 
   sealed trait Spec
-  final case class PAttr(attr: String) extends Spec
-  final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec]) extends Spec
+  /** Datomic attribute-with-options: `(:artist/name :as "Name")`,
+    * `(:artist/aliases :limit 2)`, `(:artist/startYear :default 0)`.
+    * `limit` slices the SORTED card-many collection (deterministic
+    * truncation; Datomic's implicit 1000-item default limit is NOT
+    * applied — pass `:limit` explicitly), `default` coalesces a
+    * missing card-one value, `as` renames the output column. */
+  final case class PAttr(attr: String, limit: Option[Int] = None,
+    default: Option[Edn] = None, as: Option[String] = None) extends Spec
+  final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec],
+    limit: Option[Int] = None, as: Option[String] = None) extends Spec
   /** `*` — every registry attribute, as scalar columns (Datomic's
     * wildcard renders refs un-recursed; combine with explicit map
     * specs to hydrate chosen refs). Expansion is schema-driven (the
@@ -42,9 +50,25 @@ object Pull {
     case other => throw new IllegalArgumentException(s"pull pattern must be a vector: $other")
   }
 
+  /** `(:attr :opt v …)` option list → (limit, default, as). */
+  private def attrOptions(opts: Seq[Edn]): (Option[Int], Option[Edn], Option[String]) = {
+    require(opts.size % 2 == 0, s"pull attr options must be key/value pairs")
+    opts.grouped(2).foldLeft((Option.empty[Int], Option.empty[Edn], Option.empty[String])) {
+      case ((l, d, a), Seq(EKw("", "limit"), ELong(n))) => (Some(n.toInt), d, a)
+      case ((l, d, a), Seq(EKw("", "default"), v)) => (l, Some(v), a)
+      case ((l, d, a), Seq(EKw("", "as"), EStr(s))) => (l, d, Some(s))
+      case (_, Seq(k, v)) =>
+        throw new IllegalArgumentException(s"bad pull attr option: ${Edn.print(k)} ${Edn.print(v)}")
+    }
+  }
+
   private def specOf(e: Edn): Spec = e match {
     case ESym("", "*") => PWild
     case k: EKw => PAttr(k.qualified)
+    // attribute with options: (:artist/name :as "Name" :limit 2 :default x)
+    case EList((k: EKw) +: opts) =>
+      val (limit, default, as) = attrOptions(opts)
+      PAttr(k.qualified, limit, default, as)
     case m: EMap =>
       require(m.entries.size == 1, s"pull map spec must have one entry: ${Edn.print(m)}")
       m.entries.head match {
@@ -52,6 +76,12 @@ object Pull {
           val reverse = k.name.startsWith("_")
           val attr = if (reverse) s"${k.ns}/${k.name.drop(1)}" else k.qualified
           PRef(attr, reverse, sub.map(specOf))
+        // map key with options: {(:order/line :limit 2) [...]}
+        case (EList((k: EKw) +: opts), EVec(sub)) =>
+          val (limit, _, as) = attrOptions(opts)
+          val reverse = k.name.startsWith("_")
+          val attr = if (reverse) s"${k.ns}/${k.name.drop(1)}" else k.qualified
+          PRef(attr, reverse, sub.map(specOf), limit, as)
         case other => throw new IllegalArgumentException(s"bad pull map entry: $other")
       }
     case other => throw new IllegalArgumentException(s"bad pull spec: ${Edn.print(other)}")
@@ -81,26 +111,43 @@ object Pull {
     // `*` expands to the registry's attrs (sorted, deduped against
     // explicit entries so `[* {:x/ref [...]}]` keeps the hydrated form)
     val explicit = pattern.collect {
-      case PAttr(a) => a
-      case PRef(a, reverse, _) if !reverse => a
+      case p: PAttr => p.attr
+      case PRef(a, reverse, _, _, _) if !reverse => a
     }.toSet
     val expanded = pattern.flatMap {
       case PWild => registry.attrs.keys.toSeq.sorted
-        .filterNot(explicit.contains).map(PAttr)
+        .filterNot(explicit.contains).map(PAttr(_))
       case s => Seq(s)
     }
+    // defaults render with the same text encoding stored values carry
+    def defText(d: Edn): String = d match {
+      case EStr(s) => s
+      case ELong(n) => n.toString
+      case EDouble(x) => x.toString
+      case EBool(b) => b.toString
+      case k: EKw => k.qualified
+      case EUuid(u) => u
+      case other => Edn.print(other)
+    }
+    def sliced(c: org.apache.spark.sql.Column, limit: Option[Int]) =
+      limit.fold(c)(n => slice(c, 1, n))
     expanded.foldLeft(roots.select(col("e"))) { (acc, spec) =>
       spec match {
         case PWild => throw new IllegalStateException("unreachable: * expanded above")
-        case PAttr(attr) =>
+        case PAttr(attr, limit, default, as) =>
+          val name = as.getOrElse(colName(attr, reverse = false))
           val vals = cur.filter(col("a") === attr).select(col("e"), col("v"))
           val agged =
             if (registry.isMany(attr))
-              vals.groupBy("e").agg(sort_array(collect_list(col("v")))
-                .as(colName(attr, reverse = false)))
-            else vals.select(col("e"), col("v").as(colName(attr, reverse = false)))
-          acc.join(agged, Seq("e"), "left")
-        case PRef(attr, reverse, sub) =>
+              // sort BEFORE the limit slice: Datomic returns the first
+              // n of the stable value order, not n arbitrary elements
+              vals.groupBy("e").agg(
+                sliced(sort_array(collect_list(col("v"))), limit).as(name))
+            else vals.select(col("e"), col("v").as(name))
+          val joined = acc.join(agged, Seq("e"), "left")
+          default.fold(joined)(d =>
+            joined.withColumn(name, coalesce(col(name), lit(defText(d)))))
+        case PRef(attr, reverse, sub, limit, as) =>
           // forward: root --attr--> child (v is the child id);
           // reverse: child --attr--> root, hydrate the children
           val edges =
@@ -112,12 +159,13 @@ object Pull {
             edges.select(col("__child").as("e")).distinct())
           val joined = edges.join(children.withColumnRenamed("e", "__child"), "__child")
           val st = struct(children.columns.filterNot(_ == "e").map(col): _*)
-          val name = colName(attr, reverse)
+          val name = as.getOrElse(colName(attr, reverse))
           // reverse refs and card-many forward refs collect; a card-one
           // forward ref is a single struct
           val agged =
             if (reverse || registry.isMany(attr))
-              joined.groupBy("e").agg(sort_array(collect_list(st)).as(name))
+              joined.groupBy("e").agg(
+                sliced(sort_array(collect_list(st)), limit).as(name))
             else joined.groupBy("e").agg(min(st).as(name))
           acc.join(agged, Seq("e"), "left")
       }

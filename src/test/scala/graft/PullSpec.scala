@@ -88,4 +88,32 @@ class PullSpec extends AnyFunSuite {
     assert(mb.isRef("release/artists") && mb.isMany("release/artists"),
       "pull relies on schema ref/cardinality metadata")
   }
+
+  test("attr options: :default fills missing, :as renames, :limit truncates sorted") {
+    val out = Pull.pullFrom(cur, registry, Pull.parsePattern(
+        """[(:band/name :as "title")
+          | (:band/label :default "indie")
+          | (:band/genres :limit 1)]""".stripMargin),
+        roots("b1", "b2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(r.fieldIndex("title")),
+          r.getString(r.fieldIndex("band_label")),
+          r.getSeq[String](r.fieldIndex("band_genres"))))).toMap
+    // genres sort (jazz < rock) BEFORE the limit: the first of the
+    // stable order, not an arbitrary element
+    assert(out("b1") === (("Alpha", "l1", Seq("jazz"))))
+    assert(out("b2") === (("Beta", "indie", null)))
+  }
+
+  test("map-spec options: {(:ref :limit n) [...]} truncates hydrated children") {
+    val revReg = new SchemaRegistry(Map(
+      ad("band/name"), ad("album/name"), ad("album/band", ref = true)))
+    val out = Pull.pullFrom(cur, revReg, Pull.parsePattern(
+        """[:band/name {(:album/_band :limit 1) [:album/name]}]"""),
+        roots("b1"))
+      .collect()(0)
+    val hydrated = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("album__band"))
+    assert(hydrated.length == 1 && hydrated.head.getString(0) == "First",
+      s"limit 1 keeps the first sorted child: $hydrated")
+  }
 }
