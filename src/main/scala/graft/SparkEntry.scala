@@ -101,12 +101,14 @@ object SparkEntry {
     "q55_ensure_specs"       -> (Relational.q55_ensure_specs _),
     "q56_vaet_scan"          -> (Relational.q56_vaet_scan _),
     "q57_pull_options"       -> (Relational.q57_pull_options _),
+    "q58_excision"           -> (Relational.q58_excision _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
     "d29_sequence_pack"      -> ((s, d) => Curate.d29_sequence_pack(s, d)),
     "d26_source_mix"         -> ((s, d) => Curate.d26_source_mix(s, d)),
     "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
+    "d31_cluster_representatives" -> (Llm.d31_cluster_representatives _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -551,6 +553,42 @@ object SparkEntry {
         |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id)
         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin,
+    "d31_cluster_representatives" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN []
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+        |    END AS grams FROM t),
+        |k AS (SELECT doc_id, grams, list_aggregate(grams, 'min') AS block FROM g WHERE len(grams) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams)) / greatest(len(list_distinct(a.grams || b.grams)), 1), 6) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id),
+        |cl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+        |w AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM t),
+        |j AS (SELECT cl.cluster_id, cl.doc_id, w.n_words FROM cl JOIN w USING (doc_id)),
+        |rep AS (
+        |  SELECT cluster_id, doc_id AS rep_doc,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id ASC) AS rn
+        |  FROM j),
+        |agg AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |    CAST(SUM(n_words) AS BIGINT) AS total_words,
+        |    CAST(SUM(n_words) - MAX(n_words) AS BIGINT) AS words_dropped
+        |  FROM j GROUP BY cluster_id)
+        |SELECT agg.cluster_id, agg.n_members, rep.rep_doc, agg.total_words, agg.words_dropped
+        |FROM agg JOIN rep USING (cluster_id) WHERE rep.rn = 1""".stripMargin,
     // xxhash-internal family: DuckDB-SQL XXH64 (generated — see
     // graft.queries.XxhOracle) gives these full value-level oracles
     "d02_minhash_signatures" -> XxhOracle.d02Sql,
@@ -827,6 +865,21 @@ object SparkEntry {
         |  CAST(len(prices) AS BIGINT) AS n_orders,
         |  array_to_string(prices, ',') AS prices
         |FROM per""".stripMargin,
+    "q58_excision" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT * FROM o WHERE k % 20 <> 0),
+        |audit AS (SELECT COUNT(*) AS n_audit FROM o WHERE k % 20 = 0)
+        |SELECT CAST(1 AS BIGINT) AS asof_tx, COUNT(*) AS n_entities,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents, audit.n_audit
+        |FROM kept CROSS JOIN audit GROUP BY audit.n_audit
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CASE WHEN k % 10 = 0 THEN cents * 2 ELSE cents END) AS BIGINT),
+        |  audit.n_audit
+        |FROM kept CROSS JOIN audit GROUP BY audit.n_audit""".stripMargin,
     "d30_unigram_logprob" -> Llm.d30OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,

@@ -411,6 +411,30 @@ object Llm {
       .components(d04_ngram_jaccard(s, d).filter(col("jaccard") >= 0.5), "a_id", "b_id")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
 
+  /** d31: representative selection — the step AFTER clustering: from
+    * each near-dup cluster keep ONE document (the longest by token
+    * count, tiebreak min doc_id — "keep the best copy" in real
+    * pipelines, where quality is whatever score the team trusts).
+    * Output is per-cluster: the representative, member count, and the
+    * token mass the dedup pass drops.
+    *
+    * Scale shape: d18's component labels (bucketed candidate
+    * generation, label-propagation fixpoint ∝ edges) joined once to
+    * per-doc token counts, then one tiny per-cluster agg — clusters
+    * ≪ corpus, so everything after the components is a small-keyed
+    * groupBy. */
+  def d31_cluster_representatives(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d).select(col("doc_id"),
+      expr("size(filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))")
+        .cast("long").as("n_words"))
+    d18_dedup_clusters(s, d).join(words, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("n_words"), -col("doc_id"))).as("rep_doc"),
+        sum(col("n_words")).as("total_words"),
+        (sum(col("n_words")) - max(col("n_words"))).as("words_dropped"))
+  }
+
   /** Gopher/C4-style repetition filter: the fraction of duplicated
     * word-3-grams per document, in basis points (integer math — a
     * double ratio would hang parity on float printing). Distinct

@@ -947,6 +947,36 @@ object Relational {
         concat_ws(",", expr("transform(cust_order, x -> x.price)")).as("prices"))
   }
 
+  // ── Excision: physical erasure including history ──────────────────
+  /** Datomic `:db/excise` — the GDPR tool: over a two-tx price log
+    * (tx 1 all orders, tx 2 every 10th doubled), every 20th order is
+    * EXCISED. Resolving the excised log at BOTH horizons shows the
+    * erased entities are gone from history itself (an as-of view
+    * before the excision tx no longer sees them — exactly where
+    * retraction and excision differ), while one audit datom per
+    * target records that an excision happened. */
+  def q58_excision(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    def asLog(v: Column, tx: Long, pred: Column) = o.filter(pred).select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      v.cast("string").as("v"), v.as("v_long"),
+      lit(false).as("is_ref"), lit(tx).as("tx"), lit(true).as("op"))
+    val log = asLog(c, 1L, lit(true))
+      .unionByName(asLog(c * 2, 2L, pmod(col("o_orderkey"), lit(10)) === 0))
+    val targets = o.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select(col("o_orderkey").cast("string").as("e"))
+    val excised = graft.store.Store.excise(log, targets, tx = 3L)
+    val audits = excised.filter(col("a") === "db/excise")
+      .agg(count(lit(1)).as("n_audit"))
+    graft.store.Store.resolveAtHorizons(
+        excised.filter(col("a") =!= "db/excise"), Seq(1L, 2L), Seq.empty)
+      .groupBy(col("asof_tx"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("v_long")).cast("long").as("total_cents"))
+      .crossJoin(audits)
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

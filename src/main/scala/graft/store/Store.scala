@@ -325,6 +325,30 @@ object Store {
       .withColumn("tx", lit(tx)).withColumn("op", lit(false))
   }
 
+  /** Datomic excision (`:db/excise`): PHYSICAL removal of an entity's
+    * datoms INCLUDING history — the compliance tool (GDPR erasure)
+    * where retraction is not enough because `history`/`asOf` would
+    * still show the values. Returns the excised log: every datom whose
+    * E is a target or whose ref V points at a target is gone from all
+    * horizons, and one audit datom per target (`db.excise/<e>`,
+    * `db/excise`, target, tx) records THAT an excision happened
+    * without recording what was removed — exactly Datomic's audit
+    * shape. Unlike the rest of the store this rewrites rather than
+    * appends; at scale it is an offline compact-style pass over the
+    * attribute partitions (two semi-joins, shuffle ∝ log). */
+  def excise(log: DataFrame, targets: DataFrame, tx: Long): DataFrame = {
+    val t = targets.select(col("e")).distinct()
+    val keep = log.join(t, Seq("e"), "left_anti")
+      .join(t.select(col("e").as("__x")),
+        col("is_ref") && col("v") === col("__x"), "left_anti")
+    val audit = t.select(
+      concat(lit("db.excise/"), col("e")).as("e"),
+      lit("db/excise").as("a"), col("e").as("v"),
+      lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
+      lit(tx).as("tx"), lit(true).as("op"))
+    keep.unionByName(audit)
+  }
+
   import org.apache.spark.sql.types._
   val schema: StructType = StructType(Seq(
     StructField("e", StringType, nullable = false),

@@ -134,6 +134,24 @@ class TxFnSpec extends AnyFunSuite {
       "doc1 keeps one of two copies of A; doc2 keeps only B")
   }
 
+  test("excise: erases history AND inbound refs, leaves an audit datom") {
+    import spark.implicits._
+    val log = datoms(
+      ("e1", "price", "100", 1L), ("e1", "price", "200", 2L), // two-tx history
+      ("e2", "price", "300", 1L))
+      .unionByName(refDatoms(("c1", "cust/order", "e1", 1L)))
+    val out = Store.excise(log, Seq("e1").toDF("e"), tx = 3L)
+    // every e1 datom (both txs) and the inbound ref are GONE — asOf 1
+    // no longer sees e1 (retraction would have kept it at horizon 1)
+    val atTx1 = Store.resolveAtHorizons(out.filter(col("a") =!= "db/excise"),
+      Seq(1L), Seq.empty).select("e").collect().map(_.getString(0)).toSet
+    assert(atTx1 === Set("e2"), "history before the excision tx is erased too")
+    val audit = out.filter(col("a") === "db/excise").collect()
+    assert(audit.length == 1)
+    assert(audit(0).getString(0) === "db.excise/e1" && audit(0).getString(2) === "e1")
+    assert(out.filter(col("e") === "e1" || (col("is_ref") && col("v") === "e1")).count() === 0)
+  }
+
   test("withDb: speculation sees the tx, base state does not; two withs are independent") {
     val state = datoms(("e1", "price", "100", 1L), ("e2", "price", "200", 1L))
     val tx1 = datoms(("e1", "price", "150", 2L))
