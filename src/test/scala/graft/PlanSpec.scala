@@ -96,4 +96,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition") || !p.contains("Window"),
       s"q10 must not run a global window:\n${p.take(800)}")
   }
+
+  test("d27: the only nested loop is corpus x 8 broadcast centroids; updates are hash aggs") {
+    val p = plan(graft.queries.Llm.d27_kmeans(spark, sf))
+    // the centroid table must come in as a broadcast, never shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(600))
+    assert(!p.contains("CartesianProduct"), "corpus x corpus would be quadratic: " + p.take(600))
+    // the centroid recompute is a partial hash agg, not a corpus sort
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("d28/d30: tf decomposition joins on term — no cartesian beyond the 1-row total") {
+    for (q <- Seq(graft.queries.Llm.d28_tfidf(spark, sf),
+                  graft.queries.Llm.d30_unigram_logprob(spark, sf))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(600))
+      assert(p.contains("HashAggregate"), p.take(600))
+    }
+  }
+
+  test("q56: VAET probe is a semi join over ref datoms") {
+    val p = plan(Relational.q56_vaet_scan(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(600))
+  }
+
+  test("d29: prefix-sum packing has no unpartitioned window") {
+    val p = plan(graft.queries.Curate.d29_sequence_pack(spark, sf))
+    assert(!(p.contains("Window") && p.contains("SinglePartition")),
+      s"d29 must not run a global window:\n${p.take(800)}")
+  }
 }
