@@ -184,17 +184,26 @@ object Store {
     val tagged = withOp
       .select(col("*"), explode(lit(horizons.toArray)).as("asof_tx"))
       .filter(col("tx") <= col("asof_tx"))
+    // tiebreaks are EXPLICIT in both max_by orderings — max_by alone
+    // keeps the first-encountered row among ties, which is partition-
+    // order-dependent (caught by PropertySpec's reference model):
+    //  - same-tx assert+retract of one datom → assert wins (op=true
+    //    sorts above false); Datomic rejects that tx shape outright,
+    //    we resolve it deterministically;
+    //  - same-tx double-assert on a card-one attr → max v wins.
     val latest = tagged
       .groupBy(col("asof_tx"), col("e"), col("a"), col("v"))
       .agg(
-        max_by(struct(col("op"), col("v_long"), col("is_ref")), col("tx")).as("s"),
+        max_by(struct(col("op"), col("v_long"), col("is_ref")),
+          struct(col("tx"), col("op"))).as("s"),
         max(when(col("op"), col("tx"))).as("assert_tx"))
       .filter(col("s.op"))
       .select(col("asof_tx"), col("e"), col("a"), col("v"), col("s.v_long").as("v_long"),
         col("s.is_ref").as("is_ref"), col("assert_tx"))
     val one = latest.filter(!col("a").isInCollection(manyAttrs))
       .groupBy(col("asof_tx"), col("e"), col("a"))
-      .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")), col("assert_tx")).as("s"))
+      .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")),
+        struct(col("assert_tx"), col("v"))).as("s"))
       .select(col("asof_tx"), col("e"), col("a"), col("s.v").as("v"),
         col("s.v_long").as("v_long"), col("s.is_ref").as("is_ref"))
     val many = latest.filter(col("a").isInCollection(manyAttrs))

@@ -96,4 +96,48 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(saltedAgg == plainAgg)
   }
+
+  test("resolve equals a brute-force reference model on 60 random logs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random datom logs over a tiny universe — every combination of
+    // re-assert / retract / re-assert-after-retract / same-tx ties
+    // appears at this density
+    val genDatom: Gen[(String, String, String, Long, Boolean)] = for {
+      e <- Gen.oneOf("e1", "e2", "e3")
+      a <- Gen.oneOf("one1", "one2", "many1")
+      v <- Gen.oneOf("v1", "v2", "v3", "v4")
+      tx <- Gen.choose(1L, 5L)
+      op <- Gen.oneOf(true, false)
+    } yield (e, a, v, tx, op)
+    val genLog = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, genDatom))
+    samples(genLog, 60).foreach { rows =>
+      val df = rows.toDF("e", "a", "v", "tx", "op")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+      val got = graft.store.Store.resolve(df, Seq("many1"))
+        .select("e", "a", "v").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      // reference model: a value is visible iff its latest op is an
+      // assert (same-tx tie → assert wins, matching max_by's struct
+      // tiebreak where op=true > op=false); card-one keeps the visible
+      // value with the greatest last-assert tx (tie → max v, matching
+      // the struct tiebreak on (v, ...))
+      val visible = rows.groupBy(r => (r._1, r._2, r._3)).flatMap { case ((e, a, v), ds) =>
+        val maxTx = ds.map(_._4).max
+        val opAtMax = ds.filter(_._4 == maxTx).map(_._5).max // true > false
+        if (opAtMax) Some(((e, a, v), ds.filter(_._5).map(_._4).max)) else None
+      }
+      val expected = visible.toSeq.flatMap { case ((e, a, v), lastAssert) =>
+        if (a == "many1") Seq((e, a, v))
+        else {
+          val siblings = visible.filter { case ((e2, a2, _), _) => e2 == e && a2 == a }
+          val best = siblings.maxBy { case ((_, _, v2), t) => (t, v2) }
+          if (best._1._3 == v) Seq((e, a, v)) else Seq.empty
+        }
+      }.toSet
+      assert(got === expected, s"log: $rows")
+    }
+  }
 }
