@@ -102,6 +102,7 @@ object SparkEntry {
     "q56_vaet_scan"          -> (Relational.q56_vaet_scan _),
     "q57_pull_options"       -> (Relational.q57_pull_options _),
     "q58_excision"           -> (Relational.q58_excision _),
+    "q59_datalog_agg_n"      -> (Relational.q59_datalog_agg_n _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -880,6 +881,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN k % 10 = 0 THEN cents * 2 ELSE cents END) AS BIGINT),
         |  audit.n_audit
         |FROM kept CROSS JOIN audit GROUP BY audit.n_audit""".stripMargin,
+    "q59_datalog_agg_n" ->
+      """WITH v AS (SELECT DISTINCT n_regionkey AS r, n_name AS n FROM nation)
+        |SELECT CAST(r AS BIGINT) AS region_key,
+        |  array_to_string(list_sort(list(n))[1:2], ',') AS two_smallest,
+        |  array_to_string(list_sort(list(n))[-1:], ',') AS largest
+        |FROM v GROUP BY r""".stripMargin,
     "d30_unigram_logprob" -> Llm.d30OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,

@@ -947,6 +947,24 @@ object Relational {
         concat_ws(",", expr("transform(cust_order, x -> x.price)")).as("prices"))
   }
 
+  // ── Datalog collection aggregates: (min n ?x) ─────────────────────
+  /** Datomic's n-ary aggregates return COLLECTIONS — `(min 2 ?n)` is
+    * the 2 smallest distinct values per group. Engine side it's a
+    * collect_set + sort + slice (bounded output per group); flattened
+    * to csv for the comparator. */
+  def q59_datalog_agg_n(s: SparkSession, d: String): DataFrame = {
+    val q = graft.query.Datalog.parse(
+      """[:find ?r (min 2 ?n) (max 1 ?n)
+        | :where [?e :n_name ?n]
+        |        [?e :n_regionkey ?r]]""".stripMargin)
+    graft.query.Datalog.runOn(nationEav(s, d).select(
+        col("e").cast("string").as("e"), col("a"), col("v")),
+        new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("r").cast("long").as("region_key"),
+        concat_ws(",", col("min_2_n")).as("two_smallest"),
+        concat_ws(",", col("max_1_n")).as("largest"))
+  }
+
   // ── Excision: physical erasure including history ──────────────────
   /** Datomic `:db/excise` — the GDPR tool: over a two-tx price log
     * (tx 1 all orders, tx 2 every 10th doubled), every 20th order is

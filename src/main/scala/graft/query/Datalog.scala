@@ -34,6 +34,11 @@ object Datalog {
   sealed trait FindElem
   final case class FVar(name: String) extends FindElem
   final case class FAgg(fn: String, varName: String) extends FindElem
+  /** Datomic's n-ary collection aggregates — `(min n ?x)` / `(max n
+    * ?x)` return the n smallest/largest DISTINCT values as a sorted
+    * collection; `(distinct ?x)` (FAggN with n = -1) returns them
+    * all. Surfaces as an array column. */
+  final case class FAggN(fn: String, n: Int, varName: String) extends FindElem
   /** `(pull ?e [pattern])` in :find — hydrate each binding of `?e`
     * with the pull pattern; surfaces as a struct column `pull_<var>`
     * (Datomic returns the pulled map in the tuple position). */
@@ -114,7 +119,10 @@ object Datalog {
       case EList(Vector(ESym("", "pull"), ESym("", v), pat)) if v.startsWith("?") =>
         FPull(v.drop(1), Pull.parsePattern(pat))
       case EList(Vector(ESym("", fn), ESym("", v))) if v.startsWith("?") =>
-        FAgg(fn, v.drop(1))
+        if (fn == "distinct") FAggN(fn, -1, v.drop(1)) else FAgg(fn, v.drop(1))
+      case EList(Vector(ESym("", fn @ ("min" | "max")), ELong(n), ESym("", v)))
+          if v.startsWith("?") && n > 0 =>
+        FAggN(fn, n.toInt, v.drop(1))
       case other => throw new IllegalArgumentException(s"bad :find element: ${Edn.print(other)}")
     }
     require(find.nonEmpty, "query needs :find")
@@ -746,13 +754,14 @@ object Datalog {
     }
 
     val aggs = q.find.collect { case a: FAgg => a }
+    val aggNs = q.find.collect { case a: FAggN => a }
     val plainVars = q.find.collect { case FVar(n) => n }
     val pulls = q.find.collect { case p: FPull => p }
     val projected = if (pulls.nonEmpty) {
       // Datomic's (pull ?e pattern) in :find: dedupe the bindings,
       // hydrate each pulled var over the SAME eav (treated as current
       // state), attach as a pull_<var> struct column
-      require(aggs.isEmpty, "(pull …) cannot mix with aggregates in :find")
+      require(aggs.isEmpty && aggNs.isEmpty, "(pull …) cannot mix with aggregates in :find")
       val vars = (plainVars ++ pulls.map(_.varName)).distinct
       val base = joinedRel.select(vars.map(n => col(s"var_$n").as(n)): _*).distinct()
       pulls.foldLeft(base) { (df, p) =>
@@ -763,7 +772,7 @@ object Datalog {
           hydrated.select(col("e").as(p.varName), payload.as(s"pull_${p.varName}")),
           Seq(p.varName), "left")
       }.select((plainVars.map(col) ++ pulls.map(p => col(s"pull_${p.varName}"))): _*)
-    } else if (aggs.isEmpty) {
+    } else if (aggs.isEmpty && aggNs.isEmpty) {
       if (q.withVars.isEmpty)
         joinedRel.select(plainVars.map(n => col(s"var_$n").as(n)): _*).distinct()
       else
@@ -777,7 +786,8 @@ object Datalog {
       // join the dedupe set without surfacing in the output, giving
       // the bag counts Datomic users reach for (e.g. count per ?e
       // WITH ?v keeps one row per (e, v))
-      val bindingVars = (plainVars ++ q.withVars ++ aggs.map(_.varName)).distinct
+      val bindingVars =
+        (plainVars ++ q.withVars ++ aggs.map(_.varName) ++ aggNs.map(_.varName)).distinct
       val joinedSet = joinedRel.select(bindingVars.map(n => col(s"var_$n")): _*).distinct()
       val aggCols = aggs.map {
         // NOTE: min/max compare the TEXT encoding (correct for strings
@@ -796,6 +806,17 @@ object Datalog {
         case FAgg("variance", v) => var_samp(col(s"var_$v").cast("double")).as(s"variance_$v")
         case FAgg("stddev", v) => stddev_samp(col(s"var_$v").cast("double")).as(s"stddev_$v")
         case FAgg(fn, _) => throw new IllegalArgumentException(s"unsupported aggregate: $fn")
+      } ++ aggNs.map {
+        // collection aggregates: n smallest/largest DISTINCT values
+        // (or all of them for `distinct`), always sorted — Datomic
+        // returns these as collections; here an array column
+        case FAggN("min", n, v) =>
+          slice(sort_array(collect_set(col(s"var_$v"))), 1, n).as(s"min_${n}_$v")
+        case FAggN("max", n, v) =>
+          slice(sort_array(collect_set(col(s"var_$v")), asc = false), 1, n).as(s"max_${n}_$v")
+        case FAggN("distinct", _, v) =>
+          sort_array(collect_set(col(s"var_$v"))).as(s"distinct_$v")
+        case FAggN(fn, _, _) => throw new IllegalArgumentException(s"unsupported aggregate: $fn")
       }
       if (plainVars.isEmpty) joinedSet.agg(aggCols.head, aggCols.tail: _*)
       else joinedSet.groupBy(plainVars.map(n => col(s"var_$n").as(n)): _*)
@@ -808,6 +829,8 @@ object Datalog {
       val findCols = q.find.map {
         case FVar(n) => n
         case FAgg(fn, v) => s"${fn.replace('-', '_')}_$v"
+        case FAggN("distinct", _, v) => s"distinct_$v"
+        case FAggN(fn, n, v) => s"${fn}_${n}_$v"
         case FPull(v, _) => s"pull_$v"
       }
       projected.select(findCols.zip(q.keys).map { case (c, k) => col(c).as(k) }: _*)

@@ -451,6 +451,23 @@ class DatalogSpec extends AnyFunSuite {
     assert(m3 == Map("e1" -> 2L, "e2" -> 2L, "e3" -> 1L), m3.toString)
   }
 
+  test("collection aggregates: (min n ?x), (max n ?x), (distinct ?x)") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "score", "a"), ("e1", "score", "c"), ("e1", "score", "b"),
+      ("e1", "score", "c"), // duplicate — distinct semantics drop it
+      ("e2", "score", "z"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse(
+      """[:find ?e (min 2 ?s) (max 1 ?s) (distinct ?s)
+        | :where [?e :score ?s]]""".stripMargin)
+    val out = Datalog.runOn(eav, emptyRegistry, q, Map.empty)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2), r.getSeq[String](3)))).toMap
+    assert(out("e1") === ((Seq("a", "b"), Seq("c"), Seq("a", "b", "c"))))
+    assert(out("e2") === ((Seq("z"), Seq("z"), Seq("z"))))
+  }
+
   test("rule-local variables are lexically scoped from :in parameters") {
     import spark.implicits._
     val eav = Seq(
