@@ -14,6 +14,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle/spill on tmpfs: this host's disk intermittently
+      // degrades to ~20 MB/s for minutes, and a timing run stuck in
+      // kernel write syscalls measures the host, not the engine (a
+      // real cluster writes shuffle to local NVMe). Shuffle volume
+      // per query is ≪ RAM here.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -222,6 +222,31 @@ object Store {
     eav.filter(col("a") === a && col("v_long") >= vFrom && col("v_long") < vUntil)
       .orderBy(col("v_long"), col("e"))
 
+  /** Datomic `d/datoms` — raw index access: the datom set in one of
+    * the four index orders, optionally narrowed by leading components
+    * (e for EAVT, a for AEVT/AVET, v for VAET — exactly the prefixes
+    * the corresponding Datomic index accepts). On the attribute-
+    * partitioned log an `a` component is partition pruning and an
+    * `e`/`v` component rides the parquet scan as a pushed filter; the
+    * order-by materializes only when the caller actually iterates in
+    * index order. */
+  def datoms(eav: DataFrame, index: String,
+      e: Option[String] = None, a: Option[String] = None,
+      v: Option[String] = None): DataFrame = {
+    val filtered = Seq(
+      e.map(col("e") === _), a.map(col("a") === _), v.map(col("v") === _))
+      .flatten.foldLeft(eav)((df, p) => df.filter(p))
+    index match {
+      case "eavt" => filtered.orderBy(col("e"), col("a"), col("v"), col("tx"))
+      case "aevt" => filtered.orderBy(col("a"), col("e"), col("v"), col("tx"))
+      case "avet" => filtered.orderBy(col("a"), col("v"), col("e"), col("tx"))
+      case "vaet" => filtered.filter(col("is_ref"))
+        .orderBy(col("v"), col("a"), col("e"), col("tx"))
+      case other => throw new IllegalArgumentException(
+        s"unknown index $other (want eavt|aevt|avet|vaet)")
+    }
+  }
+
   /** VAET reverse-index scan (Datomic `d/datoms db :vaet v`): every
     * ref datom pointing AT one of the target entities — "who
     * references X", the query behind retractEntity's inbound-ref

@@ -134,6 +134,27 @@ class TxFnSpec extends AnyFunSuite {
       "doc1 keeps one of two copies of A; doc2 keeps only B")
   }
 
+  test("datoms: four index orders, leading components narrow the scan") {
+    val log = datoms(
+      ("e2", "price", "20", 1L), ("e1", "name", "A", 1L),
+      ("e1", "price", "10", 1L))
+      .unionByName(refDatoms(("e3", "owner", "e1", 1L)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows(Store.datoms(log, "eavt")) === Seq(
+      ("e1", "name", "A"), ("e1", "price", "10"),
+      ("e2", "price", "20"), ("e3", "owner", "e1")))
+    assert(rows(Store.datoms(log, "aevt", a = Some("price"))) === Seq(
+      ("e1", "price", "10"), ("e2", "price", "20")))
+    assert(rows(Store.datoms(log, "avet", a = Some("price"))) === Seq(
+      ("e1", "price", "10"), ("e2", "price", "20")))
+    // VAET only walks ref datoms; the string "e1" in price/name never shows
+    assert(rows(Store.datoms(log, "vaet", v = Some("e1"))) === Seq(
+      ("e3", "owner", "e1")))
+    assert(rows(Store.datoms(log, "eavt", e = Some("e2"))) === Seq(
+      ("e2", "price", "20")))
+  }
+
   test("excise: erases history AND inbound refs, leaves an audit datom") {
     import spark.implicits._
     val log = datoms(
