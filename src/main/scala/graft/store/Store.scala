@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.SchemaRegistry
 
@@ -282,6 +282,15 @@ object Store {
         lit(false).as("is_ref"), lit(tx).as("tx"), lit(true).as("op"),
         col("cas_ok"), col("cur_v"), col("expected"))
   }
+
+  /** Datomic `d/filter` — a predicate-restricted database VALUE: every
+    * read through the returned log sees only datoms passing `pred`
+    * (the classic use is security trimming: hide an attribute set or
+    * an entity population before handing the db to a query). Pure
+    * plan composition — the predicate becomes a pushed filter on the
+    * underlying scan, and resolve/datoms/query layers compose over it
+    * unchanged. */
+  def filteredDb(log: DataFrame, pred: Column): DataFrame = log.filter(pred)
 
   /** Datomic `d/with`: a SPECULATIVE transaction — the database value
     * that WOULD result from applying `txData` to `state`, without

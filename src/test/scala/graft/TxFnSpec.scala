@@ -155,6 +155,19 @@ class TxFnSpec extends AnyFunSuite {
       ("e2", "price", "20")))
   }
 
+  test("filteredDb: reads through the filtered value never see trimmed datoms") {
+    import org.apache.spark.sql.functions.{col => c}
+    val log = datoms(
+      ("e1", "name", "A", 1L), ("e1", "ssn", "123", 1L),
+      ("e2", "name", "B", 1L))
+    val trimmed = Store.filteredDb(log, c("a") =!= "ssn")
+    // the query layer composes over the filtered value unchanged
+    val got = Store.resolve(trimmed, Seq.empty)
+      .select("e", "a").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("e1", "name"), ("e2", "name")))
+    assert(Store.datoms(trimmed, "eavt", e = Some("e1")).count() === 1)
+  }
+
   test("excise: erases history AND inbound refs, leaves an audit datom") {
     import spark.implicits._
     val log = datoms(
