@@ -110,6 +110,7 @@ object SparkEntry {
     "d26_source_mix"         -> ((s, d) => Curate.d26_source_mix(s, d)),
     "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
     "d31_cluster_representatives" -> (Llm.d31_cluster_representatives _),
+    "d32_chunking"           -> ((s, d) => Curate.d32_chunking(s, d)),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -888,6 +889,7 @@ object SparkEntry {
         |  array_to_string(list_sort(list(n))[-1:], ',') AS largest
         |FROM v GROUP BY r""".stripMargin,
     "d30_unigram_logprob" -> Llm.d30OracleSql,
+    "d32_chunking" -> Curate.d32OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

@@ -226,6 +226,51 @@ object Curate {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1""".stripMargin
 
+  // ── d32: sliding-window chunking (stride < size ⇒ overlap) ────────
+  /** Context-window chunking: each document splits into fixed
+    * 128-token windows advancing by a 96-token stride (32-token
+    * overlap) — the RAG/pretraining chunking pass. Emits one row per
+    * chunk with its token span; the last window clips at the doc
+    * boundary and short docs yield exactly one chunk.
+    *
+    * Scale shape: chunk boundaries are pure per-row arithmetic — an
+    * `explode(sequence(...))` over the chunk count, no shuffle at all
+    * until a downstream consumer groups; the scan stays whole-stage
+    * codegen. */
+  def d32_chunking(s: SparkSession, d: String): DataFrame = {
+    val size = 128L
+    val stride = 96L
+    documents(s, d)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(org.apache.spark.sql.functions.size(
+            split(trim(col("text")), " +")).cast("long")).as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= size, lit(1L))
+          .otherwise(ceil((col("n_tokens") - size).cast("double") / stride).cast("long") + 1L))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + size, col("n_tokens")).as("end_tok"))
+  }
+
+  def d32OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) END AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 128 THEN 1
+      |         ELSE CAST(ceil((n_tokens - 128) / 96.0) AS BIGINT) + 1 END AS n_chunks
+      |  FROM t)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(i * 96 AS BIGINT) AS start_tok,
+      |  CAST(least(i * 96 + 128, n_tokens) AS BIGINT) AS end_tok
+      |FROM c CROSS JOIN UNNEST(range(0, n_chunks)) AS u(i)""".stripMargin
+
   // ── d23: corpus stats ("data card") ───────────────────────────────
   /** Per-(source, lang) corpus statistics: doc counts, token totals,
     * and the EXACT median document length — the mixing/reporting

@@ -110,6 +110,24 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("d32: multi-chunk docs overlap by size-stride and clip at the boundary") {
+    import spark.implicits._
+    // 300 tokens → chunks at starts 0/96/192 (ends 128/224/300): the
+    // sf corpus is all single-chunk, so the windowing path pins here
+    val docs = Seq((1L, (1 to 300).map(i => s"w$i").mkString(" ")),
+        (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d32").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Curate.d32_chunking(spark, dir).orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 128L), (1L, 1L, 96L, 224L), (1L, 2L, 192L, 300L),
+      (2L, 0L, 0L, 3L), (3L, 0L, 0L, 0L)))
+  }
+
   test("d29: packs partition the corpus in doc order and reconcile token totals") {
     val sf = "/root/testdata/sf0.001"
     val out = Curate.d29_sequence_pack(spark, sf).orderBy("pack_id").collect()
