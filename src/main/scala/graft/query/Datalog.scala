@@ -50,9 +50,12 @@ object Datalog {
     * (`[$2 ?e :attr ?v]`) — Datomic's multi-source joins.
     * `tx` is the optional fourth datom position (`[?e :attr ?v ?tx]`):
     * binds or constrains the asserting transaction — meaningful over
-    * log/history views, which carry a `tx` column. */
+    * log/history views, which carry a `tx` column. `added` is the
+    * optional FIFTH position (`[?e :attr ?v ?tx ?added]` — Datomic's
+    * history five-tuple): binds or constrains the assert/retract flag
+    * as "true"/"false"; requires a view carrying `op`. */
   final case class Pattern(e: Term, a: Term, v: Term,
-    src: Option[String] = None, tx: Term = TWild) extends Clause
+    src: Option[String] = None, tx: Term = TWild, added: Term = TWild) extends Clause
   /** `(rule-name ?arg …)` — invocation of a rule from the `%` rule set
     * (Datomic rules, including self-recursive ones). */
   final case class RuleCall(name: String, args: Seq[Term]) extends Clause
@@ -203,18 +206,22 @@ object Datalog {
     // `[$src ?e :attr ?v]` / `[$src ?e :attr ?v ?tx]` — pattern
     // against a named extra database
     case EVec(ESym("", src) +: terms)
-        if src.startsWith("$") && src != "$" && (terms.size == 3 || terms.size == 4) =>
+        if src.startsWith("$") && src != "$" && terms.size >= 3 && terms.size <= 5 =>
       Pattern(term(terms(0)), term(terms(1)), term(terms(2)), Some(src.drop(1)),
-        if (terms.size == 4) term(terms(3)) else TWild)
+        if (terms.size >= 4) term(terms(3)) else TWild,
+        if (terms.size == 5) term(terms(4)) else TWild)
     // `[$ ?e :attr ?v]` — explicit default-db marker, same as bare
-    case EVec(ESym("", "$") +: terms) if terms.size == 3 || terms.size == 4 =>
+    case EVec(ESym("", "$") +: terms) if terms.size >= 3 && terms.size <= 5 =>
       Pattern(term(terms(0)), term(terms(1)), term(terms(2)), None,
-        if (terms.size == 4) term(terms(3)) else TWild)
+        if (terms.size >= 4) term(terms(3)) else TWild,
+        if (terms.size == 5) term(terms(4)) else TWild)
     case EVec(terms) if terms.size == 3 && !terms(0).isInstanceOf[EList] =>
       Pattern(term(terms(0)), term(terms(1)), term(terms(2)))
-    // `[?e :attr ?v ?tx]` — the full datom pattern (tx position)
-    case EVec(terms) if terms.size == 4 && !terms(0).isInstanceOf[EList] =>
-      Pattern(term(terms(0)), term(terms(1)), term(terms(2)), None, term(terms(3)))
+    // `[?e :attr ?v ?tx]` / `[?e :attr ?v ?tx ?added]` — the full
+    // datom pattern (tx position, history five-tuple)
+    case EVec(terms) if (terms.size == 4 || terms.size == 5) && !terms(0).isInstanceOf[EList] =>
+      Pattern(term(terms(0)), term(terms(1)), term(terms(2)), None, term(terms(3)),
+        if (terms.size == 5) term(terms(4)) else TWild)
     // `[(missing? $ ?e :attr)]` — sugar for (not [?e :attr _])
     case EVec(Vector(EList(Vector(ESym("", "missing?"), ESym("", "$"), ESym("", e), k: EKw))))
         if e.startsWith("?") =>
@@ -347,14 +354,25 @@ object Datalog {
     if (wantsTx) require(eav.columns.contains("tx"),
       "pattern binds the tx position but this view carries no tx column " +
         "(query the log/history view, not a resolved state)")
-    var scan =
-      if (wantsTx) eav.select(col("e"), col("a"), col("v"), col("tx").cast("string").as("t"))
-      else eav.select(col("e"), col("a"), col("v"))
+    val wantsAdded = p.added != TWild
+    if (wantsAdded) require(eav.columns.contains("op"),
+      "pattern binds the added position but this view carries no op column " +
+        "(query the log/history view, not a resolved state)")
+    val cols = Seq(col("e"), col("a"), col("v")) ++
+      (if (wantsTx) Seq(col("tx").cast("string").as("t")) else Nil) ++
+      (if (wantsAdded) Seq(col("op").cast("string").as("ad")) else Nil)
+    var scan = eav.select(cols: _*)
     attrConst.foreach(a => scan = scan.filter(col("a") === a))
     p.tx match {
       case TConst(ELong(n)) => scan = scan.filter(col("t") === n.toString)
       case TConst(c) => throw new IllegalArgumentException(
         s"tx position needs a long or variable, got: ${Edn.print(c)}")
+      case _ => ()
+    }
+    p.added match {
+      case TConst(EBool(b)) => scan = scan.filter(col("ad") === b.toString)
+      case TConst(c) => throw new IllegalArgumentException(
+        s"added position needs a boolean or variable, got: ${Edn.print(c)}")
       case _ => ()
     }
     p.e match {
@@ -373,7 +391,7 @@ object Datalog {
       case _ => None
     }
     project(scan, Seq(bind(p.e, "e"), bind(p.a, "a"), bind(p.v, "v"),
-      bind(p.tx, "t")).flatten)
+      bind(p.tx, "t"), bind(p.added, "ad")).flatten)
   }
 
   /** A rule invocation → the rule's relation (positional columns
@@ -534,7 +552,8 @@ object Datalog {
           val projected = c match {
             case p: Pattern =>
               evalPattern(srcEav(p.src), registry,
-                Pattern(resolve(p.e), resolve(p.a), resolve(p.v), p.src, resolve(p.tx)))
+                Pattern(resolve(p.e), resolve(p.a), resolve(p.v), p.src,
+                  resolve(p.tx), resolve(p.added)))
             case rc: RuleCall =>
               evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
             case _ => throw new IllegalStateException("unreachable")

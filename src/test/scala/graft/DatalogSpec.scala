@@ -468,6 +468,32 @@ class DatalogSpec extends AnyFunSuite {
     assert(out("e2") === ((Seq("z"), Seq("z"), Seq("z"))))
   }
 
+  test("history five-tuple: [?e :attr ?v ?tx ?added] binds the op flag") {
+    import spark.implicits._
+    val log = Seq(
+      ("e1", "price", "100", 1L, true),
+      ("e1", "price", "100", 2L, false), // retraction appears with added=false
+      ("e1", "price", "150", 3L, true))
+      .toDF("e", "a", "v", "tx", "op")
+    val q = Datalog.parse(
+      "[:find ?v ?tx ?added :where [?e :price ?v ?tx ?added]]")
+    val got = Datalog.runOn(log, emptyRegistry, q, Map.empty)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(("100", "1", "true"), ("100", "2", "false"), ("150", "3", "true")))
+    // constant in the added slot filters to retractions only
+    val qRetr = Datalog.parse(
+      "[:find ?v ?tx :where [?e :price ?v ?tx false]]")
+    val retr = Datalog.runOn(log, emptyRegistry, qRetr, Map.empty)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(retr === Set(("100", "2")))
+    // binding added against an op-less resolved view is a loud error
+    val noOp = log.drop("op")
+    val err = intercept[IllegalArgumentException] {
+      Datalog.runOn(noOp, emptyRegistry, q, Map.empty).collect()
+    }
+    assert(err.getMessage.contains("op column"))
+  }
+
   test("rule-local variables are lexically scoped from :in parameters") {
     import spark.implicits._
     val eav = Seq(
