@@ -53,14 +53,11 @@ object Bench {
       System.err.println(f"[bench] warmup pass done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-26s $sec%8.2f s" + (if (ok) "" else "  FAILED"))
+    // Per-query variance on this host swamps real deltas (observed:
+    // same query 0.55s..3.46s across identical runs). Time each query
+    // nRuns times and record the MEDIAN; per-run numbers go to stderr.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    def cleanup(): Unit = {
       // queries are independent: drop cached plans and any blocks left
       // behind (localCheckpoint fixpoints, bucketed temp tables) so a
       // long run measures each query, not the residue of the previous
@@ -68,7 +65,25 @@ object Bench {
       // run in isolation
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (name, sec, ok)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        (sec, ok)
+      }
+      val ok = runs.forall(_._2)
+      val sorted = runs.map(_._1).sorted
+      val median = sorted(sorted.size / 2)
+      val runsStr = runs.map(r => f"${r._1}%.2f").mkString(" ")
+      System.err.println(f"[bench] $name%-26s $median%8.2f s  (runs: $runsStr)" +
+        (if (ok) "" else "  FAILED"))
+      (name, median, ok)
     }
     // a failed query must be visible in the JSON (negative time) and in
     // the exit code — a regression can't silently record a fast "win"
@@ -77,7 +92,7 @@ object Bench {
     val failed = results.filterNot(_._3).map(_._1)
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"n_runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -29,7 +29,7 @@ object ConnectedComponents {
         .select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct().localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).localCheckpoint(false)
     var it = 0
     var changed = 1L
     while (changed > 0) {
@@ -40,12 +40,15 @@ object ConnectedComponents {
         .groupBy(col("src").as("id"))
         .agg(min(col("dlabel")).as("nmin"))
       // carry the previous label through the checkpoint so change
-      // detection is a filter on materialized data, not another join
+      // detection is a filter on materialized data, not another join;
+      // the LAZY checkpoint means the change-count below is the ONE
+      // job of the round — it materializes `next` and answers
+      // convergence in the same pass (an eager checkpoint ran two)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.drop("prev")
     }

@@ -94,8 +94,13 @@ object Curate {
     // one aggregation yields BOTH the per-doc gram count and the
     // boilerplate count (a second corpus-wide gram evaluation just for
     // size(ngram_set) would triple the most expensive expression);
-    // the docs left join only restores zero-gram documents
-    val perDoc = grams.join(broadcast(boiler), Seq("gram"), "left")
+    // the docs left join only restores zero-gram documents.
+    // No broadcast hint on `boiler`: its size is DATA-DEPENDENT (every
+    // gram frequent across ≥ minDocs docs — on a 100 TB corpus that is
+    // every common phrase, far past driver memory). The join key is
+    // the gram both sides are already shuffled on, and AQE picks a
+    // broadcast at runtime when the aggregated set is actually small.
+    val perDoc = grams.join(boiler, Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))

@@ -794,11 +794,18 @@ object Relational {
       src.select(e.as("e"), lit(a).as("a"), v.cast("string").as("v"),
         vLong.as("v_long"), lit(isRef).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
     val loe = concat(lit("o"), col("l_orderkey").cast("string"))
+    // materialize the synthesized log ONCE: retractEntityTx reads it
+    // for the component edges and the dead-datom scan, and the final
+    // resolve reads it again — without the checkpoint the 4-way
+    // union-of-scans (with its long concat entity ids) is recomputed
+    // by every consumer. A production store reads parquet here, which
+    // is already materialized.
     val log = datoms(oe, "order/price", price, price, isRef = false, o)
       .unionByName(datoms(loe, "order/line", le, lit(null).cast("long"), isRef = true, li))
       .unionByName(datoms(le, "line/qty", qty, qty, isRef = false, li))
       .unionByName(datoms(concat(lit("c"), col("o_custkey").cast("string")),
         "cust/order", oe, lit(null).cast("long"), isRef = true, o))
+      .localCheckpoint()
     val targets = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
       .select(concat(lit("o"), col("o_orderkey").cast("string")).as("e"))
     val retractions = graft.store.Store.retractEntityTx(

@@ -606,20 +606,28 @@ object Datalog {
         evalClauses(srcEav, registry, d.body, identity, env)
           .select(d.params.zipWithIndex.map { case (p, i) => col(s"var_$p").as(s"p$i") }: _*)
       }
-      var total = baseDefs.map(evalBody(_, None)).reduce(_ unionByName _)
-        .distinct().localCheckpoint()
+      // Fixpoint job hygiene: each round issues exactly ONE Spark job —
+      // the delta's LAZY localCheckpoint is forced by the same count()
+      // that answers the convergence check. The accumulated relation
+      // stays a lazy union of the already-materialized deltas (flat
+      // plan, one node per round); re-checkpointing the growing total
+      // every round — the old shape — copied the whole closure
+      // O(depth) times and added a third job per round.
+      var deltas = List(baseDefs.map(evalBody(_, None)).reduce(_ unionByName _)
+        .distinct().localCheckpoint(false))
+      def total = deltas.reduce(_ unionByName _)
       if (recDefs.nonEmpty) {
-        var delta = total
-        var fresh = delta.count()
+        var fresh = deltas.head.count()
         var iters = 0
         while (fresh > 0) {
           iters += 1
           require(iters <= maxIters, s"rule $name did not converge in $maxIters rounds")
-          val stepped = recDefs.map(evalBody(_, Some(delta)))
+          val stepped = recDefs.map(evalBody(_, Some(deltas.head)))
             .reduce(_ unionByName _).distinct()
-          delta = stepped.join(total, stepped.columns.toSeq, "left_anti").localCheckpoint()
+          val delta = stepped.join(total, stepped.columns.toSeq, "left_anti")
+            .localCheckpoint(false)
           fresh = delta.count()
-          if (fresh > 0) total = total.unionByName(delta).localCheckpoint()
+          if (fresh > 0) deltas ::= delta
         }
       }
       visiting -= name

@@ -346,25 +346,46 @@ object Store {
     * retracted values at horizons ≥ `tx`. */
   def retractEntityTx(state: DataFrame, targets: DataFrame,
       componentAttrs: Seq[String], tx: Long): DataFrame = {
-    var dead = targets.select(col("e")).distinct().localCheckpoint()
+    val t0 = targets.select(col("e")).distinct()
+    // Each closure frontier is materialized ONCE (lazy localCheckpoint
+    // forced by the count that also answers the emptiness check); the
+    // accumulated dead set stays a lazy union of those materialized
+    // frontiers — re-checkpointing the growing union every round would
+    // copy the whole set O(depth) times. No component attrs → no
+    // materialization at all (the target set is read twice below, both
+    // as build sides of hash joins).
+    var frontiers = List(if (componentAttrs.isEmpty) t0
+      else { val c = t0.localCheckpoint(false); c.count(); c })
     if (componentAttrs.nonEmpty) {
       val compEdges = state
         .filter(col("a").isInCollection(componentAttrs) && col("is_ref"))
         .select(col("e").as("src"), col("v").as("dst"))
-      var frontier = dead
       var growing = true
       while (growing) {
-        val next = compEdges.join(frontier, compEdges("src") === frontier("e"), "left_semi")
+        val dead = frontiers.reduce(_ unionByName _)
+        val next = compEdges
+          .join(frontiers.head, compEdges("src") === frontiers.head("e"), "left_semi")
           .select(col("dst").as("e")).distinct()
-          .join(dead, Seq("e"), "left_anti").localCheckpoint()
-        if (next.isEmpty) growing = false
-        else { dead = dead.unionByName(next).localCheckpoint(); frontier = next }
+          .join(dead, Seq("e"), "left_anti").localCheckpoint(false)
+        if (next.count() == 0L) growing = false else frontiers ::= next
       }
     }
-    val byE = state.join(dead, Seq("e"), "left_semi")
-    val byV = state.filter(col("is_ref"))
-      .join(dead.select(col("e").as("dead_e")), col("v") === col("dead_e"), "left_semi")
-    byE.unionByName(byV).distinct()
+    val dead = frontiers.reduce(_ unionByName _)
+    // One scan of state: mark entity hits and inbound-ref hits via two
+    // joins against the (small, distinct-keyed) dead set — AQE
+    // broadcasts both — then dedupe on the (e, a, v) KEY over a narrow
+    // projection. v_long/is_ref are functionally determined by
+    // (e, a, v) and tx/op are rewritten here, so a row-level distinct
+    // over full-width rows (the old shape) shuffled the long entity-id
+    // strings twice for nothing.
+    state
+      .join(dead.select(col("e").as("__dead_e")),
+        col("e") === col("__dead_e"), "left")
+      .join(dead.select(col("e").as("__dead_v")),
+        col("is_ref") && col("v") === col("__dead_v"), "left")
+      .filter(col("__dead_e").isNotNull || col("__dead_v").isNotNull)
+      .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
+      .dropDuplicates("e", "a", "v")
       .withColumn("tx", lit(tx)).withColumn("op", lit(false))
   }
 
