@@ -103,6 +103,7 @@ object SparkEntry {
     "q57_pull_options"       -> (Relational.q57_pull_options _),
     "q58_excision"           -> (Relational.q58_excision _),
     "q59_datalog_agg_n"      -> (Relational.q59_datalog_agg_n _),
+    "q60_pull_recursion"     -> (Relational.q60_pull_recursion _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -888,6 +889,16 @@ object SparkEntry {
         |  array_to_string(list_sort(list(n))[1:2], ',') AS two_smallest,
         |  array_to_string(list_sort(list(n))[-1:], ',') AS largest
         |FROM v GROUP BY r""".stripMargin,
+    // q60: recursive pull to depth 2 = two LEFT self-joins up the
+    // parent chain; the depth-exhausted third level is the plain ref id
+    "q60_pull_recursion" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name FROM customer)
+        |SELECT 'c' || CAST(c.k AS VARCHAR) AS e, c.c_name AS name,
+        |  p.c_name AS parent_name, g.c_name AS gp_name,
+        |  CASE WHEN g.k >= 10 THEN 'c' || CAST(g.k // 10 AS VARCHAR) END AS ggp_id
+        |FROM c
+        |LEFT JOIN c p ON c.k >= 10 AND p.k = c.k // 10
+        |LEFT JOIN c g ON p.k >= 10 AND g.k = p.k // 10""".stripMargin,
     "d30_unigram_logprob" -> Llm.d30OracleSql,
     "d32_chunking" -> Curate.d32OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,

@@ -36,6 +36,7 @@ object Validate {
     * entire tx on any entity-spec violation). Input rows carry a
     * transaction grouping column `txCol`; `checks` name the spec
     * predicates (TRUE = violated). Output: the input annotated with
+    *  - `ensure_tx` the row's transaction key (the evaluated `txCol`),
     *  - `errors`   per-entity violated spec names (error-as-data), and
     *  - `tx_ok`    whether the row's WHOLE transaction is clean.
     * Plan shape: the per-row annotate is scan-side; the tx verdict is
@@ -43,12 +44,19 @@ object Validate {
     * verdict table when txs ≪ rows, so the pass scales as scan +
     * small join rather than a second full shuffle. */
   def ensureTx(df: DataFrame, txCol: Column, checks: Seq[(String, Column)]): DataFrame = {
-    val annotated = annotate(df, checks).withColumn("__tx", txCol)
-    val verdict = annotated.groupBy(col("__tx"))
-      .agg(max(size(col("errors")) > 0).as("tx_bad"))
-    annotated.join(verdict, "__tx") // AQE broadcasts when txs ≪ rows
-      .withColumn("tx_ok", !col("tx_bad"))
-      .drop("tx_bad")
+    // the tx key surfaces under the DOCUMENTED column `ensure_tx`;
+    // output names are reserved — inputs already carrying one are
+    // rejected loudly instead of silently overwritten (the old
+    // internal `__tx` leaked into output and collided with same-named
+    // input columns)
+    Seq("ensure_tx", "tx_ok", "errors", "__ensure_bad").foreach(c =>
+      require(!df.columns.contains(c), s"ensureTx reserves output column '$c'"))
+    val annotated = annotate(df, checks).withColumn("ensure_tx", txCol)
+    val verdict = annotated.groupBy(col("ensure_tx"))
+      .agg(max(size(col("errors")) > 0).as("__ensure_bad"))
+    annotated.join(verdict, "ensure_tx") // AQE broadcasts when txs ≪ rows
+      .withColumn("tx_ok", !col("__ensure_bad"))
+      .drop("__ensure_bad")
   }
 
   /** Fail-fast mode (the reference's halt-when): throws on the first

@@ -709,19 +709,29 @@ object Relational {
   }
 
   // ── Fulltext search under the oracle gate ─────────────────────────
-  /** Datomic's `fulltext` Datalog function (schema-gated token
-    * search): parts as an EAV with `part/name` fulltext-indexed and
-    * `part/type` NOT. The needle "small" occurs in BOTH — p_name
-    * "small ring" and p_type "SMALL" — so the oracle-matched result
-    * proves the schema gate: only name datoms come back. Tokenization
-    * is split-on-non-alphanumeric, lowercased (the same contract the
-    * store-level `Explore.fulltext` applies to `:db/fulltext` attrs). */
+  /** Datomic's `fulltext` Datalog function reached FROM QUERY TEXT —
+    * `[(fulltext $ :part/name ?needle) [[?e ?v]]]` with the needle as
+    * an `:in` parameter, planned through the Datalog engine onto
+    * `Explore.fulltextOn`. Parts as an EAV with `part/name`
+    * fulltext-indexed and `part/type` NOT; the needle "small" occurs
+    * in BOTH — p_name "small ring" and p_type "SMALL" — so the
+    * oracle-matched result proves the schema gate: only name datoms
+    * come back (only `:db/fulltext true` attrs feed Datomic's index).
+    * Tokenization is split-on-non-alphanumeric, lowercased. */
   def q46_fulltext(s: SparkSession, d: String): DataFrame = {
     val eav = part(s, d).select(
       col("p_partkey").cast("string").as("e"),
       expr("stack(2, 'part/name', p_name, 'part/type', p_type)").as(Seq("a", "v")))
-    graft.query.Explore.fulltextOn(eav, Seq("part/name"), "small")
-      .select(col("e").cast("long").as("e"), col("a"), col("v"))
+    val registry = new graft.model.SchemaRegistry(Map(
+      "part/name" -> graft.model.AttrDef("part/name", "string", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = true)))
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?v
+        | :in $ ?needle
+        | :where [(fulltext $ :part/name ?needle) [[?e ?v]]]]""".stripMargin)
+    graft.query.Datalog.runOn(eav, registry, q,
+        Map("needle" -> graft.edn.Edn.EStr("small")))
+      .select(col("e").cast("long").as("e"), lit("part/name").as("a"), col("v"))
   }
 
   // ── AVET index-range scan ─────────────────────────────────────────
@@ -879,8 +889,8 @@ object Relational {
       "pending-low" -> (col("o_orderstatus") === "P" && cents(col("o_totalprice")) < 600000L))
     val out = graft.ops.Validate.ensureTx(o, expr("o_orderkey div 100"), checks)
     out.agg(
-      countDistinct(col("__tx")).as("n_tx"),
-      countDistinct(when(!col("tx_ok"), col("__tx"))).as("n_tx_rejected"),
+      countDistinct(col("ensure_tx")).as("n_tx"),
+      countDistinct(when(!col("tx_ok"), col("ensure_tx"))).as("n_tx_rejected"),
       sum(when(col("tx_ok"), 1L).otherwise(0L)).as("n_accepted"),
       sum(when(!col("tx_ok") && size(col("errors")) === 0, 1L).otherwise(0L))
         .as("n_collateral"),
@@ -970,6 +980,36 @@ object Relational {
       .select(col("r").cast("long").as("region_key"),
         concat_ws(",", col("min_2_n")).as("two_smallest"),
         concat_ws(",", col("max_1_n")).as("largest"))
+  }
+
+  // ── Pull recursion: {:ref depth} map specs ────────────────────────
+  /** Datomic recursive pull — `{:cust/parent 2}`: a parent hierarchy
+    * synthesized over customers (k → k div 10, ~4 levels at sf0.1),
+    * every entity hydrated with its name and TWO ancestor levels by
+    * re-applying the enclosing pattern; the third level renders as the
+    * plain ref value (Datomic's depth-exhausted ":db/id only" shape).
+    * Each recursion level is one attr-pruned scan + keyed join —
+    * depth-bounded static unrolling, no row explosion. Flattened
+    * (struct → columns) so the comparator sees scalars. */
+  def q60_pull_recursion(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    def cid(k: Column) = concat(lit("c"), k.cast("string"))
+    val eav = c.select(cid(col("c_custkey")).as("e"), lit("cust/name").as("a"),
+        col("c_name").as("v"))
+      .unionByName(c.filter(col("c_custkey") >= 10).select(
+        cid(col("c_custkey")).as("e"), lit("cust/parent").as("a"),
+        cid(expr("c_custkey div 10")).as("v")))
+    val registry = new graft.model.SchemaRegistry(Map(
+      "cust/parent" -> graft.model.AttrDef("cust/parent", "ref", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false)))
+    graft.query.Pull.pullFrom(eav, registry,
+        graft.query.Pull.parsePattern("[:cust/name {:cust/parent 2}]"),
+        eav.filter(col("a") === "cust/name").select("e"))
+      .select(col("e"),
+        col("cust_name").as("name"),
+        col("cust_parent.cust_name").as("parent_name"),
+        col("cust_parent.cust_parent.cust_name").as("gp_name"),
+        col("cust_parent.cust_parent.cust_parent").as("ggp_id"))
   }
 
   // ── Excision: physical erasure including history ──────────────────

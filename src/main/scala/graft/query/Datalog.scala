@@ -89,8 +89,19 @@ object Datalog {
     extends Clause
   /** `[(get-some $ ?e :a1 :a2 …) ?out]` — bind ?out to the value of
     * the FIRST listed attribute the entity has (Datomic get-some);
-    * rows where none is present drop (no binding). */
-  final case class GetSomeClause(eVar: String, attrs: Seq[EKw], out: String)
+    * rows where none is present drop (no binding). Datomic's full
+    * return is the `[attr value]` TUPLE — the destructuring form
+    * `[(get-some $ ?e :a1 :a2) [?attr ?v]]` binds both (`outAttr`
+    * carries the winning attribute's keyword text). */
+  final case class GetSomeClause(eVar: String, attrs: Seq[EKw], out: String,
+    outAttr: Option[String] = None) extends Clause
+  /** `[(fulltext $ :attr ?needle) [[?e ?v]]]` — Datomic's fulltext
+    * function clause: token search over a `:db/fulltext true`
+    * attribute, returning the (entity, value) relation. The needle
+    * must resolve to a constant (a literal or a bound :in param); the
+    * attribute must be declared fulltext in the schema registry —
+    * exactly Datomic's gate (only indexed attrs are searchable). */
+  final case class FulltextClause(attr: EKw, needle: Term, outE: String, outV: String)
     extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
@@ -101,7 +112,8 @@ object Datalog {
     tupleIn: Seq[Seq[Option[String]]] = Seq.empty, // None = `_` (ignored slot)
     relIn: Seq[Seq[String]] = Seq.empty,
     srcs: Seq[String] = Seq.empty, // extra databases beyond `$` (`$2`, …)
-    keys: Seq[String] = Seq.empty) // `:keys` — output column names, positional over :find
+    keys: Seq[String] = Seq.empty, // `:keys` — output column names, positional over :find
+    shape: String = "relation") // Datomic find spec: relation | scalar | coll | tuple
 
   def parse(ednText: String): Query = {
     val items = Edn.parse(ednText) match {
@@ -117,7 +129,21 @@ object Datalog {
         require(current != null, s"form before :find/:in/:where: ${Edn.print(form)}")
         sections(current) = sections(current) :+ form
     }
-    val find = sections.getOrElse("find", Vector()).map {
+    // Datomic find SPECIFICATIONS — the bracket/dot sugar controlling
+    // result geometry: `:find ?x .` scalar (one row, one column),
+    // `:find [?x ...]` collection (one column, every row),
+    // `:find [?x ?y]` single tuple (one row), bare elements = relation.
+    // Results stay DataFrames, so scalar/tuple surface as LIMIT 1 —
+    // like Datomic, WHICH row a scalar/tuple picks from a multi-row
+    // result is unspecified.
+    val findForms = sections.getOrElse("find", Vector())
+    val (shape, elemForms) = findForms match {
+      case Vector(elem, ESym("", ".")) => ("scalar", Vector(elem))
+      case Vector(EVec(Vector(elem, ESym("", "...")))) => ("coll", Vector(elem))
+      case Vector(EVec(elems)) if elems.nonEmpty => ("tuple", elems)
+      case fs => ("relation", fs)
+    }
+    val find = elemForms.map {
       case ESym("", v) if v.startsWith("?") => FVar(v.drop(1))
       case EList(Vector(ESym("", "pull"), ESym("", v), pat)) if v.startsWith("?") =>
         FPull(v.drop(1), Pull.parsePattern(pat))
@@ -199,7 +225,7 @@ object Datalog {
     }
     require(keys.isEmpty || keys.size == find.size,
       s":keys arity ${keys.size} must match :find arity ${find.size}")
-    Query(find, in, patterns, withVars, collIn, tupleIn, relIn, srcs, keys)
+    Query(find, in, patterns, withVars, collIn, tupleIn, relIn, srcs, keys, shape)
   }
 
   private def clause(e: Edn): Clause = e match {
@@ -235,6 +261,20 @@ object Datalog {
         if e.startsWith("?") && out.startsWith("?") && kws.nonEmpty &&
           kws.forall(_.isInstanceOf[EKw]) =>
       GetSomeClause(e.drop(1), kws.map(_.asInstanceOf[EKw]), out.drop(1))
+    // `[(get-some $ ?e :a1 :a2) [?attr ?v]]` — tuple destructuring:
+    // binds the winning attribute alongside its value
+    case EVec(Vector(EList(ESym("", "get-some") +: ESym("", "$") +: ESym("", e) +: kws),
+        EVec(Vector(ESym("", outA), ESym("", outV)))))
+        if e.startsWith("?") && outA.startsWith("?") && outV.startsWith("?") &&
+          kws.nonEmpty && kws.forall(_.isInstanceOf[EKw]) =>
+      GetSomeClause(e.drop(1), kws.map(_.asInstanceOf[EKw]), outV.drop(1),
+        Some(outA.drop(1)))
+    // `[(fulltext $ :attr ?needle) [[?e ?v]]]` — relation-binding
+    // output, as in Datomic (the [?tx ?score] tail is not modeled)
+    case EVec(Vector(EList(Vector(ESym("", "fulltext"), ESym("", "$"), k: EKw, needle)),
+        EVec(Vector(EVec(Vector(ESym("", oe), ESym("", ov)))))))
+        if oe.startsWith("?") && ov.startsWith("?") =>
+      FulltextClause(k, term(needle), oe.drop(1), ov.drop(1))
     case EVec(Vector(EList(ESym("", fn) +: args))) =>
       PredClause(fn, args.map(term))
     case EVec(Vector(EList(ESym("", fn) +: args), ESym("", out))) if out.startsWith("?") =>
@@ -518,10 +558,17 @@ object Datalog {
             .agg(max(when(col("a") === gs.attrs.head.qualified, col("v"))).as(tmps.head),
               gs.attrs.tail.zip(tmps.tail).map { case (k, t) =>
                 max(when(col("a") === k.qualified, col("v"))).as(t) }: _*)
-          Some(a.join(vals, Seq(eCol), "left")
+          val withVal = a.join(vals, Seq(eCol), "left")
             .withColumn(s"var_${gs.out}", coalesce(tmps.map(col): _*))
-            .filter(col(s"var_${gs.out}").isNotNull)
-            .drop(tmps: _*))
+          // tuple form: the winning attribute is the FIRST declared
+          // one whose pivot slot is non-null — same order coalesce uses
+          val withAttr = gs.outAttr.fold(withVal) { oa =>
+            val attrPick = gs.attrs.zip(tmps).foldRight(lit(null).cast("string")) {
+              case ((k, t), acc) => when(col(t).isNotNull, lit(k.qualified)).otherwise(acc)
+            }
+            withVal.withColumn(s"var_$oa", attrPick)
+          }
+          Some(withAttr.filter(col(s"var_${gs.out}").isNotNull).drop(tmps: _*))
         case oc: OrClause =>
           val legs0 = oc.legs.map(evalClauses(srcEav, registry, _, resolve, ruleEnv))
           // or-join projects each leg to the declared vars; plain or
@@ -556,6 +603,21 @@ object Datalog {
                   resolve(p.tx), resolve(p.added)))
             case rc: RuleCall =>
               evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
+            case ft: FulltextClause =>
+              val needle = resolve(ft.needle) match {
+                case TConst(EStr(s)) => s
+                case TConst(other) => throw new IllegalArgumentException(
+                  s"(fulltext …) needle must be a string, got: ${Edn.print(other)}")
+                case _ => throw new IllegalArgumentException(
+                  "(fulltext …) needle must be a literal or a bound :in parameter")
+              }
+              // Datomic's gate: only `:db/fulltext true` attrs are
+              // searchable — reaching for an unindexed attr is a query
+              // error, not an empty result
+              require(registry.attrs.get(ft.attr.qualified).exists(_.fulltext),
+                s"(fulltext …): ${ft.attr.qualified} is not declared :db/fulltext in the schema")
+              Explore.fulltextOn(eav, Seq(ft.attr.qualified), needle)
+                .select(col("e").as(s"var_${ft.outE}"), col("v").as(s"var_${ft.outV}"))
             case _ => throw new IllegalStateException("unreachable")
           }
           Some(acc.fold(projected) { a =>
@@ -835,12 +897,18 @@ object Datalog {
         case FAgg(fn, _) => throw new IllegalArgumentException(s"unsupported aggregate: $fn")
       } ++ aggNs.map {
         // collection aggregates: n smallest/largest DISTINCT values
-        // (or all of them for `distinct`), always sorted — Datomic
-        // returns these as collections; here an array column
+        // (or all of them for `distinct`), always sorted ASCENDING —
+        // Datomic returns aggregate collections in ascending order
+        // regardless of which tail they slice, so (max n ?x) picks the
+        // n largest and then re-sorts ascending. NOTE: like scalar
+        // min/max above, the n-ary forms compare the TEXT encoding
+        // (numeric attrs order lexicographically: '10' < '9') — route
+        // numerics through a typed view when numeric order matters.
         case FAggN("min", n, v) =>
           slice(sort_array(collect_set(col(s"var_$v"))), 1, n).as(s"min_${n}_$v")
         case FAggN("max", n, v) =>
-          slice(sort_array(collect_set(col(s"var_$v")), asc = false), 1, n).as(s"max_${n}_$v")
+          sort_array(slice(sort_array(collect_set(col(s"var_$v")), asc = false), 1, n))
+            .as(s"max_${n}_$v")
         case FAggN("distinct", _, v) =>
           sort_array(collect_set(col(s"var_$v"))).as(s"distinct_$v")
         case FAggN(fn, _, _) => throw new IllegalArgumentException(s"unsupported aggregate: $fn")
@@ -851,16 +919,22 @@ object Datalog {
     }
     // `:keys` — Datomic's result-map keys: rename positionally over
     // the :find elements (and normalize output to :find order)
-    if (q.keys.isEmpty) projected
-    else {
-      val findCols = q.find.map {
-        case FVar(n) => n
-        case FAgg(fn, v) => s"${fn.replace('-', '_')}_$v"
-        case FAggN("distinct", _, v) => s"distinct_$v"
-        case FAggN(fn, n, v) => s"${fn}_${n}_$v"
-        case FPull(v, _) => s"pull_$v"
+    val keyed =
+      if (q.keys.isEmpty) projected
+      else {
+        val findCols = q.find.map {
+          case FVar(n) => n
+          case FAgg(fn, v) => s"${fn.replace('-', '_')}_$v"
+          case FAggN("distinct", _, v) => s"distinct_$v"
+          case FAggN(fn, n, v) => s"${fn}_${n}_$v"
+          case FPull(v, _) => s"pull_$v"
+        }
+        projected.select(findCols.zip(q.keys).map { case (c, k) => col(c).as(k) }: _*)
       }
-      projected.select(findCols.zip(q.keys).map { case (c, k) => col(c).as(k) }: _*)
+    // find-spec geometry: scalar/tuple = one (unspecified) row
+    q.shape match {
+      case "scalar" | "tuple" => keyed.limit(1)
+      case _ => keyed
     }
   }
 }

@@ -35,6 +35,16 @@ object Pull {
     default: Option[Edn] = None, as: Option[String] = None) extends Spec
   final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec],
     limit: Option[Int] = None, as: Option[String] = None) extends Spec
+  /** Recursive map spec — Datomic `{:person/friends 2}` (depth limit)
+    * and `{:release/media ...}` (unbounded): follow the ref attr and
+    * re-apply the ENCLOSING pattern at each level. `depth` = -1 marks
+    * `...`; it resolves at plan time to the actual closure depth of
+    * the ref graph from the root set (one bounded frontier walk —
+    * rendering is a DataFrame, so the unrolling must be static). At
+    * depth exhaustion the ref renders as its plain value (the child
+    * entity id) — Datomic's "already seen / limit hit → :db/id only"
+    * shape, which also makes cyclic graphs terminate. */
+  final case class PRec(attr: String, reverse: Boolean, depth: Int) extends Spec
   /** `*` — every registry attribute, as scalar columns (Datomic's
     * wildcard renders refs un-recursed; combine with explicit map
     * specs to hydrate chosen refs). Expansion is schema-driven (the
@@ -76,6 +86,16 @@ object Pull {
           val reverse = k.name.startsWith("_")
           val attr = if (reverse) s"${k.ns}/${k.name.drop(1)}" else k.qualified
           PRef(attr, reverse, sub.map(specOf))
+        // recursion: {:ref N} depth limit, {:ref ...} unbounded
+        case (k: EKw, ELong(n)) =>
+          require(n > 0, s"pull recursion depth must be positive: ${Edn.print(m)}")
+          val reverse = k.name.startsWith("_")
+          val attr = if (reverse) s"${k.ns}/${k.name.drop(1)}" else k.qualified
+          PRec(attr, reverse, n.toInt)
+        case (k: EKw, ESym("", "...")) =>
+          val reverse = k.name.startsWith("_")
+          val attr = if (reverse) s"${k.ns}/${k.name.drop(1)}" else k.qualified
+          PRec(attr, reverse, -1)
         // map key with options: {(:order/line :limit 2) [...]}
         case (EList((k: EKw) +: opts), EVec(sub)) =>
           val (limit, _, as) = attrOptions(opts)
@@ -113,6 +133,7 @@ object Pull {
     val explicit = pattern.collect {
       case p: PAttr => p.attr
       case PRef(a, reverse, _, _, _) if !reverse => a
+      case PRec(a, reverse, _) if !reverse => a
     }.toSet
     val expanded = pattern.flatMap {
       case PWild => registry.attrs.keys.toSeq.sorted
@@ -131,10 +152,36 @@ object Pull {
     }
     def sliced(c: org.apache.spark.sql.Column, limit: Option[Int]) =
       limit.fold(c)(n => slice(c, 1, n))
-    expanded.foldLeft(roots.select(col("e"))) { (acc, spec) =>
+    def step(acc: DataFrame, spec: Spec): DataFrame =
       spec match {
         case PWild => throw new IllegalStateException("unreachable: * expanded above")
+        case PRec(attr, reverse, depth0) =>
+          // `...` resolves to the ref graph's closure depth from THIS
+          // level's root set (the unrolling must be static for a
+          // DataFrame schema); a declared depth is taken as-is. One
+          // level = a PRef whose sub-pattern is the enclosing pattern
+          // with this recursion point decremented — the recursive
+          // pullFrom below unrolls the rest. Depth exhausted → the
+          // plain ref value (child entity id), Datomic's cycle/limit
+          // rendering.
+          val depth =
+            if (depth0 >= 0) depth0
+            else closureDepth(cur, attr, reverse, acc.select(col("e")))
+          if (depth <= 0) step(acc, PAttr(attr))
+          else {
+            val sub = expanded.map {
+              case PRec(`attr`, `reverse`, _) => PRec(attr, reverse, depth - 1)
+              case other => other
+            }
+            step(acc, PRef(attr, reverse, sub))
+          }
         case PAttr(attr, limit, default, as) =>
+          // :default coalesces a missing CARD-ONE value; on a card-many
+          // attr it would coalesce an array with a scalar literal and
+          // die downstream with an opaque AnalysisException — gate here
+          require(default.isEmpty || !registry.isMany(attr),
+            s"pull :default applies to cardinality-one attributes only; " +
+              s"$attr is :cardinality/many")
           val name = as.getOrElse(colName(attr, reverse = false))
           val vals = cur.filter(col("a") === attr).select(col("e"), col("v"))
           val agged =
@@ -169,6 +216,34 @@ object Pull {
             else joined.groupBy("e").agg(min(st).as(name))
           acc.join(agged, Seq("e"), "left")
       }
+    expanded.foldLeft(roots.select(col("e")))(step)
+  }
+
+  /** Closure depth of one ref attribute's graph from a root set — the
+    * plan-time resolution of `...` recursion. A bounded frontier walk
+    * (semi-join per round, visited-set anti-join so cycles terminate);
+    * rounds scale with the graph's DEPTH, not its size, and each
+    * frontier materializes once. */
+  private def closureDepth(cur: DataFrame, attr: String, reverse: Boolean,
+      roots: DataFrame): Int = {
+    val edges =
+      if (reverse) cur.filter(col("a") === attr)
+        .select(col("v").as("src"), col("e").as("dst"))
+      else cur.filter(col("a") === attr)
+        .select(col("e").as("src"), col("v").as("dst"))
+    var frontier = roots.select(col("e")).distinct().localCheckpoint(false)
+    frontier.count()
+    var visited = List(frontier)
+    var depth = 0
+    var growing = true
+    while (growing) {
+      val seen = visited.reduce(_ unionByName _)
+      val next = edges.join(frontier, edges("src") === frontier("e"), "left_semi")
+        .select(col("dst").as("e")).distinct()
+        .join(seen, Seq("e"), "left_anti").localCheckpoint(false)
+      if (next.count() == 0L) growing = false
+      else { depth += 1; visited ::= next; frontier = next }
     }
+    depth
   }
 }

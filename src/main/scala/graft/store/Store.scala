@@ -52,6 +52,7 @@ final class Store(spark: SparkSession, val dir: String) {
       if (datoms.columns.contains("op")) datoms else datoms.withColumn("op", lit(true))
     withOp.select(Store.schema.fieldNames.map(col): _*)
       .write.mode(SaveMode.Append).partitionBy("a").parquet(eavPath)
+    invalidateSnapshot()
   }
 
   /** Datomic `[:db/retract e a v]`: append retraction datoms
@@ -121,14 +122,44 @@ final class Store(spark: SparkSession, val dir: String) {
     require(f.rename(old, bak), "compact: could not move old log")
     require(f.rename(tmp, old), "compact: could not install new log")
     f.delete(bak, true)
+    invalidateSnapshot()
     n
+  }
+
+  /** Cached resolved snapshot behind `current` — Datomic's live-index-
+    * vs-log distinction: the log is the durable record, the current
+    * view is a MAINTAINED index, not something every query rebuilds.
+    * Without it each query pays resolve's two full-log shuffles; with
+    * it the first `current` call materializes the snapshot and every
+    * later read scans it. Keyed by the registry's card-many attr set
+    * (a different registry is a different resolution). Invalidated by
+    * `append`/`retract`/`compact`. On a cluster the same role is
+    * played by persisting to storage — `compact` is the offline form —
+    * but a session-level persisted view is the right default for a
+    * query-heavy workload. */
+  @transient private var snapshot: Option[(Set[String], DataFrame)] = None
+
+  private def invalidateSnapshot(): Unit = synchronized {
+    snapshot.foreach(_._2.unpersist(blocking = false))
+    snapshot = None
   }
 
   /** Current-state view: card-many attrs accumulate (distinct union),
     * card-one attrs resolve last-writer-wins by tx — one shuffle,
-    * grouped by (e, a). */
-  def current(registry: SchemaRegistry): DataFrame =
-    Store.resolve(eav, registry.attrs.values.filter(_.many).map(_.ident).toSeq)
+    * grouped by (e, a). Served from the maintained snapshot when the
+    * store hasn't changed since the last call. */
+  def current(registry: SchemaRegistry): DataFrame = synchronized {
+    val many = registry.attrs.values.filter(_.many).map(_.ident).toSet
+    snapshot match {
+      case Some((k, df)) if k == many => df
+      case _ =>
+        snapshot.foreach(_._2.unpersist(blocking = false))
+        val df = Store.resolve(eav, many.toSeq.sorted)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        snapshot = Some((many, df))
+        df
+    }
+  }
 
   /** The database as of transaction `tx` (Datomic `d/as-of`): the same
     * resolution, over only the datoms visible at `tx`. The tx filter

@@ -468,6 +468,82 @@ class DatalogSpec extends AnyFunSuite {
     assert(out("e2") === ((Seq("z"), Seq("z"), Seq("z"))))
   }
 
+  test("(max n ?x) returns the n largest in ASCENDING order (Datomic collection order)") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "score", "a"), ("e1", "score", "c"), ("e1", "score", "b"),
+      ("e1", "score", "d"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse("[:find ?e (max 2 ?s) (min 2 ?s) :where [?e :score ?s]]")
+    val r = Datalog.runOn(eav, emptyRegistry, q, Map.empty).collect()(0)
+    assert(r.getSeq[String](1) == Seq("c", "d"), "two largest, sorted ascending")
+    assert(r.getSeq[String](2) == Seq("a", "b"))
+  }
+
+  test("find specifications: scalar `.`, collection [?x ...], single tuple [?x ?y]") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "name", "A"), ("e2", "name", "B"), ("e3", "name", "C"))
+      .toDF("e", "a", "v")
+    // scalar: one row, one column
+    val qS = Datalog.parse("[:find (count ?e) . :where [?e :name _]]")
+    val s = Datalog.runOn(eav, emptyRegistry, qS, Map.empty).collect()
+    assert(s.length == 1 && s(0).getLong(0) == 3)
+    // collection: every value, one column
+    val qC = Datalog.parse("[:find [?n ...] :where [_ :name ?n]]")
+    val c = Datalog.runOn(eav, emptyRegistry, qC, Map.empty)
+    assert(c.columns.toSeq == Seq("n"))
+    assert(c.collect().map(_.getString(0)).toSet == Set("A", "B", "C"))
+    // single tuple: one row, the find columns
+    val qT = Datalog.parse("""[:find [?e ?n] :where [?e :name ?n] [(= ?n "B")]]""")
+    val t = Datalog.runOn(eav, emptyRegistry, qT, Map.empty).collect()
+    assert(t.length == 1 && t(0).getString(0) == "e2" && t(0).getString(1) == "B")
+    // bare elements stay a relation
+    val qR = Datalog.parse("[:find ?e ?n :where [?e :name ?n]]")
+    assert(Datalog.runOn(eav, emptyRegistry, qR, Map.empty).count() == 3)
+  }
+
+  test("get-some tuple destructuring [?attr ?v] binds the winning attribute") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "name", "A"), ("e1", "nick", "Ace"),
+      ("e2", "name", "B"), ("e2", "alias", "Bee"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse(
+      """[:find ?e ?attr ?label
+        | :where [?e :name _] [(get-some $ ?e :nick :alias) [?attr ?label]]]""".stripMargin)
+    val out = Datalog.runOn(eav, emptyRegistry, q, Map.empty)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(("e1", "nick", "Ace"), ("e2", "alias", "Bee")), out.toString)
+  }
+
+  test("fulltext clause: schema-gated, needle via :in; unindexed attr rejected") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "doc/title", "Small Ring of Fire"),
+      ("e2", "doc/title", "Large Ring"),
+      ("e3", "doc/body", "a small note")) // body is NOT fulltext-indexed
+      .toDF("e", "a", "v")
+    val registry = new SchemaRegistry(Map(
+      "doc/title" -> graft.model.AttrDef("doc/title", "string", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = true)))
+    val q = Datalog.parse(
+      """[:find ?e ?v :in $ ?needle
+        | :where [(fulltext $ :doc/title ?needle) [[?e ?v]]]]""".stripMargin)
+    val out = Datalog.runOn(eav, registry, q, Map("needle" -> EStr("small")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("e1" -> "Small Ring of Fire"), out.toString)
+    // substring of a token must not hit (tokenized, not LIKE)
+    val none = Datalog.runOn(eav, registry, q, Map("needle" -> EStr("rin")))
+    assert(none.count() == 0)
+    // reaching for an unindexed attr is a loud query error
+    val qBad = Datalog.parse(
+      """[:find ?e ?v :where [(fulltext $ :doc/body "small") [[?e ?v]]]]""")
+    val err = intercept[IllegalArgumentException](
+      Datalog.runOn(eav, registry, qBad, Map.empty))
+    assert(err.getMessage.contains("fulltext"), err.getMessage)
+  }
+
   test("history five-tuple: [?e :attr ?v ?tx ?added] binds the op flag") {
     import spark.implicits._
     val log = Seq(

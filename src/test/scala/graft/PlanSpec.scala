@@ -121,6 +121,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(600))
   }
 
+  test("store current(): second read over an unchanged store scans the materialized snapshot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val st = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("snapstore").toString)
+    val reg = new graft.model.SchemaRegistry(Map.empty)
+    def datoms(rows: Seq[(String, String, String, Long)]) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    st.append(datoms(Seq(("e1", "x/a", "1", 1L), ("e2", "x/a", "2", 1L))))
+    val first = st.current(reg)
+    assert(first.count() == 2) // materializes the snapshot
+    val second = st.current(reg)
+    assert(second eq first, "unchanged store must serve the SAME snapshot")
+    val p = second.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("inmemory") || p.contains("tablecache"),
+      s"second read must scan the cached view, not re-resolve:\n${p.take(800)}")
+    // append invalidates: the next current() re-resolves and sees the new datom
+    st.append(datoms(Seq(("e3", "x/a", "3", 2L))))
+    val third = st.current(reg)
+    assert(!(third eq second) && third.count() == 3)
+  }
+
   test("d29: prefix-sum packing has no unpartitioned window") {
     val p = plan(graft.queries.Curate.d29_sequence_pack(spark, sf))
     assert(!(p.contains("Window") && p.contains("SinglePartition")),

@@ -105,6 +105,54 @@ class PullSpec extends AnyFunSuite {
     assert(out("b2") === (("Beta", "indie", null)))
   }
 
+  test("recursion {:ref N}: re-applies the enclosing pattern, exhaustion renders plain id") {
+    val chainReg = new SchemaRegistry(Map(ad("p/name"), ad("p/boss", ref = true)))
+    val chain = Seq(
+      ("p1", "p/name", "Ann"), ("p1", "p/boss", "p2"),
+      ("p2", "p/name", "Bob"), ("p2", "p/boss", "p3"),
+      ("p3", "p/name", "Cyd"), ("p3", "p/boss", "p4"),
+      ("p4", "p/name", "Dee"))
+      .toDF("e", "a", "v")
+    val row = Pull.pullFrom(chain, chainReg,
+        Pull.parsePattern("[:p/name {:p/boss 2}]"), roots("p1"))
+      .collect()(0)
+    assert(row.getAs[String]("p_name") == "Ann")
+    val l1 = row.getStruct(row.fieldIndex("p_boss"))
+    assert(l1.getString(l1.fieldIndex("p_name")) == "Bob")
+    val l2 = l1.getStruct(l1.fieldIndex("p_boss"))
+    assert(l2.getString(l2.fieldIndex("p_name")) == "Cyd")
+    // depth exhausted: the third hop is the PLAIN ref value, not a struct
+    assert(l2.getString(l2.fieldIndex("p_boss")) == "p4")
+  }
+
+  test("recursion {:ref ...}: unbounded resolves to closure depth; cycles terminate") {
+    val chainReg = new SchemaRegistry(Map(ad("p/name"), ad("p/boss", ref = true)))
+    val cyclic = Seq(
+      ("p1", "p/name", "Ann"), ("p1", "p/boss", "p2"),
+      ("p2", "p/name", "Bob"), ("p2", "p/boss", "p3"),
+      ("p3", "p/name", "Cyd"), ("p3", "p/boss", "p1")) // cycle back to p1
+      .toDF("e", "a", "v")
+    val row = Pull.pullFrom(cyclic, chainReg,
+        Pull.parsePattern("[:p/name {:p/boss ...}]"), roots("p1"))
+      .collect()(0)
+    val l1 = row.getStruct(row.fieldIndex("p_boss"))
+    val l2 = l1.getStruct(l1.fieldIndex("p_boss"))
+    assert(row.getAs[String]("p_name") == "Ann")
+    assert(l1.getString(l1.fieldIndex("p_name")) == "Bob")
+    assert(l2.getString(l2.fieldIndex("p_name")) == "Cyd")
+    // closure depth from p1 is 2 (p2, p3); the cycle edge renders as
+    // the already-seen entity's plain id — Datomic's ":db/id only"
+    assert(l2.getString(l2.fieldIndex("p_boss")) == "p1")
+  }
+
+  test(":default on a cardinality-many attr is rejected loudly") {
+    val err = intercept[IllegalArgumentException] {
+      Pull.pullFrom(cur, registry,
+        Pull.parsePattern("""[(:band/genres :default "none")]"""), roots("b1"))
+    }
+    assert(err.getMessage.contains("cardinality-one"), err.getMessage)
+  }
+
   test("map-spec options: {(:ref :limit n) [...]} truncates hydrated children") {
     val revReg = new SchemaRegistry(Map(
       ad("band/name"), ad("album/name"), ad("album/band", ref = true)))
