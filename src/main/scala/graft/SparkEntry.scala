@@ -104,6 +104,7 @@ object SparkEntry {
     "q58_excision"           -> (Relational.q58_excision _),
     "q59_datalog_agg_n"      -> (Relational.q59_datalog_agg_n _),
     "q60_pull_recursion"     -> (Relational.q60_pull_recursion _),
+    "q61_asof_instant"       -> (Relational.q61_asof_instant _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -889,6 +890,29 @@ object SparkEntry {
         |  array_to_string(list_sort(list(n))[1:2], ',') AS two_smallest,
         |  array_to_string(list_sort(list(n))[-1:], ',') AS largest
         |FROM v GROUP BY r""".stripMargin,
+    // q61: the date→tx resolution happens engine-side (txInstant index);
+    // the oracle pins the resulting state at both horizons — a wrong or
+    // exclusive boundary rule lands the second group on tx 1's totals.
+    // 1580515200000 = 2020-02-01T00Z, 1583798400000 = 2020-03-10T00Z.
+    "q61_asof_instant" ->
+      """WITH log AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS e,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, 1 AS tx
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR),
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2, 2
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |horizons AS (
+        |  SELECT CAST(1580515200000 AS BIGINT) AS asof_ms, 1 AS htx
+        |  UNION ALL SELECT CAST(1583798400000 AS BIGINT), 2),
+        |resolved AS (
+        |  SELECT h.asof_ms, l.e, l.cents,
+        |    ROW_NUMBER() OVER (PARTITION BY h.asof_ms, l.e ORDER BY l.tx DESC) AS rn
+        |  FROM log l JOIN horizons h ON l.tx <= h.htx)
+        |SELECT asof_ms, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM resolved WHERE rn = 1 GROUP BY asof_ms""".stripMargin,
     // q60: recursive pull to depth 2 = two LEFT self-joins up the
     // parent chain; the depth-exhausted third level is the plain ref id
     "q60_pull_recursion" ->

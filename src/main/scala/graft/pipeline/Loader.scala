@@ -55,9 +55,17 @@ final class Loader(spark: SparkSession, registry: SchemaRegistry, store: Store,
       val txes = fresh.count()
       if (txes == 0) return LoadStats(0, 0)
 
+      // `:db/txInstant` — one wall-clock datom per transaction entity
+      // (Datomic's transactor stamps exactly this). Captured ONCE on
+      // the driver so every batch of this load shares an instant and
+      // reruns of the same executor task emit identical rows.
+      val loadedAtMs = System.currentTimeMillis()
+      val loadedAtIso = java.time.Instant.ofEpochMilli(loadedAtMs).toString
       val datoms = fresh.select("line").as(Encoders.STRING).flatMap { line =>
-        Datoms.batchDatoms(line, reg, typeIdx)._2.map(d =>
-          DatomRow(d.e, d.a, d.v, d.vLong, d.isRef, d.tx))
+        val (batchId, ds) = Datoms.batchDatoms(line, reg, typeIdx)
+        ds.map(d => DatomRow(d.e, d.a, d.v, d.vLong, d.isRef, d.tx)) :+
+          DatomRow(s"tx|$batchId", Store.txInstantAttr, loadedAtIso,
+            Some(loadedAtMs), is_ref = false, ds.head.tx)
       }(Encoders.product[DatomRow])
         .toDF()
         .persist()

@@ -1012,6 +1012,50 @@ object Relational {
         col("cust_parent.cust_parent.cust_parent").as("ggp_id"))
   }
 
+  // ── As-of by wall clock: :db/txInstant ────────────────────────────
+  /** Datomic `d/as-of` with a DATE — "state as of <date>", the form
+    * auditors actually ask for. The log carries `:db/txInstant` datoms
+    * on its tx entities (tx 1 = 2020-01-15, tx 2 = 2020-03-10);
+    * `Store.txAtInstant` resolves each date horizon to the latest tx
+    * at-or-before it (one aggregate over the txInstant partition), and
+    * the usual resolution runs at those txes. Horizons: mid-February
+    * (between txes → tx 1) and the EXACT second instant (inclusive
+    * boundary → tx 2) — a `<` instead of `<=` flips the second group's
+    * totals, so the oracle pins the boundary rule. */
+  def q61_asof_instant(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    def asLog(v: Column, tx: Long) = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      v.cast("string").as("v"), v.as("v_long"),
+      lit(false).as("is_ref"), lit(tx).as("tx"), lit(true).as("op"))
+    def txInstant(ms: Long, tx: Long) = s.range(1).select(
+      lit(s"tx|$tx").as("e"), lit(graft.store.Store.txInstantAttr).as("a"),
+      lit(java.time.Instant.ofEpochMilli(ms).toString).as("v"), lit(ms).as("v_long"),
+      lit(false).as("is_ref"), lit(tx).as("tx"), lit(true).as("op"))
+    val t1 = java.time.Instant.parse("2020-01-15T00:00:00Z").toEpochMilli
+    val t2 = java.time.Instant.parse("2020-03-10T00:00:00Z").toEpochMilli
+    val log = asLog(c, 1L)
+      .unionByName(asLog(c * 2, 2L).filter(pmod(col("e").cast("long"), lit(10)) === 0))
+      .unionByName(txInstant(t1, 1L))
+      .unionByName(txInstant(t2, 2L))
+    val horizons = Seq(
+      java.time.Instant.parse("2020-02-01T00:00:00Z").toEpochMilli,
+      t2 // exact boundary: at-or-before is INCLUSIVE
+    ).map(ms => ms -> graft.store.Store.txAtInstant(log,
+      new java.util.Date(ms)))
+    val resolved = graft.store.Store
+      .resolveAtHorizons(log, horizons.map(_._2), Seq.empty)
+      .filter(col("a") === "order/price")
+      .groupBy(col("asof_tx"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("v_long")).cast("long").as("total_cents"))
+    resolved.select(
+        when(col("asof_tx") === horizons(0)._2, horizons(0)._1)
+          .otherwise(horizons(1)._1).as("asof_ms"),
+        col("n_entities"), col("total_cents"))
+  }
+
   // ── Excision: physical erasure including history ──────────────────
   /** Datomic `:db/excise` — the GDPR tool: over a two-tx price log
     * (tx 1 all orders, tx 2 every 10th doubled), every 20th order is

@@ -173,6 +173,22 @@ final class Store(spark: SparkSession, val dir: String) {
     * incremental-consumer view: what changed since my last read. */
   def since(tx: Long): DataFrame = eav.filter(col("tx") > tx)
 
+  /** Wall-clock → tx resolution (Datomic accepts a `java.util.Date`
+    * anywhere a tx id is accepted): the latest tx whose
+    * `:db/txInstant` is at-or-before `date`. The loader stamps one
+    * txInstant datom per transaction entity; this is one aggregate
+    * over that attribute's pruned partition. Returns -1 when `date`
+    * precedes every transaction (an as-of there is the empty db). */
+  def txAtInstant(date: java.util.Date): Long = Store.txAtInstant(eav, date)
+
+  /** `d/as-of` by wall clock — "state as of March 31". */
+  def asOfInstant(registry: SchemaRegistry, date: java.util.Date): DataFrame =
+    asOf(registry, txAtInstant(date))
+
+  /** `d/since` by wall clock: datoms of transactions AFTER the latest
+    * tx at-or-before `date`. */
+  def sinceInstant(date: java.util.Date): DataFrame = since(txAtInstant(date))
+
   /** Datoms in the half-open tx interval [from, until) — Datomic's
     * `d/tx-range` log walk; both bounds prune parquet row groups. */
   def txRange(from: Long, until: Long): DataFrame =
@@ -186,6 +202,20 @@ final class Store(spark: SparkSession, val dir: String) {
 }
 
 object Store {
+  /** Transaction wall-clock attribute (Datomic `:db/txInstant`): the
+    * loader asserts one per tx entity — `v` is the ISO-8601 instant,
+    * `v_long` the epoch millis (so date horizons ride parquet min/max
+    * pruning like any numeric range). */
+  val txInstantAttr = "db/txInstant"
+
+  /** Static core of date→tx resolution (instance `txAtInstant`
+    * delegates; harness queries use it over synthesized logs). */
+  def txAtInstant(log: DataFrame, date: java.util.Date): Long = {
+    val r = log.filter(col("a") === txInstantAttr && col("v_long") <= date.getTime)
+      .agg(max(col("tx"))).collect()(0)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
   /** Resolution core shared by `current` / `asOf` (and the q30/q39
     * harness queries), retraction-aware:
     *  - a value (e, a, v) is VISIBLE iff its latest op by tx is an

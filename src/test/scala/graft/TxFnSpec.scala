@@ -239,4 +239,50 @@ class TxFnSpec extends AnyFunSuite {
       4L -> ((false, true)), 5L -> ((false, true))),
       "rows 1 and 3 are collateral rejections: clean rows in a failed tx")
   }
+
+  test("txInstant: date→tx boundaries (exact instant, between txes, before first)") {
+    import spark.implicits._
+    def ms(iso: String) = java.time.Instant.parse(iso).toEpochMilli
+    def date(iso: String) = new java.util.Date(ms(iso))
+    val log = Seq(
+      ("e1", "price", "100", 1L, Option.empty[Long]),
+      ("e1", "price", "200", 2L, Option.empty[Long]),
+      ("tx|1", Store.txInstantAttr, "2020-01-15T00:00:00Z", 1L, Some(ms("2020-01-15T00:00:00Z"))),
+      ("tx|2", Store.txInstantAttr, "2020-03-10T00:00:00Z", 2L, Some(ms("2020-03-10T00:00:00Z"))))
+      .toDF("e", "a", "v", "tx", "v_long")
+      .withColumn("is_ref", lit(false)).withColumn("op", lit(true))
+    // exact instant is INCLUSIVE (at-or-before)
+    assert(Store.txAtInstant(log, date("2020-01-15T00:00:00Z")) == 1L)
+    assert(Store.txAtInstant(log, date("2020-03-10T00:00:00Z")) == 2L)
+    // between txes → the earlier one; after all → the last
+    assert(Store.txAtInstant(log, date("2020-02-01T00:00:00Z")) == 1L)
+    assert(Store.txAtInstant(log, date("2021-01-01T00:00:00Z")) == 2L)
+    // before the first tx → -1, and an as-of there is the empty db
+    assert(Store.txAtInstant(log, date("2019-12-31T23:59:59Z")) == -1L)
+    assert(Store.resolve(log.filter(col("tx") <= -1L), Seq.empty).count() == 0)
+  }
+
+  test("loader stamps one txInstant per transaction; asOfInstant reads through it") {
+    val registry = graft.model.SchemaRegistry.load(
+      "/root/reference/subsets/entities/schema.edn")
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("txinst").toString)
+    val loader = new graft.pipeline.Loader(spark, registry, st)
+    val before = new java.util.Date(System.currentTimeMillis() - 1000)
+    loader.ensureImportSchema()
+    val line =
+      """{:batch-ident {:db/id "datomic.tx", :mbrainz.initial-import/batch-id "artists-1"}, :data [""" +
+        """{:artist/gid #uuid "66666666-6666-4666-8666-666666666666", :artist/name "N", :artist/sortName "S"}]}"""
+    val f = java.nio.file.Files.createTempFile("ti", ".edn")
+    java.nio.file.Files.write(f, line.getBytes)
+    loader.loadBatchFile("artists", f.toString)
+    val instants = st.eav.filter(col("a") === Store.txInstantAttr).collect()
+    assert(instants.length == 2, "one txInstant per tx (import-schema + artists-1)")
+    assert(instants.forall(r => r.getString(r.fieldIndex("e")).startsWith("tx|")))
+    // a horizon before the load sees nothing; one after sees the artist
+    assert(st.asOfInstant(registry, before)
+      .filter(col("a") === "artist/name").count() == 0)
+    assert(st.asOfInstant(registry, new java.util.Date())
+      .filter(col("a") === "artist/name").count() == 1)
+  }
 }
