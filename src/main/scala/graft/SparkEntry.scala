@@ -105,6 +105,7 @@ object SparkEntry {
     "q59_datalog_agg_n"      -> (Relational.q59_datalog_agg_n _),
     "q60_pull_recursion"     -> (Relational.q60_pull_recursion _),
     "q61_asof_instant"       -> (Relational.q61_asof_instant _),
+    "q62_datalog_mutual"     -> (Relational.q62_datalog_mutual _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -890,6 +891,16 @@ object SparkEntry {
         |  array_to_string(list_sort(list(n))[1:2], ',') AS two_smallest,
         |  array_to_string(list_sort(list(n))[-1:], ',') AS largest
         |FROM v GROUP BY r""".stripMargin,
+    // q62: hop-a through mutually recursive rules = direct edges plus
+    // the two-hop pairs reached through hop-b
+    "q62_datalog_mutual" ->
+      """SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src,
+        |       'n' || CAST(s_nationkey AS VARCHAR) AS dst
+        |FROM supplier
+        |UNION
+        |SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |       'r' || CAST(n_regionkey AS VARCHAR)
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     // q61: the date→tx resolution happens engine-side (txInstant index);
     // the oracle pins the resulting state at both horizons — a wrong or
     // exclusive boundary rule lands the second group on tx 1's totals.

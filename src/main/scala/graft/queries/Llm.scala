@@ -36,8 +36,17 @@ object Llm {
     * Values are per-row deterministic, so partitioning never changes
     * results. */
   private[queries] def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val conf = df.sparkSession.conf
+    val target = conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // estimate the scan's split count from PLAN STATS (bytes /
+    // maxPartitionBytes) — `df.rdd.getNumPartitions` forced a full
+    // physical-planning + RDD conversion pass per call just to read a
+    // number the optimizer already knows
+    val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (sizeInBytes / splitBytes).toLong + 1
+    if (estSplits >= target) df else df.repartition(target)
   }
 
   private def spread(df: DataFrame): DataFrame = {

@@ -1012,6 +1012,35 @@ object Relational {
         col("cust_parent.cust_parent.cust_parent").as("ggp_id"))
   }
 
+  // ── Datalog mutual recursion ──────────────────────────────────────
+  /** Mutually recursive rules — `hop-a`/`hop-b` alternate over two
+    * edge types (supplier→nation via :locA, nation→region via :locB),
+    * each rule recursing through the OTHER. The engine evaluates the
+    * strongly-connected rule pair with a joint semi-naive fixpoint
+    * (per-rule deltas, one job per rule per round). hop-a =
+    * direct supplier→nation edges plus supplier→region through hop-b.
+    * The oracle is the equivalent two-hop union — wrong SCC handling
+    * (missing second-hop pairs or duplicated rounds) breaks the hash. */
+  def q62_datalog_mutual(s: SparkSession, d: String): DataFrame = {
+    val eav = supplier(s, d).select(
+        concat(lit("s"), col("s_suppkey").cast("string")).as("e"),
+        lit("locA").as("a"),
+        concat(lit("n"), col("s_nationkey").cast("string")).as("v"))
+      .unionByName(nation(s, d).select(
+        concat(lit("n"), col("n_nationkey").cast("string")).as("e"),
+        lit("locB").as("a"),
+        concat(lit("r"), col("n_regionkey").cast("string")).as("v")))
+    val rules = graft.query.Datalog.parseRules(
+      """[[(hop-a ?x ?y) [?x :locA ?y]]
+        | [(hop-a ?x ?y) [?x :locA ?z] (hop-b ?z ?y)]
+        | [(hop-b ?x ?y) [?x :locB ?y]]
+        | [(hop-b ?x ?y) [?x :locB ?z] (hop-a ?z ?y)]]""".stripMargin)
+    val q = graft.query.Datalog.parse("[:find ?x ?y :where (hop-a ?x ?y)]")
+    graft.query.Datalog
+      .runOn(eav, new graft.model.SchemaRegistry(Map.empty), q, Map.empty, rules)
+      .select(col("x").as("src"), col("y").as("dst"))
+  }
+
   // ── As-of by wall clock: :db/txInstant ────────────────────────────
   /** Datomic `d/as-of` with a DATE — "state as of <date>", the form
     * auditors actually ask for. The log carries `:db/txInstant` datoms

@@ -105,8 +105,13 @@ object Datalog {
     extends Clause
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
-    * the rule itself is recursive. */
-  final case class RuleDef(params: Seq[String], body: Seq[Clause])
+    * back into its own strongly-connected component is recursive.
+    * `requiredCount` > 0 marks a required-bindings head
+    * `[(name [?a ?b] ?c) …]`: the first `requiredCount` params must be
+    * BOUND at every call site (constant or an already-bound variable),
+    * as in Datomic. */
+  final case class RuleDef(params: Seq[String], body: Seq[Clause],
+    requiredCount: Int = 0)
   final case class Query(find: Seq[FindElem], in: Seq[String], patterns: Seq[Clause],
     withVars: Seq[String] = Seq.empty, collIn: Seq[String] = Seq.empty,
     tupleIn: Seq[Seq[Option[String]]] = Seq.empty, // None = `_` (ignored slot)
@@ -302,27 +307,37 @@ object Datalog {
     * `[[(reach ?a ?b) [?a :edge ?b]]
     *   [(reach ?a ?b) [?a :edge ?x] (reach ?x ?b)]]`
     * Supported: multiple definitions per rule (disjunction), rule
-    * calls in bodies, linear self-recursion (exactly one self-call in
-    * a recursive body). Not supported: mutual recursion, required-
-    * bindings heads `[(r [?a]) …]`, non-var head params. */
+    * calls in bodies, self- AND mutual recursion (evaluated SCC-wise,
+    * see evalRules), several recursive calls per body, and required-
+    * bindings heads `[(r [?a ?b] ?c) …]` (the bracketed params must be
+    * bound at every call site). Recursive calls must be TOP-LEVEL body
+    * clauses — a recursive rule under (not …)/(or …) is unstratified
+    * and rejected at evaluation. */
   def parseRules(ednText: String): Map[String, Seq[RuleDef]] = {
     val defs = Edn.parse(ednText) match {
       case EVec(xs) => xs
       case other => throw new IllegalArgumentException(s"rules must be a vector: $other")
     }
+    def varName(e: Edn): String = e match {
+      case ESym("", p) if p.startsWith("?") => p.drop(1)
+      case other => throw new IllegalArgumentException(
+        s"rule head params must be ?vars: ${Edn.print(other)}")
+    }
     defs.map {
       case EVec(EList(ESym("", name) +: params) +: body) =>
-        val ps = params.map {
-          case ESym("", p) if p.startsWith("?") => p.drop(1)
-          case other => throw new IllegalArgumentException(
-            s"rule head params must be ?vars: ${Edn.print(other)}")
+        // `[(r [?a ?b] ?c) …]` — required-bindings head: the bracketed
+        // group leads, free params follow
+        val (required, free) = params match {
+          case EVec(req) +: rest => (req.map(varName), rest.map(varName))
+          case ps => (Vector.empty[String], ps.map(varName))
         }
         require(body.nonEmpty, s"rule $name has an empty body")
-        name -> RuleDef(ps, body.map(clause))
+        name -> RuleDef(required ++ free, body.map(clause), required.size)
       case other => throw new IllegalArgumentException(s"bad rule def: ${Edn.print(other)}")
     }.groupBy(_._1).map { case (n, ds) =>
       val rds = ds.map(_._2)
-      require(rds.map(_.params.size).distinct.size == 1, s"rule $n: arity mismatch")
+      require(rds.map(d => (d.params.size, d.requiredCount)).distinct.size == 1,
+        s"rule $n: arity or required-bindings mismatch across definitions")
       n -> rds.toSeq
     }
   }
@@ -509,7 +524,8 @@ object Datalog {
     * (shared vars become equi-joins across the two scans). */
   private def evalClauses(srcEav: Option[String] => DataFrame, registry: SchemaRegistry,
       clauses: Seq[Clause], resolve: Term => Term,
-      ruleEnv: String => DataFrame): DataFrame = {
+      ruleEnv: String => DataFrame,
+      ruleReq: String => Int = _ => 0): DataFrame = {
     val eav = srcEav(None)
     require(clauses.nonEmpty, "empty clause body")
     clauses.foldLeft(Option.empty[DataFrame]) { (acc, c) =>
@@ -523,7 +539,7 @@ object Datalog {
             fnColumn(fc.copy(args = fc.args.map(resolve)), registry)))
         case nc: NotClause =>
           val a = bound
-          val inner = evalClauses(srcEav, registry, nc.clauses, resolve, ruleEnv)
+          val inner = evalClauses(srcEav, registry, nc.clauses, resolve, ruleEnv, ruleReq)
           val shared = a.columns.intersect(inner.columns).toSeq
           require(shared.nonEmpty, "(not …) shares no variables with the outer query")
           Some(a.join(inner.select(shared.map(col): _*).distinct(), shared, "left_anti"))
@@ -570,7 +586,7 @@ object Datalog {
           }
           Some(withAttr.filter(col(s"var_${gs.out}").isNotNull).drop(tmps: _*))
         case oc: OrClause =>
-          val legs0 = oc.legs.map(evalClauses(srcEav, registry, _, resolve, ruleEnv))
+          val legs0 = oc.legs.map(evalClauses(srcEav, registry, _, resolve, ruleEnv, ruleReq))
           // or-join projects each leg to the declared vars; plain or
           // requires identical bindings across legs
           val legs = oc.joinVars match {
@@ -590,7 +606,7 @@ object Datalog {
           })
         case nj: NotJoinClause =>
           val a = bound
-          val inner = evalClauses(srcEav, registry, nj.clauses, resolve, ruleEnv)
+          val inner = evalClauses(srcEav, registry, nj.clauses, resolve, ruleEnv, ruleReq)
           val cols = nj.joinVars.map(v => s"var_$v")
           require(cols.forall(a.columns.contains),
             s"(not-join …) vars must be bound in the outer query: ${nj.joinVars}")
@@ -601,8 +617,23 @@ object Datalog {
               evalPattern(srcEav(p.src), registry,
                 Pattern(resolve(p.e), resolve(p.a), resolve(p.v), p.src,
                   resolve(p.tx), resolve(p.added)))
-            case rc: RuleCall =>
-              evalRuleCall(ruleEnv(rc.name), rc.copy(args = rc.args.map(resolve)), registry)
+            case rc0: RuleCall =>
+              val rc = rc0.copy(args = rc0.args.map(resolve))
+              // required-bindings head: the first k args must be bound
+              // HERE — a constant, or a variable the clauses so far
+              // have bound (Datomic rejects an unbound required param)
+              val req = ruleReq(rc.name)
+              if (req > 0) {
+                val boundCols = acc.map(_.columns.toSet).getOrElse(Set.empty[String])
+                rc.args.take(req).foreach {
+                  case TVar(n) => require(boundCols.contains(s"var_$n"),
+                    s"rule ${rc.name}: required binding ?$n must be bound before the call")
+                  case TWild => throw new IllegalArgumentException(
+                    s"rule ${rc.name}: a required binding cannot be _")
+                  case _ => () // constants are bound by definition
+                }
+              }
+              evalRuleCall(ruleEnv(rc.name), rc, registry)
             case ft: FulltextClause =>
               val needle = resolve(ft.needle) match {
                 case TConst(EStr(s)) => s
@@ -628,73 +659,25 @@ object Datalog {
     }.get
   }
 
-  /** Evaluate every rule reachable from the query to a relation, with
-    * semi-naive fixpoint iteration for self-recursive rules: each round
-    * joins only the NEW tuples (delta) against the recursive bodies,
-    * anti-joins out what's known, and stops when the delta is empty.
-    * `localCheckpoint` truncates the growing lineage every round —
-    * without it an N-round closure plans an N-deep join tree (at
-    * cluster scale, swap in reliable `checkpoint` on a checkpoint
-    * dir). Linear recursion only (one self-call per recursive body);
-    * mutual recursion is rejected. */
+  /** Evaluate every rule reachable from the query, strongly-
+    * connected-component-wise in dependency order (Tarjan). A
+    * non-recursive component evaluates once; a recursive component —
+    * self- OR mutual recursion, several recursive calls per body —
+    * runs a JOINT semi-naive fixpoint: per round each recursive body
+    * re-evaluates once per in-component call occurrence, with THAT
+    * occurrence reading the called rule's last DELTA and the others
+    * its accumulated total (textbook semi-naive for non-linear
+    * recursion); new tuples anti-join out what's known. Job hygiene:
+    * every delta is a LAZY localCheckpoint forced by the same count()
+    * that answers convergence (one job per rule per round), and each
+    * accumulated relation is a flat union of materialized deltas —
+    * at cluster scale swap localCheckpoint for reliable `checkpoint`.
+    * Recursive calls must be TOP-LEVEL body clauses: a same-component
+    * call under (not …)/(or …) is unstratified and rejected. */
   private def evalRules(srcEav: Option[String] => DataFrame, registry: SchemaRegistry,
       rules: Map[String, Seq[RuleDef]],
       maxIters: Int, rootClauses: Seq[Clause]): Map[String, DataFrame] = {
-    val cache = scala.collection.mutable.Map[String, DataFrame]()
-    val visiting = scala.collection.mutable.Set[String]()
-    def relation(name: String): DataFrame = cache.getOrElseUpdate(name, {
-      require(!visiting(name), s"mutual recursion through rule '$name' is not supported")
-      visiting += name
-      val defs = rules.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown rule: $name"))
-      val params = defs.head.params
-      def selfCalls(d: RuleDef): Int = d.body.count {
-        case RuleCall(n, _) => n == name
-        case _ => false
-      }
-      val (recDefs, baseDefs) = defs.partition(selfCalls(_) > 0)
-      require(baseDefs.nonEmpty, s"rule $name has no non-recursive definition")
-      recDefs.foreach(d => require(selfCalls(d) == 1,
-        s"rule $name: semi-naive evaluation supports one self-call per body"))
-      def evalBody(d: RuleDef, self: Option[DataFrame]): DataFrame = {
-        val env = (n: String) =>
-          if (n == name) self.getOrElse(throw new IllegalStateException(
-            s"self-reference in base case of $name"))
-          else relation(n)
-        // rule variables are LEXICALLY scoped (Datomic): a body var
-        // that happens to share a name with an :in parameter must NOT
-        // be substituted — constants reach a rule only through its
-        // call-site arguments, which resolve at the call site
-        evalClauses(srcEav, registry, d.body, identity, env)
-          .select(d.params.zipWithIndex.map { case (p, i) => col(s"var_$p").as(s"p$i") }: _*)
-      }
-      // Fixpoint job hygiene: each round issues exactly ONE Spark job —
-      // the delta's LAZY localCheckpoint is forced by the same count()
-      // that answers the convergence check. The accumulated relation
-      // stays a lazy union of the already-materialized deltas (flat
-      // plan, one node per round); re-checkpointing the growing total
-      // every round — the old shape — copied the whole closure
-      // O(depth) times and added a third job per round.
-      var deltas = List(baseDefs.map(evalBody(_, None)).reduce(_ unionByName _)
-        .distinct().localCheckpoint(false))
-      def total = deltas.reduce(_ unionByName _)
-      if (recDefs.nonEmpty) {
-        var fresh = deltas.head.count()
-        var iters = 0
-        while (fresh > 0) {
-          iters += 1
-          require(iters <= maxIters, s"rule $name did not converge in $maxIters rounds")
-          val stepped = recDefs.map(evalBody(_, Some(deltas.head)))
-            .reduce(_ unionByName _).distinct()
-          val delta = stepped.join(total, stepped.columns.toSeq, "left_anti")
-            .localCheckpoint(false)
-          fresh = delta.count()
-          if (fresh > 0) deltas ::= delta
-        }
-      }
-      visiting -= name
-      total
-    })
+    import scala.collection.mutable
     // evaluate only rules reachable from the query's clauses — a rule
     // set is a library; unused (possibly expensive) rules cost nothing
     def referenced(clauses: Seq[Clause]): Set[String] = clauses.flatMap {
@@ -709,7 +692,137 @@ object Datalog {
         .flatMap(n => referenced(rules(n).flatMap(_.body)))
       if (next == seen) seen else closure(next)
     }
-    closure(referenced(rootClauses)).filter(rules.contains).foreach(relation)
+    val needed = closure(referenced(rootClauses)).filter(rules.contains)
+    val deps: Map[String, Set[String]] =
+      needed.map(n => n -> (referenced(rules(n).flatMap(_.body)) & needed)).toMap
+
+    // Tarjan SCC — components emit dependencies-first, which IS the
+    // evaluation order
+    def stronglyConnected(): List[List[String]] = {
+      val index = mutable.Map[String, Int]()
+      val low = mutable.Map[String, Int]()
+      val onStack = mutable.Set[String]()
+      val stack = mutable.Stack[String]()
+      var counter = 0
+      val out = mutable.ListBuffer[List[String]]()
+      def strong(v: String): Unit = {
+        index(v) = counter; low(v) = counter; counter += 1
+        stack.push(v); onStack += v
+        for (w <- deps(v).toSeq.sorted) {
+          if (!index.contains(w)) { strong(w); low(v) = math.min(low(v), low(w)) }
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        }
+        if (low(v) == index(v)) {
+          val comp = mutable.ListBuffer[String]()
+          var w = ""
+          while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+          out += comp.toList
+        }
+      }
+      needed.toSeq.sorted.foreach(v => if (!index.contains(v)) strong(v))
+      out.toList
+    }
+
+    val cache = mutable.Map[String, DataFrame]()
+    val ruleReq: String => Int = n => rules.get(n).map(_.head.requiredCount).getOrElse(0)
+    def lookup(n: String): DataFrame = cache.getOrElse(n,
+      throw new IllegalArgumentException(s"unknown rule: $n"))
+    def evalBody(d: RuleDef, env: String => DataFrame): DataFrame =
+      // rule variables are LEXICALLY scoped (Datomic): a body var that
+      // shares a name with an :in parameter must NOT be substituted —
+      // constants reach a rule only through its call-site arguments,
+      // which resolve at the call site
+      evalClauses(srcEav, registry, d.body, identity, env, ruleReq)
+        .select(d.params.zipWithIndex.map { case (p, i) => col(s"var_$p").as(s"p$i") }: _*)
+
+    for (scc <- stronglyConnected()) {
+      val sccSet = scc.toSet
+      val recursive = scc.size > 1 || deps(scc.head).contains(scc.head)
+      if (!recursive) {
+        val name = scc.head
+        cache(name) = rules(name).map(evalBody(_, lookup))
+          .reduce(_ unionByName _).distinct()
+      } else {
+        for (n <- scc; d <- rules(n); c <- d.body) c match {
+          case RuleCall(_, _) => ()
+          case other => require(!referenced(Seq(other)).exists(sccSet),
+            s"rule $n: a recursive call under (not …)/(or …) is unstratified " +
+              "and not supported")
+        }
+        def sccCallsOf(d: RuleDef): Seq[Int] = d.body.zipWithIndex.collect {
+          case (RuleCall(nm, _), i) if sccSet(nm) => i
+        }
+        val baseDefs = scc.map(n => n -> rules(n).filter(sccCallsOf(_).isEmpty)).toMap
+        val recDefs = scc.map(n => n -> rules(n).filter(sccCallsOf(_).nonEmpty)).toMap
+        require(scc.exists(n => baseDefs(n).nonEmpty),
+          s"rules {${scc.mkString(", ")}}: recursive component has no " +
+            "non-recursive definition")
+        val spark = srcEav(None).sparkSession
+        // a rule seeded only through its partners (no base defs — legal
+        // in mutual recursion) starts empty; all-string p-columns match
+        // the pattern-sourced relations, and unionByName coerces later
+        def emptyRel(name: String): DataFrame =
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              rules(name).head.params.indices.map(i =>
+                org.apache.spark.sql.types.StructField(s"p$i",
+                  org.apache.spark.sql.types.StringType))))
+        val deltas = mutable.Map[String, List[DataFrame]]()
+        val lastDelta = mutable.Map[String, DataFrame]()
+        val counts = mutable.Map[String, Long]()
+        for (n <- scc) {
+          val init =
+            if (baseDefs(n).isEmpty) emptyRel(n)
+            else baseDefs(n).map(evalBody(_, lookup)).reduce(_ unionByName _)
+              .distinct().localCheckpoint(false)
+          counts(n) = init.count()
+          deltas(n) = List(init)
+          lastDelta(n) = init
+        }
+        def totalOf(n: String) = deltas(n).reduce(_ unionByName _)
+        var iters = 0
+        while (counts.values.sum > 0) {
+          iters += 1
+          require(iters <= maxIters,
+            s"rules {${scc.mkString(", ")}} did not converge in $maxIters rounds")
+          // snapshot the round's inputs BEFORE any update — synchronous
+          // iteration: round k+1 reads round k's deltas and totals
+          val delta0 = scc.map(n => n -> lastDelta(n)).toMap
+          val total0 = scc.map(n => n -> totalOf(n)).toMap
+          val stepped = scc.map { n =>
+            n -> recDefs(n).flatMap { d =>
+              sccCallsOf(d).map { occ =>
+                val body2 = d.body.zipWithIndex.map {
+                  case (RuleCall(nm, args), j) if j == occ && sccSet(nm) =>
+                    RuleCall(s"__delta__$nm", args)
+                  case (c, _) => c
+                }
+                val env: String => DataFrame = {
+                  case dn if dn.startsWith("__delta__") =>
+                    delta0(dn.stripPrefix("__delta__"))
+                  case nm if sccSet(nm) => total0(nm)
+                  case nm => lookup(nm)
+                }
+                evalBody(RuleDef(d.params, body2, d.requiredCount), env)
+              }
+            }
+          }.toMap
+          for (n <- scc) {
+            if (stepped(n).isEmpty) { counts(n) = 0; lastDelta(n) = emptyRel(n) }
+            else {
+              val s = stepped(n).reduce(_ unionByName _).distinct()
+              val nd = s.join(total0(n), s.columns.toSeq, "left_anti")
+                .localCheckpoint(false)
+              counts(n) = nd.count()
+              lastDelta(n) = nd
+              if (counts(n) > 0) deltas(n) = nd :: deltas(n)
+            }
+          }
+        }
+        for (n <- scc) cache(n) = totalOf(n)
+      }
+    }
     cache.toMap
   }
 
@@ -777,7 +890,8 @@ object Datalog {
     val relations = evalRules(srcEav, registry, rules, maxRuleIters, q.patterns)
     val joined0 = evalClauses(srcEav, registry, q.patterns, resolve,
       name => relations.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")))
+        throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")),
+      name => rules.get(name).map(_.head.requiredCount).getOrElse(0))
     val joined = q.collIn.filter(args.contains).foldLeft(joined0) { (df, n) =>
       val values = args(n) match {
         case EVec(xs) => xs

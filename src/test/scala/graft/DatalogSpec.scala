@@ -598,14 +598,72 @@ class DatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("expects 1 args"), err.getMessage)
   }
 
-  test("mutual recursion is rejected with a clear error") {
+  test("mutual recursion: even/odd through the SCC-wise joint fixpoint") {
+    import spark.implicits._
+    val eav = Seq(
+      ("n0", "zero", "n0"),
+      ("n1", "pred", "n0"), ("n2", "pred", "n1"),
+      ("n3", "pred", "n2"), ("n4", "pred", "n3"))
+      .toDF("e", "a", "v")
+    // `odd` has NO base definition — it is seeded entirely through
+    // `even`, the legal mutual-recursion shape the engine must handle
     val rules = Datalog.parseRules(
       """[[(even ?x) [?x :zero ?x]]
         | [(even ?x) [?x :pred ?y] (odd ?y)]
         | [(odd ?x) [?x :pred ?y] (even ?y)]]""".stripMargin)
-    val q = Datalog.parse("[:find ?x :where (even ?x)]")
+    val even = Datalog.runOn(eav, emptyRegistry,
+        Datalog.parse("[:find ?x :where (even ?x)]"), Map.empty, rules)
+      .collect().map(_.getString(0)).toSet
+    assert(even == Set("n0", "n2", "n4"), even.toString)
+    val odd = Datalog.runOn(eav, emptyRegistry,
+        Datalog.parse("[:find ?x :where (odd ?x)]"), Map.empty, rules)
+      .collect().map(_.getString(0)).toSet
+    assert(odd == Set("n1", "n3"), odd.toString)
+  }
+
+  test("non-linear recursion: two self-calls in one body (doubling closure)") {
+    val rules = Datalog.parseRules(
+      """[[(reach ?a ?b) [?a :next ?b]]
+        | [(reach ?a ?b) (reach ?a ?x) (reach ?x ?b)]]""".stripMargin)
+    val q = Datalog.parse("[:find ?a ?b :where (reach ?a ?b)]")
+    val rows = Datalog.runOn(chainEav(8), emptyRegistry, q, Map.empty, rules)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.size == 9 * 8 / 2, s"closure of a length-8 chain: got ${rows.size}")
+    assert(rows.contains(("n0", "n8")))
+  }
+
+  test("required-bindings head [(r [?t] ?e)]: bound calls work, unbound rejected") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "type", "a"), ("e2", "type", "b"), ("e3", "type", "a"))
+      .toDF("e", "a", "v")
+    val rules = Datalog.parseRules("""[[(of-type [?t] ?e) [?e :type ?t]]]""")
+    // constant argument satisfies the requirement
+    val out = Datalog.runOn(eav, emptyRegistry,
+        Datalog.parse("""[:find ?e :where (of-type "a" ?e)]"""), Map.empty, rules)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("e1", "e3"), out.toString)
+    // an already-bound variable satisfies it too
+    val out2 = Datalog.runOn(eav, emptyRegistry,
+        Datalog.parse(
+          """[:find ?e :where [?x :type ?t] [(= ?t "b")] (of-type ?t ?e)]"""),
+        Map.empty, rules)
+      .collect().map(_.getString(0)).toSet
+    assert(out2 == Set("e2"), out2.toString)
+    // an unbound required var is a loud error, not a silent full scan
+    val err = intercept[IllegalArgumentException](
+      Datalog.runOn(eav, emptyRegistry,
+        Datalog.parse("[:find ?e ?t :where (of-type ?t ?e)]"), Map.empty, rules))
+    assert(err.getMessage.contains("required binding"), err.getMessage)
+  }
+
+  test("recursive call under (not …) is rejected as unstratified") {
+    val rules = Datalog.parseRules(
+      """[[(reach ?a ?b) [?a :next ?b]]
+        | [(reach ?a ?b) [?a :next ?x] (not (reach ?x ?b)) [?x :next ?b]]]""".stripMargin)
+    val q = Datalog.parse("[:find ?a ?b :where (reach ?a ?b)]")
     val e = intercept[IllegalArgumentException](
       Datalog.runOn(chainEav(3), emptyRegistry, q, Map.empty, rules))
-    assert(e.getMessage.contains("mutual recursion"))
+    assert(e.getMessage.contains("unstratified"), e.getMessage)
   }
 }
