@@ -54,9 +54,11 @@ object Bench {
     }
 
     // Per-query variance on this host swamps real deltas (observed:
-    // same query 0.55s..3.46s across identical runs). Time each query
-    // nRuns times and record the MEDIAN; per-run numbers go to stderr.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // same query 0.55s..3.46s across identical runs, and roving I/O
+    // windows that slow 2 consecutive runs — a 3-run median still
+    // caught a 39s outlier as its middle value). Time each query nRuns
+    // times and record the MEDIAN; per-run numbers go to stderr.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt.max(1)
     def cleanup(): Unit = {
       // queries are independent: drop cached plans and any blocks left
       // behind (localCheckpoint fixpoints, bucketed temp tables) so a

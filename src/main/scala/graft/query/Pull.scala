@@ -127,7 +127,16 @@ object Pull {
 
   /** Pull over an already-resolved current-state EAV (e, a, v). */
   def pullFrom(cur: DataFrame, registry: SchemaRegistry, pattern: Seq[Spec],
-      roots: DataFrame): DataFrame = {
+      roots: DataFrame): DataFrame =
+    pullFrom(cur, registry, pattern, roots, Set.empty)
+
+  /** `wildSeen`: component attrs already hydrated by a `*` on this
+    * path — breaks schema-level component cycles (a self-nested
+    * component renders its second occurrence as the plain id; reach
+    * for an explicit `{:attr ...}` recursion spec to unroll it by
+    * data depth). */
+  private def pullFrom(cur: DataFrame, registry: SchemaRegistry, pattern: Seq[Spec],
+      roots: DataFrame, wildSeen: Set[String]): DataFrame = {
     // `*` expands to the registry's attrs (sorted, deduped against
     // explicit entries so `[* {:x/ref [...]}]` keeps the hydrated form)
     val explicit = pattern.collect {
@@ -137,7 +146,14 @@ object Pull {
     }.toSet
     val expanded = pattern.flatMap {
       case PWild => registry.attrs.keys.toSeq.sorted
-        .filterNot(explicit.contains).map(PAttr(_))
+        .filterNot(explicit.contains).map { a =>
+          // Datomic's wildcard recursively hydrates COMPONENT refs —
+          // the owned subtree IS part of the entity; non-component
+          // refs render un-recursed as plain ids
+          if (registry(a).component && registry.isRef(a) && !wildSeen.contains(a))
+            PRef(a, reverse = false, Seq(PWild))
+          else PAttr(a)
+        }
       case s => Seq(s)
     }
     // defaults render with the same text encoding stored values carry
@@ -203,7 +219,7 @@ object Pull {
             else cur.filter(col("a") === attr)
               .select(col("e"), col("v").as("__child"))
           val children = pullFrom(cur, registry, sub,
-            edges.select(col("__child").as("e")).distinct())
+            edges.select(col("__child").as("e")).distinct(), wildSeen + attr)
           val joined = edges.join(children.withColumnRenamed("e", "__child"), "__child")
           val st = struct(children.columns.filterNot(_ == "e").map(col): _*)
           val name = as.getOrElse(colName(attr, reverse))

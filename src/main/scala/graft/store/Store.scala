@@ -228,8 +228,14 @@ object Store {
     * map-side partials; the first collapses the log before the
     * second, so the shape holds at scale. A log without retractions
     * resolves identically to plain last-writer-wins. */
-  def resolve(log: DataFrame, manyAttrs: Seq[String]): DataFrame =
-    resolveAtHorizons(log, Seq(Long.MaxValue), manyAttrs).drop("asof_tx")
+  def resolve(log: DataFrame, manyAttrs: Seq[String]): DataFrame = {
+    // single-horizon fast path: no horizon explode, no asof_tx riding
+    // the two wide aggregations — the common current-state read should
+    // not pay the audit machinery
+    val withOp =
+      if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
+    resolveCore(withOp, Seq.empty, manyAttrs)
+  }
 
   /** Resolution at SEVERAL transaction horizons in ONE pass — the
     * audit/reporting shape ("state at end of each month"): the log
@@ -245,30 +251,38 @@ object Store {
     val tagged = withOp
       .select(col("*"), explode(lit(horizons.toArray)).as("asof_tx"))
       .filter(col("tx") <= col("asof_tx"))
-    // tiebreaks are EXPLICIT in both max_by orderings — max_by alone
-    // keeps the first-encountered row among ties, which is partition-
-    // order-dependent (caught by PropertySpec's reference model):
-    //  - same-tx assert+retract of one datom → assert wins (op=true
-    //    sorts above false); Datomic rejects that tx shape outright,
-    //    we resolve it deterministically;
-    //  - same-tx double-assert on a card-one attr → max v wins.
+    resolveCore(tagged, Seq("asof_tx"), manyAttrs)
+  }
+
+  /** The shared two-aggregation core; `prefix` names extra grouping
+    * key columns (the multi-horizon path's `asof_tx`).
+    * Tiebreaks are EXPLICIT in both max_by orderings — max_by alone
+    * keeps the first-encountered row among ties, which is partition-
+    * order-dependent (caught by PropertySpec's reference model):
+    *  - same-tx assert+retract of one datom → assert wins (op=true
+    *    sorts above false); Datomic rejects that tx shape outright,
+    *    we resolve it deterministically;
+    *  - same-tx double-assert on a card-one attr → max v wins. */
+  private def resolveCore(tagged: DataFrame, prefix: Seq[String],
+      manyAttrs: Seq[String]): DataFrame = {
+    val p = prefix.map(col)
     val latest = tagged
-      .groupBy(col("asof_tx"), col("e"), col("a"), col("v"))
+      .groupBy(p ++ Seq(col("e"), col("a"), col("v")): _*)
       .agg(
         max_by(struct(col("op"), col("v_long"), col("is_ref")),
           struct(col("tx"), col("op"))).as("s"),
         max(when(col("op"), col("tx"))).as("assert_tx"))
       .filter(col("s.op"))
-      .select(col("asof_tx"), col("e"), col("a"), col("v"), col("s.v_long").as("v_long"),
-        col("s.is_ref").as("is_ref"), col("assert_tx"))
+      .select(p ++ Seq(col("e"), col("a"), col("v"), col("s.v_long").as("v_long"),
+        col("s.is_ref").as("is_ref"), col("assert_tx")): _*)
     val one = latest.filter(!col("a").isInCollection(manyAttrs))
-      .groupBy(col("asof_tx"), col("e"), col("a"))
+      .groupBy(p ++ Seq(col("e"), col("a")): _*)
       .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")),
         struct(col("assert_tx"), col("v"))).as("s"))
-      .select(col("asof_tx"), col("e"), col("a"), col("s.v").as("v"),
-        col("s.v_long").as("v_long"), col("s.is_ref").as("is_ref"))
+      .select(p ++ Seq(col("e"), col("a"), col("s.v").as("v"),
+        col("s.v_long").as("v_long"), col("s.is_ref").as("is_ref")): _*)
     val many = latest.filter(col("a").isInCollection(manyAttrs))
-      .select(col("asof_tx"), col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
+      .select(p ++ Seq(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")): _*)
     one.unionByName(many)
   }
 

@@ -145,6 +145,32 @@ class PullSpec extends AnyFunSuite {
     assert(l2.getString(l2.fieldIndex("p_boss")) == "p1")
   }
 
+  test("[*] recursively hydrates COMPONENT refs; schema cycles stay safe") {
+    def comp(ident: String) =
+      ident -> AttrDef(ident, "ref", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = true, fulltext = false)
+    val reg = new SchemaRegistry(Map(ad("o/price"), ad("l/qty"), comp("o/line")))
+    val tree = Seq(
+      ("o1", "o/price", "100"), ("o1", "o/line", "l1"),
+      ("l1", "l/qty", "5"))
+      .toDF("e", "a", "v")
+    val row = Pull.pullFrom(tree, reg, Pull.parsePattern("[*]"), roots("o1")).collect()(0)
+    // the owned line arrives as a hydrated struct, not a plain id
+    val line = row.getStruct(row.fieldIndex("o_line"))
+    assert(line.getString(line.fieldIndex("l_qty")) == "5")
+    // a SELF-nested component would cycle at plan time: the second
+    // occurrence on the path renders as the plain id instead
+    val cycReg = new SchemaRegistry(Map(ad("p/name"), comp("p/part")))
+    val cyc = Seq(
+      ("p1", "p/name", "A"), ("p1", "p/part", "p2"),
+      ("p2", "p/name", "B"), ("p2", "p/part", "p1"))
+      .toDF("e", "a", "v")
+    val r2 = Pull.pullFrom(cyc, cycReg, Pull.parsePattern("[*]"), roots("p1")).collect()(0)
+    val sub = r2.getStruct(r2.fieldIndex("p_part"))
+    assert(sub.getString(sub.fieldIndex("p_name")) == "B")
+    assert(sub.getString(sub.fieldIndex("p_part")) == "p1", "cycle cut renders the id")
+  }
+
   test(":default on a cardinality-many attr is rejected loudly") {
     val err = intercept[IllegalArgumentException] {
       Pull.pullFrom(cur, registry,
