@@ -114,6 +114,7 @@ object SparkEntry {
     "d25_segment_dedup"      -> (Llm.d25_segment_dedup _),
     "d31_cluster_representatives" -> (Llm.d31_cluster_representatives _),
     "d32_chunking"           -> ((s, d) => Curate.d32_chunking(s, d)),
+    "d33_gopher_rules"       -> (Curate.d33_gopher_rules _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -936,6 +937,7 @@ object SparkEntry {
         |LEFT JOIN c g ON p.k >= 10 AND g.k = p.k // 10""".stripMargin,
     "d30_unigram_logprob" -> Llm.d30OracleSql,
     "d32_chunking" -> Curate.d32OracleSql,
+    "d33_gopher_rules" -> Curate.d33OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

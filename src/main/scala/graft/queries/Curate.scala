@@ -293,4 +293,75 @@ object Curate {
         count(lit(1)).as("n_docs"),
         sum(when(length(trim(col("text"))) === 0, 0L).otherwise(col("n_tokens"))).as("total_tokens"),
         (expr("percentile(n_chars, 0.5)") * 10).cast("long").as("median_chars_x10"))
+
+  // ── d33: Gopher-style quality rules ───────────────────────────────
+  /** The classic hand-tuned quality gates (Gopher/C4 lineage): word
+    * count bounds, mean word length, alphabetic-word ratio, stop-word
+    * presence — the fast row-local filter pass that runs BEFORE any
+    * model-based scoring and typically drops 10–30% of a web corpus.
+    * One codegen'd projection, ZERO shuffle — at 100 TB this is a
+    * map-only scan. Metrics surface as integers (×100 / basis points
+    * via integer division) so the cross-engine hash is exact. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stops = array(
+      Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
+    docs
+      .withColumn("__w", expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)"))
+      .select(
+        col("doc_id"),
+        size(col("__w")).cast("long").as("n_words"),
+        expr("aggregate(__w, 0L, (a, w) -> a + length(w))").as("word_chars"),
+        size(expr("filter(__w, w -> regexp_like(w, '[A-Za-z]'))"))
+          .cast("long").as("n_alpha_words"),
+        size(array_intersect(expr("transform(__w, w -> lower(w))"), stops))
+          .cast("long").as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("word_chars * 100 div n_words")).as("mean_word_len_x100"),
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("n_alpha_words * 10000 div n_words")).as("alpha_bp"),
+        col("stop_hits"))
+      .select(
+        col("doc_id"), col("n_words"), col("mean_word_len_x100"),
+        col("alpha_bp"), col("stop_hits"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
+        (col("mean_word_len_x100") >= 300 && col("mean_word_len_x100") <= 1000)
+          .as("r_mean_len"),
+        (col("alpha_bp") >= 8000).as("r_alpha"),
+        (col("stop_hits") >= 2).as("r_stops"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") && col("r_stops"))
+  }
+
+  def d33_gopher_rules(s: SparkSession, d: String): DataFrame =
+    gopherRules(documents(s, d))
+
+  def d33OracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS word_chars,
+      |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+      |    CAST(len(list_intersect(list_transform(ws, x -> lower(x)),
+      |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+      |  FROM w),
+      |r AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE word_chars * 100 // n_words END AS BIGINT) AS mean_word_len_x100,
+      |    CAST(CASE WHEN n_words = 0 THEN 0 ELSE n_alpha_words * 10000 // n_words END AS BIGINT) AS alpha_bp,
+      |    stop_hits
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len_x100, alpha_bp, stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+      |  mean_word_len_x100 BETWEEN 300 AND 1000 AS r_mean_len,
+      |  alpha_bp >= 8000 AS r_alpha,
+      |  stop_hits >= 2 AS r_stops,
+      |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len_x100 BETWEEN 300 AND 1000)
+      |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS pass
+      |FROM r""".stripMargin
 }

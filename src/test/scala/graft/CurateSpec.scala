@@ -145,4 +145,26 @@ class CurateSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("d33: gopher rules — healthy prose passes, empty/numeric docs fail") {
+    import spark.implicits._
+    val good = "the quick brown fox and " * 20 // 100 words, 2 stops, mean 3.8
+    val docs = Seq(
+      (1L, good),
+      (2L, ""),        // empty: every metric 0
+      (3L, "1 2 3 4")) // numeric-only: zero alphabetic words
+      .toDF("doc_id", "text")
+    val rows = graft.queries.Curate.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(rows(1L).fieldIndex("pass")))
+    assert(rows(1L).getLong(rows(1L).fieldIndex("n_words")) == 100)
+    assert(rows(1L).getLong(rows(1L).fieldIndex("mean_word_len_x100")) == 380)
+    assert(rows(1L).getLong(rows(1L).fieldIndex("stop_hits")) == 2)
+    val empty = rows(2L)
+    assert(empty.getLong(empty.fieldIndex("n_words")) == 0
+      && !empty.getBoolean(empty.fieldIndex("pass")))
+    val numeric = rows(3L)
+    assert(numeric.getLong(numeric.fieldIndex("alpha_bp")) == 0
+      && !numeric.getBoolean(numeric.fieldIndex("pass")))
+  }
 }
