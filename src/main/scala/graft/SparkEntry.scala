@@ -115,10 +115,12 @@ object SparkEntry {
     "d31_cluster_representatives" -> (Llm.d31_cluster_representatives _),
     "d32_chunking"           -> ((s, d) => Curate.d32_chunking(s, d)),
     "d33_gopher_rules"       -> (Curate.d33_gopher_rules _),
+    "d34_novelty"            -> (Curate.d34_novelty _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
     "mm4_resize"             -> (Multimodal.mm4_resize _),
+    "mm5_perceptual_hash"    -> (Multimodal.mm5_perceptual_hash _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -497,6 +499,28 @@ object SparkEntry {
         |      CAST(least(((p // 8) * h // 8) * w + ((p % 8) * w // 8), len - 1) AS INT) + 1, 1)),
         |    '')) AS thumb_md5
         |FROM g""".stripMargin,
+    // mm5: aHash = thumbnail bytes vs their integer mean, rendered as
+    // a 64-char bitstring; clusters keyed by the hash
+    "mm5_perceptual_hash" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    greatest(n_chars % 640, 1) AS w,
+        |    greatest(doc_id % 480, 1) AS h,
+        |    greatest(length(text), 1) AS len, text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), p -> ord(substr(text,
+        |      CAST(least(((p // 8) * h // 8) * w + ((p % 8) * w // 8), len - 1) AS INT) + 1, 1))) AS bs
+        |  FROM g),
+        |p AS (SELECT doc_id, bs, list_sum(bs) // 64 AS mean FROM t),
+        |hh AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(bs, x -> CASE WHEN x > mean THEN '1' ELSE '0' END), '') AS phash
+        |  FROM p),
+        |c AS (SELECT phash, min(doc_id) AS canonical_id, count(*) AS n_copies FROM hh GROUP BY phash)
+        |SELECT hh.doc_id, hh.phash, c.canonical_id, CAST(c.n_copies AS BIGINT) AS n_copies
+        |FROM hh JOIN c USING (phash)""".stripMargin,
     "q28_approx_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -938,6 +962,7 @@ object SparkEntry {
     "d30_unigram_logprob" -> Llm.d30OracleSql,
     "d32_chunking" -> Curate.d32OracleSql,
     "d33_gopher_rules" -> Curate.d33OracleSql,
+    "d34_novelty" -> Curate.d34OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

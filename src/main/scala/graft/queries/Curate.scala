@@ -337,6 +337,55 @@ object Curate {
   def d33_gopher_rules(s: SparkSession, d: String): DataFrame =
     gopherRules(documents(s, d))
 
+  // ── d34: n-gram novelty scoring ───────────────────────────────────
+  /** Incremental-contribution scoring: for each document, how many of
+    * its distinct word-3-grams FIRST appear in this document (global
+    * first occurrence = min doc_id) — the signal behind "process in
+    * crawl order, drop dumps that add nothing new". Shape: one gram
+    * explode, one groupBy(gram) min-owner aggregation, one join back
+    * on the gram key — both shuffles keyed on gram, candidate volume
+    * ∝ corpus gram count, never docs². Zero-gram docs score 10000 bp
+    * (vacuously novel). */
+  def d34_novelty(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val docs = documents(s, d)
+    val grams = docs.select(col("doc_id"), explode(expr("ngram_set(text)")).as("gram"))
+    val firstOwner = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(firstOwner, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 10000L)
+          .otherwise(expr("coalesce(n_novel, 0) * 10000 div n_grams")).as("novelty_bp"))
+  }
+
+  def d34OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) = 0 THEN []
+      |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    END AS grams FROM t),
+      |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |f AS (SELECT gram, min(doc_id) AS first_doc FROM e GROUP BY gram),
+      |pd AS (
+      |  SELECT e.doc_id, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |  FROM e JOIN f USING (gram) GROUP BY e.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 10000
+      |       ELSE coalesce(pd.n_novel, 0) * 10000 // pd.n_grams END AS BIGINT) AS novelty_bp
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   def d33OracleSql: String =
     """WITH w AS (
       |  SELECT doc_id,

@@ -102,6 +102,37 @@ object Multimodal {
         md5(col("thumb")).as("thumb_md5"))
   }
 
+  /** mm5 — perceptual near-dup over media payloads: average-hash
+    * (aHash) of the mm4 thumbnail. The 8×8 sampled bytes compare
+    * against their integer mean → a 64-bit fingerprint (rendered as a
+    * bitstring: 64-bit int arithmetic overflows differently across
+    * engines, a string is value-exact); identical fingerprints group
+    * into near-dup clusters with a min-id canonical — the image-dedup
+    * pass a multimodal corpus runs where text dedup runs MinHash. One
+    * scan + one groupBy(phash) + a join back on the hash key; cluster
+    * volume ∝ distinct fingerprints, never payload². The pixel
+    * sampler stands in for a codec exactly as in mm4. */
+  def mm5_perceptual_hash(s: SparkSession, d: String): DataFrame = {
+    val target = 8
+    val hashed = documents(s, d)
+      .withColumn("w", greatest(col("n_chars") % 640, lit(1L)))
+      .withColumn("h", greatest(col("doc_id") % 480, lit(1L)))
+      .withColumn("len", greatest(length(col("text")).cast("long"), lit(1L)))
+      .withColumn("bs", expr(
+        s"""transform(sequence(0, ${target * target - 1}), p ->
+           |  ascii(substring(text, cast(least(
+           |    ((p div $target) * h div $target) * w + ((p % $target) * w div $target),
+           |    len - 1) as int) + 1, 1)))""".stripMargin))
+      .withColumn("mean", expr(s"aggregate(bs, 0L, (a, x) -> a + x) div ${target * target}"))
+      .select(col("doc_id"), expr(
+        "concat_ws('', transform(bs, x -> case when x > mean then '1' else '0' end))")
+        .as("phash"))
+    val clusters = hashed.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    hashed.join(clusters, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("canonical_id"), col("n_copies"))
+  }
+
   /** Deterministic frame-sampling shape: every k-th fixed-size slice of
     * the payload becomes a "frame" row (posexplode of byte slices) —
     * the video-frame-sample plumbing without a video codec. Frame
