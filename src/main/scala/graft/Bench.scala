@@ -53,11 +53,14 @@ object Bench {
       System.err.println(f"[bench] warmup pass done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    // Per-query variance on this host swamps real deltas (observed:
-    // same query 0.55s..3.46s across identical runs, and roving I/O
-    // windows that slow 2 consecutive runs — a 3-run median still
-    // caught a 39s outlier as its middle value). Time each query nRuns
-    // times and record the MEDIAN; per-run numbers go to stderr.
+    // Per-query variance on this host swamps real deltas: roving
+    // degradation windows slow EVERYTHING 20-100x for minutes at a
+    // time (observed: a 0.3s query recording 44s medians because all
+    // 5 back-to-back runs landed inside one window). Defense is
+    // experiment DESIGN, not statistics alone: run the whole suite
+    // once per PASS and take each query's median ACROSS passes — one
+    // query's samples are then minutes apart, so a window poisons at
+    // most one sample per query instead of all of them.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt.max(1)
     def cleanup(): Unit = {
       // queries are independent: drop cached plans and any blocks left
@@ -68,17 +71,25 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to nRuns).map { _ =>
-        val t0 = System.nanoTime()
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map[String, List[(Double, Boolean)]]()
+      .withDefaultValue(Nil)
+    for (pass <- 1 to nRuns) {
+      val t0 = System.nanoTime()
+      names.foreach { case (name, fn) =>
+        val q0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - q0) / 1e9
         cleanup()
-        (sec, ok)
+        samples(name) = (sec, ok) :: samples(name)
       }
+      System.err.println(f"[bench] pass $pass/$nRuns done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val results = names.map { case (name, _) =>
+      val runs = samples(name).reverse
       val ok = runs.forall(_._2)
       val sorted = runs.map(_._1).sorted
       val median = sorted(sorted.size / 2)

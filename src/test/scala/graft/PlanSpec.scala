@@ -145,6 +145,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!(third eq second) && third.count() == 3)
   }
 
+  test("d33: gopher rules are a map-only scan (zero shuffle)") {
+    val p = plan(graft.queries.Curate.d33_gopher_rules(spark, sf))
+    assert(!p.contains("Exchange"), s"d33 must not shuffle:\n${p.take(600)}")
+  }
+
+  test("d34/mm5: novelty and perceptual dedup join on their keys, never all-pairs") {
+    for (q <- Seq(graft.queries.Curate.d34_novelty(spark, sf),
+                  graft.queries.Multimodal.mm5_perceptual_hash(spark, sf))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.take(600))
+    }
+  }
+
   test("d29: prefix-sum packing has no unpartitioned window") {
     val p = plan(graft.queries.Curate.d29_sequence_pack(spark, sf))
     assert(!(p.contains("Window") && p.contains("SinglePartition")),
