@@ -106,6 +106,7 @@ object SparkEntry {
     "q60_pull_recursion"     -> (Relational.q60_pull_recursion _),
     "q61_asof_instant"       -> (Relational.q61_asof_instant _),
     "q62_datalog_mutual"     -> (Relational.q62_datalog_mutual _),
+    "q63_index_pull"         -> (Relational.q63_index_pull _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -916,6 +917,16 @@ object SparkEntry {
         |  array_to_string(list_sort(list(n))[1:2], ',') AS two_smallest,
         |  array_to_string(list_sort(list(n))[-1:], ',') AS largest
         |FROM v GROUP BY r""".stripMargin,
+    // q63: page boundary ties break on the entity key's STRING order
+    // (the AVET surface's promise), so the oracle sorts the same way
+    "q63_index_pull" ->
+      """SELECT o_orderkey AS e,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |  o_orderpriority AS priority
+        |FROM orders
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5000000
+        |ORDER BY price_cents, CAST(o_orderkey AS VARCHAR)
+        |LIMIT 100""".stripMargin,
     // q62: hop-a through mutually recursive rules = direct edges plus
     // the two-hop pairs reached through hop-b
     "q62_datalog_mutual" ->

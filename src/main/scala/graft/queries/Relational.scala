@@ -1041,6 +1041,31 @@ object Relational {
       .select(col("x").as("src"), col("y").as("dst"))
   }
 
+  // ── Index-pull: paged entity reads in AVET order ──────────────────
+  /** Datomic `d/index-pull` — page through entities by attribute
+    * value: the first 100 orders priced at-or-above $50k, in (value,
+    * entity) index order, each pulled with price + priority. The page
+    * is a TakeOrderedAndProject over the attr-pruned scan (no full
+    * sort); the pulls join against the 100-row page only. Ties at the
+    * page boundary break on the entity key's STRING order — the same
+    * order `Store.datoms`' AVET surface promises. */
+  def q63_index_pull(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val eav = o.select(col("o_orderkey").cast("string").as("e"),
+        lit("order/price").as("a"), c.cast("string").as("v"), c.as("v_long"),
+        lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+      .unionByName(o.select(col("o_orderkey").cast("string").as("e"),
+        lit("order/priority").as("a"), col("o_orderpriority").as("v"),
+        lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
+        lit(1L).as("tx"), lit(true).as("op")))
+    graft.store.Store.indexPull(eav, new graft.model.SchemaRegistry(Map.empty),
+        "order/price", vFrom = 5000000L, limit = 100,
+        graft.query.Pull.parsePattern("[:order/price :order/priority]"))
+      .select(col("e").cast("long").as("e"), col("avet_v").as("price_cents"),
+        col("order_priority").as("priority"))
+  }
+
   // ── As-of by wall clock: :db/txInstant ────────────────────────────
   /** Datomic `d/as-of` with a DATE — "state as of <date>", the form
     * auditors actually ask for. The log carries `:db/txInstant` datoms

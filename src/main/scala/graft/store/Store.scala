@@ -297,6 +297,31 @@ object Store {
     eav.filter(col("a") === a && col("v_long") >= vFrom && col("v_long") < vUntil)
       .orderBy(col("v_long"), col("e"))
 
+  /** Datomic `d/index-pull` — walk an AVET index range in value order
+    * from a start point and pull each entity: the "page through
+    * entities by attribute value" read (leaderboards, cursors,
+    * time-ordered scans). `limit` bounds the page; the plan is a
+    * TakeOrderedAndProject over the attr-pruned scan (no full sort)
+    * feeding one pull per pattern entry — page size bounds every
+    * downstream join. Returns the pulled rows plus the ordering
+    * value (`avet_v`) so callers keep the index order. */
+  def indexPull(cur: DataFrame, registry: SchemaRegistry, attr: String,
+      vFrom: Long, limit: Int, pattern: Seq[graft.query.Pull.Spec]): DataFrame = {
+    val page = cur.filter(col("a") === attr && col("v_long") >= vFrom)
+      .orderBy(col("v_long"), col("e"))
+      .limit(limit)
+      .select(col("e"), col("v_long").as("avet_v"))
+    graft.query.Pull.pullFrom(cur, registry, pattern, page.select(col("e")))
+      .join(page, Seq("e"))
+  }
+
+  /** Datomic `d/db-stats` analog: total datom count + per-attribute
+    * datom/entity counts over a database value. One aggregation over
+    * the (attribute-partitioned) scan. */
+  def dbStats(db: DataFrame): DataFrame =
+    db.groupBy(col("a").as("attr"))
+      .agg(count(lit(1)).as("n_datoms"), countDistinct(col("e")).as("n_entities"))
+
   /** Datomic `d/datoms` — raw index access: the datom set in one of
     * the four index orders, optionally narrowed by leading components
     * (e for EAVT, a for AEVT/AVET, v for VAET — exactly the prefixes

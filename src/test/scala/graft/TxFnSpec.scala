@@ -240,6 +240,32 @@ class TxFnSpec extends AnyFunSuite {
       "rows 1 and 3 are collateral rejections: clean rows in a failed tx")
   }
 
+  test("indexPull pages in (value, entity) order; dbStats counts per attr") {
+    import spark.implicits._
+    val cur = Seq(
+      ("e1", "score", "30", 30L), ("e2", "score", "10", 10L),
+      ("e3", "score", "20", 20L), ("e4", "score", "10", 10L),
+      ("e1", "name", "A", -1L), ("e2", "name", "B", -1L),
+      ("e3", "name", "C", -1L), ("e4", "name", "D", -1L))
+      .toDF("e", "a", "v", "vl")
+      .withColumn("v_long", when(col("vl") >= 0, col("vl")))
+      .drop("vl")
+      .withColumn("is_ref", lit(false))
+      .withColumn("tx", lit(1L)).withColumn("op", lit(true))
+    val reg = new graft.model.SchemaRegistry(Map.empty)
+    val page = Store.indexPull(cur, reg, "score", vFrom = 10L, limit = 3,
+        graft.query.Pull.parsePattern("[:name]"))
+      .orderBy(col("avet_v"), col("e")).collect()
+      .map(r => (r.getString(r.fieldIndex("e")), r.getLong(r.fieldIndex("avet_v")),
+        r.getString(r.fieldIndex("name"))))
+    // value order, e-string tiebreak, page cut after 3: e2(10) e4(10) e3(20)
+    assert(page.toSeq == Seq(("e2", 10L, "B"), ("e4", 10L, "D"), ("e3", 20L, "C")),
+      page.mkString(", "))
+    val stats = Store.dbStats(cur).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats == Map("score" -> ((4L, 4L)), "name" -> ((4L, 4L))), stats.toString)
+  }
+
   test("txInstant: date→tx boundaries (exact instant, between txes, before first)") {
     import spark.implicits._
     def ms(iso: String) = java.time.Instant.parse(iso).toEpochMilli
