@@ -127,10 +127,14 @@ object Multimodal {
       .select(col("doc_id"), expr(
         "concat_ws('', transform(bs, x -> case when x > mean then '1' else '0' end))")
         .as("phash"))
-    val clusters = hashed.groupBy(col("phash"))
-      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-    hashed.join(clusters, Seq("phash"))
-      .select(col("doc_id"), col("phash"), col("canonical_id"), col("n_copies"))
+    // cluster stats via a phash-partitioned window: ONE shuffle and a
+    // single evaluation of the (interpreted higher-order) hash
+    // expression — the groupBy+join-back diamond evaluated the whole
+    // scan twice and shuffled twice
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    hashed.select(col("doc_id"), col("phash"),
+      min(col("doc_id")).over(w).as("canonical_id"),
+      count(lit(1)).over(w).as("n_copies"))
   }
 
   /** Deterministic frame-sampling shape: every k-th fixed-size slice of
