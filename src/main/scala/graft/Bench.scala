@@ -74,6 +74,7 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map[String, List[(Double, Boolean)]]()
       .withDefaultValue(Nil)
+    val passSecs = scala.collection.mutable.ListBuffer[Double]()
     for (pass <- 1 to nRuns) {
       val t0 = System.nanoTime()
       names.foreach { case (name, fn) =>
@@ -86,7 +87,8 @@ object Bench {
         cleanup()
         samples(name) = (sec, ok) :: samples(name)
       }
-      System.err.println(f"[bench] pass $pass/$nRuns done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      passSecs += (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] pass $pass/$nRuns done in ${passSecs.last}%.1f s")
     }
     val results = names.map { case (name, _) =>
       val runs = samples(name).reverse
@@ -105,7 +107,11 @@ object Bench {
     val failed = results.filterNot(_._3).map(_._1)
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"n_runs":$nRuns,"sf":"$sfDir"}""")
+    // pass_sec: whole-suite wall time per pass — identical code should
+    // give near-identical passes, so a 62s→652s spread IS the host's
+    // degradation window, visible right in the recorded artifact
+    val passJson = passSecs.map(p => f"$p%.1f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"n_runs":$nRuns,"pass_sec":$passJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
