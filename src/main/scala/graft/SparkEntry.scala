@@ -117,6 +117,7 @@ object SparkEntry {
     "d32_chunking"           -> ((s, d) => Curate.d32_chunking(s, d)),
     "d33_gopher_rules"       -> (Curate.d33_gopher_rules _),
     "d34_novelty"            -> (Curate.d34_novelty _),
+    "d35_prefix_dedup"       -> (Llm.d35_prefix_dedup _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -974,6 +975,7 @@ object SparkEntry {
     "d32_chunking" -> Curate.d32OracleSql,
     "d33_gopher_rules" -> Curate.d33OracleSql,
     "d34_novelty" -> Curate.d34OracleSql,
+    "d35_prefix_dedup" -> Llm.d35OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

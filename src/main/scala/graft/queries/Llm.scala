@@ -692,6 +692,34 @@ object Llm {
        |FROM tf JOIN vocab USING (term) CROSS JOIN total
        |GROUP BY tf.doc_id""".stripMargin
 
+  // ── d35: prefix/truncation dedup ──────────────────────────────────
+  /** Truncation duplicates — one document a strict PREFIX of another
+    * (re-crawls cut off mid-page, feeds truncated at size limits):
+    * block on the first 64 characters (a prefix pair MUST share
+    * them), then verify startsWith inside the block. Shuffle keys are
+    * blocks, candidate volume ∝ docs per block, never corpus²;
+    * strictly-shorter keeps exact duplicates in d01's lane. */
+  def d35_prefix_dedup(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(documents(s, d))
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 64).as("blk"))
+    val a = docs.select(col("doc_id").as("prefix_id"), col("text").as("a_text"), col("blk"))
+    val b = docs.select(col("doc_id").as("full_id"), col("text").as("b_text"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(length(col("a_text")) < length(col("b_text")) &&
+        col("b_text").startsWith(col("a_text")))
+      .select(col("prefix_id"), col("full_id"),
+        length(col("a_text")).cast("long").as("prefix_len"),
+        length(col("b_text")).cast("long").as("full_len"))
+  }
+
+  def d35OracleSql: String =
+    """WITH d AS (SELECT doc_id, text, substr(text, 1, 64) AS blk FROM documents)
+      |SELECT a.doc_id AS prefix_id, b.doc_id AS full_id,
+      |  CAST(length(a.text) AS BIGINT) AS prefix_len,
+      |  CAST(length(b.text) AS BIGINT) AS full_len
+      |FROM d a JOIN d b ON a.blk = b.blk
+      |  AND length(a.text) < length(b.text) AND starts_with(b.text, a.text)""".stripMargin
+
   /** Exact all-pairs variant on a deterministic sample — the recall
     * baseline d15 is measured against in LlmSpec; NOT a gated query
     * (a BroadcastNestedLoopJoin is quadratic work however you sample). */

@@ -59,15 +59,18 @@ object Explore {
   /** The fulltext core over any EAV-shaped frame: only datoms of the
     * declared fulltext attrs are searched — a token occurring in a
     * non-indexed attr's value must NOT match, exactly as in Datomic
-    * (only `:db/fulltext true` attrs feed the Lucene index). Oracle-
-    * gated by q46. */
+    * (only `:db/fulltext true` attrs feed the Lucene index). A
+    * multi-word needle tokenizes the same way as values and requires
+    * EVERY token present (Lucene's implicit AND for a plain multi-term
+    * query). Oracle-gated by q46. */
   def fulltextOn(eav: DataFrame, ftAttrs: Seq[String], needle: String): DataFrame = {
     require(ftAttrs.nonEmpty, "schema declares no fulltext attrs")
+    val tokens = needle.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(tokens.nonEmpty, s"fulltext needle has no searchable tokens: '$needle'")
+    val valueTokens = expr("filter(split(lower(v), '[^a-z0-9]+'), t -> length(t) > 0)")
     eav
       .filter(col("a").isInCollection(ftAttrs))
-      .filter(array_contains(
-        expr("filter(split(lower(v), '[^a-z0-9]+'), t -> length(t) > 0)"),
-        needle.toLowerCase))
+      .filter(tokens.map(t => array_contains(valueTokens, t)).reduce(_ && _))
       .select(col("e"), col("a"), col("v")).distinct()
   }
 

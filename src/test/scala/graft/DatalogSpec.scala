@@ -536,6 +536,11 @@ class DatalogSpec extends AnyFunSuite {
     // substring of a token must not hit (tokenized, not LIKE)
     val none = Datalog.runOn(eav, registry, q, Map("needle" -> EStr("rin")))
     assert(none.count() == 0)
+    // multi-word needle: every token must be present (implicit AND),
+    // in any order — "Large Ring" has ring but not fire
+    val multi = Datalog.runOn(eav, registry, q, Map("needle" -> EStr("fire ring")))
+      .collect().map(_.getString(0)).toSet
+    assert(multi == Set("e1"), multi.toString)
     // reaching for an unindexed attr is a loud query error
     val qBad = Datalog.parse(
       """[:find ?e ?v :where [(fulltext $ :doc/body "small") [[?e ?v]]]]""")
