@@ -698,7 +698,11 @@ object Llm {
     * block on the first 64 characters (a prefix pair MUST share
     * them), then verify startsWith inside the block. Shuffle keys are
     * blocks, candidate volume ∝ docs per block, never corpus²;
-    * strictly-shorter keeps exact duplicates in d01's lane. */
+    * strictly-shorter keeps exact duplicates in d01's lane. Scale
+    * caveat: a block shared by millions of docs means boilerplate
+    * OPENINGS, not truncation — on a real corpus run d20's boilerplate
+    * pass first, or drop blocks above a size cap (their pair sets are
+    * meaningless anyway); block size is one count-by-key to audit. */
   def d35_prefix_dedup(s: SparkSession, d: String): DataFrame = {
     val docs = spread(documents(s, d))
       .select(col("doc_id"), col("text"), substring(col("text"), 1, 64).as("blk"))
