@@ -146,6 +146,16 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("d20: boilerplate-set join strategy is the optimizer's choice (no forced hint)") {
+    // the boilerplate gram set is DATA-DEPENDENT — on a 100 TB corpus
+    // every common phrase qualifies and a forced broadcast OOMs; the
+    // join key is the gram both sides already shuffle on, so AQE picks
+    // broadcast only when the aggregated set is actually small
+    val analyzed = Curate.d20_boilerplate(spark, sf).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") && !analyzed.contains("UnresolvedHint"),
+      s"d20 must not force a join strategy:\n${analyzed.take(400)}")
+  }
+
   test("d33: gopher rules — healthy prose passes, empty/numeric docs fail") {
     import spark.implicits._
     val good = "the quick brown fox and " * 20 // 100 words, 2 stops, mean 3.8
