@@ -125,6 +125,18 @@ object Pull {
   def entity(store: Store, registry: SchemaRegistry, roots: DataFrame): DataFrame =
     pullFrom(store.current(registry), registry, Seq(PWild), roots)
 
+  /** `d/pull-many` — pull one pattern for an explicit entity-id list.
+    * The engine is set-oriented already (pullFrom hydrates a whole
+    * root DataFrame at once), so this is the named Datomic API shape:
+    * ids in, one row per id out, input order NOT promised (sort the
+    * result; a DataFrame has no row order to preserve). */
+  def pullMany(store: Store, registry: SchemaRegistry, patternEdn: String,
+      entityIds: Seq[String]): DataFrame = {
+    val spark = store.eav.sparkSession
+    import spark.implicits._
+    pull(store, registry, patternEdn, entityIds.toDF("e"))
+  }
+
   /** Pull over an already-resolved current-state EAV (e, a, v). */
   def pullFrom(cur: DataFrame, registry: SchemaRegistry, pattern: Seq[Spec],
       roots: DataFrame): DataFrame =
@@ -236,10 +248,18 @@ object Pull {
   }
 
   /** Closure depth of one ref attribute's graph from a root set — the
-    * plan-time resolution of `...` recursion. A bounded frontier walk
-    * (semi-join per round, visited-set anti-join so cycles terminate);
-    * rounds scale with the graph's DEPTH, not its size, and each
-    * frontier materializes once. */
+    * plan-time resolution of `...` recursion. The unroll depth is the
+    * longest hop count from any INDIVIDUAL root, so the walk carries
+    * (root, node) pairs with a per-root visited set: a ref target that
+    * happens to be another pull root still extends THIS root's path
+    * (Datomic nests each root until a repeat on its own path — a
+    * global visited set seeded with every root would resolve bulk
+    * pulls to depth 0 and hydrate nothing). Per-root-visited is BFS,
+    * so depth = max eccentricity over roots; a longest-SIMPLE-path
+    * unroll (Datomic's per-path repeat test can nest deeper on
+    * diamond graphs) is NP-hard and not attempted. Rounds scale with
+    * graph depth; pair volume with Σ per-root reachable sets —
+    * declared-depth specs (`{:ref N}`) skip the walk entirely. */
   private def closureDepth(cur: DataFrame, attr: String, reverse: Boolean,
       roots: DataFrame): Int = {
     val edges =
@@ -247,16 +267,17 @@ object Pull {
         .select(col("v").as("src"), col("e").as("dst"))
       else cur.filter(col("a") === attr)
         .select(col("e").as("src"), col("v").as("dst"))
-    var frontier = roots.select(col("e")).distinct().localCheckpoint(false)
+    var frontier = roots.select(col("e").as("r"), col("e"))
+      .distinct().localCheckpoint(false)
     frontier.count()
     var visited = List(frontier)
     var depth = 0
     var growing = true
     while (growing) {
       val seen = visited.reduce(_ unionByName _)
-      val next = edges.join(frontier, edges("src") === frontier("e"), "left_semi")
-        .select(col("dst").as("e")).distinct()
-        .join(seen, Seq("e"), "left_anti").localCheckpoint(false)
+      val next = frontier.join(edges, frontier("e") === edges("src"))
+        .select(col("r"), col("dst").as("e")).distinct()
+        .join(seen, Seq("r", "e"), "left_anti").localCheckpoint(false)
       if (next.count() == 0L) growing = false
       else { depth += 1; visited ::= next; frontier = next }
     }

@@ -89,6 +89,23 @@ class PullSpec extends AnyFunSuite {
       "pull relies on schema ref/cardinality metadata")
   }
 
+  test("pull-many: explicit entity-id list, one row per id") {
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("pullmany").toString)
+    store.append(cur
+      .withColumn("v_long", lit(null).cast("long"))
+      .withColumn("is_ref", col("a") === "band/label" || col("a") === "album/band")
+      .withColumn("tx", lit(1L)))
+    val out = Pull.pullMany(store, registry,
+        "[:band/name {:band/label [:label/name]}]", Seq("b1", "b2"))
+      .collect().map(r => r.getAs[String]("e") -> r).toMap
+    assert(out.keySet === Set("b1", "b2"))
+    assert(out("b1").getAs[String]("band_name") == "Alpha")
+    val lbl = out("b1").getStruct(out("b1").fieldIndex("band_label"))
+    assert(lbl.getString(lbl.fieldIndex("label_name")) == "BigLabel")
+    assert(out("b2").isNullAt(out("b2").fieldIndex("band_label")))
+  }
+
   test("attr options: :default fills missing, :as renames, :limit truncates sorted") {
     val out = Pull.pullFrom(cur, registry, Pull.parsePattern(
         """[(:band/name :as "title")
@@ -143,6 +160,42 @@ class PullSpec extends AnyFunSuite {
     // closure depth from p1 is 2 (p2, p3); the cycle edge renders as
     // the already-seen entity's plain id — Datomic's ":db/id only"
     assert(l2.getString(l2.fieldIndex("p_boss")) == "p1")
+  }
+
+  test("recursion {:ref ...}: bulk roots — depth is per-root, not a global visited set") {
+    // EVERY chain entity is a root (the standard bulk-pull shape:
+    // roots = all entities). A global visited set seeded with the
+    // whole root set would see each child as "already visited" and
+    // resolve depth 0 — every ref would render as a plain id. The
+    // per-root walk resolves depth 3 (p1's hop count to p4), so each
+    // root nests its own chain.
+    val chainReg = new SchemaRegistry(Map(ad("p/name"), ad("p/boss", ref = true)))
+    val chain = Seq(
+      ("p1", "p/name", "Ann"), ("p1", "p/boss", "p2"),
+      ("p2", "p/name", "Bob"), ("p2", "p/boss", "p3"),
+      ("p3", "p/name", "Cyd"), ("p3", "p/boss", "p4"),
+      ("p4", "p/name", "Dee"))
+      .toDF("e", "a", "v")
+    val out = Pull.pullFrom(chain, chainReg,
+        Pull.parsePattern("[:p/name {:p/boss ...}]"),
+        roots("p1", "p2", "p3", "p4"))
+      .collect().map(r => r.getAs[String]("e") -> r).toMap
+    // p1 hydrates the full chain: Bob → Cyd → Dee
+    val r1 = out("p1")
+    val l1 = r1.getStruct(r1.fieldIndex("p_boss"))
+    val l2 = l1.getStruct(l1.fieldIndex("p_boss"))
+    val l3 = l2.getStruct(l2.fieldIndex("p_boss"))
+    assert(l1.getString(l1.fieldIndex("p_name")) == "Bob")
+    assert(l2.getString(l2.fieldIndex("p_name")) == "Cyd")
+    assert(l3.getString(l3.fieldIndex("p_name")) == "Dee")
+    assert(l3.isNullAt(l3.fieldIndex("p_boss"))) // chain ends
+    // p3 nests one real level (Dee), deeper levels null
+    val r3 = out("p3")
+    val m1 = r3.getStruct(r3.fieldIndex("p_boss"))
+    assert(m1.getString(m1.fieldIndex("p_name")) == "Dee")
+    assert(m1.isNullAt(m1.fieldIndex("p_boss")))
+    // p4 has no boss at all
+    assert(out("p4").isNullAt(out("p4").fieldIndex("p_boss")))
   }
 
   test("[*] recursively hydrates COMPONENT refs; schema cycles stay safe") {
