@@ -44,8 +44,23 @@ object Llm {
     // number the optimizer already knows
     val splitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estSplits = (sizeInBytes / splitBytes).toLong + 1
+    // stats are trustworthy only for file-scan-rooted plans: a plan
+    // with joins/aggs above the scan reports conservative PRODUCTS of
+    // sizes, which would inflate estSplits past target and silently
+    // skip the spread — for those, pay the one RDD-conversion pass
+    // and read the real partition count
+    val plan = df.queryExecution.optimizedPlan
+    val scanRooted = plan.collectLeaves().nonEmpty && plan.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    } && !plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _ => false
+    }
+    val estSplits =
+      if (scanRooted) (plan.stats.sizeInBytes / splitBytes).toLong + 1
+      else df.rdd.getNumPartitions.toLong
     if (estSplits >= target) df else df.repartition(target)
   }
 
@@ -694,35 +709,84 @@ object Llm {
 
   // ── d35: prefix/truncation dedup ──────────────────────────────────
   /** Truncation duplicates — one document a strict PREFIX of another
-    * (re-crawls cut off mid-page, feeds truncated at size limits):
-    * block on the first 64 characters (a prefix pair MUST share
-    * them), then verify startsWith inside the block. Shuffle keys are
-    * blocks, candidate volume ∝ docs per block, never corpus²;
-    * strictly-shorter keeps exact duplicates in d01's lane. Scale
-    * caveat: a block shared by millions of docs means boilerplate
-    * OPENINGS, not truncation — on a real corpus run d20's boilerplate
-    * pass first, or drop blocks above a size cap (their pair sets are
-    * meaningless anyway); block size is one count-by-key to audit. */
-  def d35_prefix_dedup(s: SparkSession, d: String): DataFrame = {
-    val docs = spread(documents(s, d))
-      .select(col("doc_id"), col("text"), substring(col("text"), 1, 64).as("blk"))
-    val a = docs.select(col("doc_id").as("prefix_id"), col("text").as("a_text"), col("blk"))
-    val b = docs.select(col("doc_id").as("full_id"), col("text").as("b_text"), col("blk"))
-    a.join(b, Seq("blk"))
+    * (re-crawls cut off mid-page, feeds truncated at size limits).
+    * Two disjoint lanes, together EXACT (the oracle is the plain
+    * quadratic spec, no blocking — it would catch a recall hole):
+    *
+    *  - prefix ≥ 64 chars: block on the first 64 characters (such a
+    *    pair must share them), verify startsWith inside the block.
+    *    Shuffle keys are blocks, candidate volume ∝ docs per block,
+    *    never corpus². Blocks larger than `maxBlockSize` are dropped
+    *    BEFORE the self-join (one count-by-key + broadcast anti-join):
+    *    a block shared by that many docs is a boilerplate OPENING,
+    *    not truncation — its quadratic pair set is meaningless and
+    *    would dominate the join on a realistic corpus. Run d20's
+    *    boilerplate pass first if over-cap blocks show up.
+    *  - prefix < 64 chars: its full text IS shorter than any 64-char
+    *    block, so block equality can never fire (the lanes are
+    *    disjoint by string length). Join the short docs' exact text
+    *    against the same-length prefix of every longer doc — the
+    *    distinct short lengths (≤ 63 values, bounded collect) each
+    *    add one shuffle key per doc, so the lane costs
+    *    |short lengths| × corpus keys, still never corpus².
+    *
+    * Strictly-shorter keeps exact duplicates in d01's lane. */
+  def d35_prefix_dedup(s: SparkSession, d: String): DataFrame =
+    prefixDedup(spread(documents(s, d)), maxBlockSize = 10000)
+
+  /** Core of d35 over any (doc_id, text) frame; `maxBlockSize` caps
+    * the 64-char-block population (default generous — drop only
+    * blocks whose pair set is clearly boilerplate). */
+  def prefixDedup(docsIn: DataFrame, maxBlockSize: Int): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"))
+    // long lane: block on the shared first 64 chars, cap hot blocks
+    val withBlk = docs.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 64).as("blk"))
+    val hot = withBlk.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockSize).select(col("blk"))
+    val ok = withBlk.join(broadcast(hot), Seq("blk"), "left_anti")
+    val a = ok.select(col("doc_id").as("prefix_id"), col("text").as("a_text"), col("blk"))
+    val b = ok.select(col("doc_id").as("full_id"), col("text").as("b_text"), col("blk"))
+    val longLane = a.join(b, Seq("blk"))
       .filter(length(col("a_text")) < length(col("b_text")) &&
         col("b_text").startsWith(col("a_text")))
       .select(col("prefix_id"), col("full_id"),
         length(col("a_text")).cast("long").as("prefix_len"),
         length(col("b_text")).cast("long").as("full_len"))
+    // short lane: exact-text join against same-length prefixes; the
+    // length set is bounded (< 64 values) so the collect is driver-safe
+    val shortLens = docs.filter(length(col("text")) < 64)
+      .select(length(col("text")).as("len")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (shortLens.isEmpty) longLane
+    else {
+      val shortDocs = docs.filter(length(col("text")) < 64)
+        .select(col("doc_id").as("prefix_id"), col("text").as("a_text"),
+          length(col("text")).as("len"))
+      // one key per (doc, short length): explode of a LITERAL length
+      // array — no join, stays inside whole-stage codegen
+      val keys = docs
+        .select(col("doc_id").as("full_id"), col("text"),
+          length(col("text")).as("b_len"),
+          explode(array(shortLens.sorted.map(lit): _*)).as("len"))
+        .filter(col("b_len") > col("len"))
+        .select(col("full_id"), col("len"), col("b_len"),
+          col("text").substr(lit(1), col("len")).as("key"))
+      shortDocs.join(keys,
+          shortDocs("len") === keys("len") && shortDocs("a_text") === keys("key"))
+        .select(col("prefix_id"), col("full_id"),
+          shortDocs("len").cast("long").as("prefix_len"),
+          col("b_len").cast("long").as("full_len"))
+        .unionByName(longLane)
+    }
   }
 
   def d35OracleSql: String =
-    """WITH d AS (SELECT doc_id, text, substr(text, 1, 64) AS blk FROM documents)
-      |SELECT a.doc_id AS prefix_id, b.doc_id AS full_id,
+    """SELECT a.doc_id AS prefix_id, b.doc_id AS full_id,
       |  CAST(length(a.text) AS BIGINT) AS prefix_len,
       |  CAST(length(b.text) AS BIGINT) AS full_len
-      |FROM d a JOIN d b ON a.blk = b.blk
-      |  AND length(a.text) < length(b.text) AND starts_with(b.text, a.text)""".stripMargin
+      |FROM documents a JOIN documents b
+      |  ON length(a.text) < length(b.text) AND starts_with(b.text, a.text)""".stripMargin
 
   /** Exact all-pairs variant on a deterministic sample — the recall
     * baseline d15 is measured against in LlmSpec; NOT a gated query

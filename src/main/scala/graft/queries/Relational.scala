@@ -787,7 +787,15 @@ object Relational {
     * customer itself survives). Output: post-retraction datom counts
     * and sums per attribute — every row class (target datoms, cascaded
     * component datoms, inbound refs, untouched survivors) lands in a
-    * different group, so the oracle pins the full semantics. */
+    * different group, so the oracle pins the full semantics.
+    *
+    * Stage budget at sf0.1 (ProbeQ49, steady state, r6): checkpoint
+    * 0.5 s + component closure 0.5 s + retraction scan 1.0 s +
+    * resolve 2.1 s ≈ 3.3 s end-to-end. The floor is resolve-bound —
+    * two keyed aggregations over the 1.5 M-datom synthesized log with
+    * string (e, a, v) keys — which is the operator under test; the
+    * fat trimmed in r6 (narrow checkpoint, no countDistinct Expand)
+    * is gone. */
   def q49_retract_entity(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val li = lineitem(s, d)
@@ -809,23 +817,38 @@ object Relational {
     // resolve reads it again — without the checkpoint the 4-way
     // union-of-scans (with its long concat entity ids) is recomputed
     // by every consumer. A production store reads parquet here, which
-    // is already materialized.
-    val log = datoms(oe, "order/price", price, price, isRef = false, o)
+    // is already materialized. Checkpoint the NARROW form: tx/op are
+    // constants here (asserts at tx 1) and every non-ref v is just
+    // its cents rendered as text, so store v only for ref rows and
+    // reconstruct the rest — the materialized block and every scan of
+    // it carry ~20 fewer bytes per datom.
+    val narrow = datoms(oe, "order/price", lit(null), price, isRef = false, o)
       .unionByName(datoms(loe, "order/line", le, lit(null).cast("long"), isRef = true, li))
-      .unionByName(datoms(le, "line/qty", qty, qty, isRef = false, li))
+      .unionByName(datoms(le, "line/qty", lit(null), qty, isRef = false, li))
       .unionByName(datoms(concat(lit("c"), col("o_custkey").cast("string")),
         "cust/order", oe, lit(null).cast("long"), isRef = true, o))
+      .drop("tx", "op")
       .localCheckpoint()
+    val log = narrow
+      .withColumn("v", coalesce(col("v"), col("v_long").cast("string")))
+      .withColumn("tx", lit(1L)).withColumn("op", lit(true))
     val targets = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
       .select(concat(lit("o"), col("o_orderkey").cast("string")).as("e"))
     val retractions = graft.store.Store.retractEntityTx(
       log, targets, componentAttrs = Seq("order/line"), tx = 2L)
+    // per-attr stats WITHOUT countDistinct: a distinct aggregate next
+    // to plain ones plans an Expand (rows × 2, shuffled on (a, e, gid)
+    // with the long entity ids) — the two-phase groupBy keeps partial
+    // aggregation on both hops and shuffles each (a, e) pair once
     graft.store.Store.resolve(log.unionByName(retractions),
         manyAttrs = Seq("order/line", "cust/order"))
+      .groupBy(col("a"), col("e"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("v_long")), lit(0L)).as("sv"))
       .groupBy(col("a"))
-      .agg(count(lit(1)).as("n_datoms"),
-        countDistinct(col("e")).as("n_entities"),
-        coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_v"))
+      .agg(sum(col("n")).cast("long").as("n_datoms"),
+        count(lit(1)).as("n_entities"),
+        sum(col("sv")).cast("long").as("total_v"))
   }
 
   // ── d/with: speculative transaction ───────────────────────────────

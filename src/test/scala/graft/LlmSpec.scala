@@ -220,6 +220,30 @@ class LlmSpec extends AnyFunSuite {
     assert(out(0)._3 >= 8L, "vector 8 (same direction as 0) joined cluster 0")
   }
 
+  test("d35: finds strict-prefix pairs in both lanes; over-cap block yields none") {
+    // long lane (prefix ≥ 64 chars): p64 is a strict prefix of full64.
+    // short lane (prefix < 64 chars): the 64-char blocking key of a
+    // 20-char doc can never equal a longer doc's key, so the exact
+    // same-length-prefix join must recover (short20, full64)
+    val full = base.take(120)
+    val docs = Seq(
+      (1L, full),            // full document
+      (2L, full.take(80)),   // long-lane prefix (≥ 64)
+      (3L, full.take(20)),   // short-lane prefix (< 64)
+      (4L, "unrelated content nothing shares this opening at all"))
+      .toDF("doc_id", "text")
+    val pairs = Llm.prefixDedup(docs, maxBlockSize = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2L, 1L), (3L, 1L), (3L, 2L)),
+      s"expected both lanes' pairs, got $pairs")
+    // cap: docs 1 and 2 share a 64-char block of size 2; with
+    // maxBlockSize = 1 that block is dropped BEFORE the self-join, so
+    // only the short-lane pairs survive (the cap is long-lane only)
+    val capped = Llm.prefixDedup(docs, maxBlockSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((3L, 1L), (3L, 2L)), s"got $capped")
+  }
+
   test("d28: three ranked terms per doc, rare term outranks shared vocabulary") {
     val out = Llm.d28_tfidf(spark, fixtureDir)
     val byDoc = out.collect().groupBy(_.getLong(0))

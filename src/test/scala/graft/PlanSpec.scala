@@ -159,6 +159,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d35: block cap filters BEFORE the self-join; no all-pairs join") {
+    val p = plan(graft.queries.Llm.d35_prefix_dedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    // the cap's anti-join must sit BELOW the block self-join in the
+    // tree (printed later = deeper): capping after the join would
+    // still materialize the quadratic hot-block pairs
+    val selfJoin = p.indexOf("SortMergeJoin")
+    val anti = p.indexOf("LeftAnti")
+    assert(anti >= 0, s"cap anti-join missing:\n${p.take(800)}")
+    assert(selfJoin < 0 || anti > selfJoin,
+      s"cap must be upstream of the self-join:\n${p.take(800)}")
+  }
+
   test("d29: prefix-sum packing has no unpartitioned window") {
     val p = plan(graft.queries.Curate.d29_sequence_pack(spark, sf))
     assert(!(p.contains("Window") && p.contains("SinglePartition")),
