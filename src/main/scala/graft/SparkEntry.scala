@@ -107,6 +107,8 @@ object SparkEntry {
     "q61_asof_instant"       -> (Relational.q61_asof_instant _),
     "q62_datalog_mutual"     -> (Relational.q62_datalog_mutual _),
     "q63_index_pull"         -> (Relational.q63_index_pull _),
+    "q64_typed_tuples"       -> (Relational.q64_typed_tuples _),
+    "q65_datalog_sample"     -> (Relational.q65_datalog_sample _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -928,6 +930,26 @@ object SparkEntry {
         |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5000000
         |ORDER BY price_cents, CAST(o_orderkey AS VARCHAR)
         |LIMIT 100""".stripMargin,
+    // q64: typed-tuple round-trip — aggregates over the DECODED slots
+    // must equal the base-column aggregation (a broken tuple encode or
+    // decode shifts groups/sums and breaks the hash)
+    "q64_typed_tuples" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |  CAST(sum(c_nationkey) AS BIGINT) AS nation_sum
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    // q65: the seeded draws — sample ranks distinct values by
+    // md5(value) (identical hex in DuckDB and Spark); rand's draw k
+    // min_by's md5(value || '#k'); both collections sort ascending
+    "q65_datalog_sample" ->
+      """WITH v AS (SELECT DISTINCT n_regionkey AS r, n_name AS n FROM nation),
+        |s AS (SELECT r, n, row_number() OVER (PARTITION BY r ORDER BY md5(n)) AS rk FROM v),
+        |samp AS (SELECT r, array_to_string(list_sort(list(n)), ',') AS sampled
+        |         FROM s WHERE rk <= 3 GROUP BY r),
+        |d0 AS (SELECT r, min_by(n, md5(n || '#0')) AS x0 FROM v GROUP BY r),
+        |d1 AS (SELECT r, min_by(n, md5(n || '#1')) AS x1 FROM v GROUP BY r)
+        |SELECT CAST(samp.r AS BIGINT) AS region_key, samp.sampled,
+        |  CASE WHEN x0 <= x1 THEN x0 || ',' || x1 ELSE x1 || ',' || x0 END AS rand_drawn
+        |FROM samp JOIN d0 ON samp.r = d0.r JOIN d1 ON samp.r = d1.r""".stripMargin,
     // q62: hop-a through mutually recursive rules = direct edges plus
     // the two-hop pairs reached through hop-b
     "q62_datalog_mutual" ->

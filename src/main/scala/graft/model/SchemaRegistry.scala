@@ -20,7 +20,9 @@ final case class AttrDef(
     uniqueIdentity: Boolean, // upsert key
     uniqueValue: Boolean,    // uniqueness constraint only
     component: Boolean,
-    fulltext: Boolean)
+    fulltext: Boolean,
+    noHistory: Boolean = false,  // :db/noHistory — superseded values not retained
+    tupleTypes: Seq[String] = Seq.empty) // :db/tupleTypes — typed hetero tuple slots
 
 final class SchemaRegistry(val attrs: Map[String, AttrDef]) extends Serializable {
   def apply(attr: String): AttrDef = attrs.getOrElse(attr, SchemaRegistry.default(attr))
@@ -66,7 +68,12 @@ object SchemaRegistry {
         uniqueIdentity = m.getKw("db/unique").contains(EKw("db.unique", "identity")),
         uniqueValue = m.getKw("db/unique").contains(EKw("db.unique", "value")),
         component = m.getKw("db/isComponent").contains(EBool(true)),
-        fulltext = m.getKw("db/fulltext").contains(EBool(true)))
+        fulltext = m.getKw("db/fulltext").contains(EBool(true)),
+        noHistory = m.getKw("db/noHistory").contains(EBool(true)),
+        tupleTypes = m.getKw("db/tupleTypes") match {
+          case Some(EVec(ts)) => ts.collect { case k: EKw => k.name }
+          case _ => Seq.empty
+        })
     }
     new SchemaRegistry(builtin ++ defs.map(d => d.ident -> d).toMap)
   }

@@ -1005,6 +1005,27 @@ object Relational {
         concat_ws(",", col("max_1_n")).as("largest"))
   }
 
+  // ── Seeded sample/rand Datalog aggregates ─────────────────────────
+  /** Datomic `(sample n ?x)` / `(rand n ?x)` — the only aggregates
+    * Datomic defines as nondeterministic; here the draw is SEEDED by
+    * md5 of the value text (sample: n smallest hashes of the distinct
+    * set; rand: draw k minimizes md5(value ++ "#k"), so repeats can
+    * happen) — deterministic, hence oracle-gated, while keeping the
+    * "arbitrary members, not top/bottom" semantics. Per region: 3
+    * sampled nation names + 2 rand draws, flattened to csv. */
+  def q65_datalog_sample(s: SparkSession, d: String): DataFrame = {
+    val q = graft.query.Datalog.parse(
+      """[:find ?r (sample 3 ?n) (rand 2 ?n)
+        | :where [?e :n_name ?n]
+        |        [?e :n_regionkey ?r]]""".stripMargin)
+    graft.query.Datalog.runOn(nationEav(s, d).select(
+        col("e").cast("string").as("e"), col("a"), col("v")),
+        new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("r").cast("long").as("region_key"),
+        concat_ws(",", col("sample_3_n")).as("sampled"),
+        concat_ws(",", col("rand_2_n")).as("rand_drawn"))
+  }
+
   // ── Pull recursion: {:ref depth} map specs ────────────────────────
   /** Datomic recursive pull — `{:cust/parent 2}`: a parent hierarchy
     * synthesized over customers (k → k div 10, ~4 levels at sf0.1),
@@ -1161,6 +1182,31 @@ object Relational {
       .agg(count(lit(1)).as("n_entities"),
         sum(col("v_long")).cast("long").as("total_cents"))
       .crossJoin(audits)
+  }
+
+  // ── Typed heterogeneous tuples ────────────────────────────────────
+  /** `:db.type/tuple` + `:db/tupleTypes` — directly-asserted compound
+    * values (vs q54's DERIVED composite `:db/tupleAttrs`): each
+    * customer asserts one `cust/seg+nation` tuple `[segment nation]`
+    * with slot types (string, long). The query round-trips — asserts
+    * through `Store.tupleDatoms` (typed render, nil for nulls),
+    * resolves, decodes both slots back out with `Store.tupleSlot`,
+    * and aggregates on them — so a broken encode OR decode breaks the
+    * oracle hash. Map-only datom build; one groupBy on the decoded
+    * slot. */
+  def q64_typed_tuples(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val datoms = graft.store.Store.tupleDatoms(
+      c, col("c_custkey").cast("string"), "cust/seg+nation",
+      Seq(col("c_mktsegment"), col("c_nationkey")),
+      Seq("string", "long"), tx = 1L)
+    val resolved = graft.store.Store.resolve(datoms, Seq.empty)
+    resolved
+      .select(graft.store.Store.tupleSlot(col("v"), 0, "string").as("segment"),
+        graft.store.Store.tupleSlot(col("v"), 1, "long").as("nk"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("nk")).cast("long").as("nation_sum"))
   }
 
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──

@@ -95,14 +95,22 @@ object Datalog {
     * carries the winning attribute's keyword text). */
   final case class GetSomeClause(eVar: String, attrs: Seq[EKw], out: String,
     outAttr: Option[String] = None) extends Clause
-  /** `[(fulltext $ :attr ?needle) [[?e ?v]]]` — Datomic's fulltext
-    * function clause: token search over a `:db/fulltext true`
-    * attribute, returning the (entity, value) relation. The needle
-    * must resolve to a constant (a literal or a bound :in param); the
-    * attribute must be declared fulltext in the schema registry —
-    * exactly Datomic's gate (only indexed attrs are searchable). */
-  final case class FulltextClause(attr: EKw, needle: Term, outE: String, outV: String)
-    extends Clause
+  /** `[(fulltext $ :attr ?needle) [[?e ?v ?tx ?score]]]` — Datomic's
+    * fulltext function clause: token search over a `:db/fulltext true`
+    * attribute, returning the (entity, value, tx, score) relation —
+    * any suffix of the four slots may be omitted and any slot may be
+    * `_`, as in Datomic's destructuring. The needle must resolve to a
+    * constant (a literal or a bound :in param); the attribute must be
+    * declared fulltext in the schema registry — exactly Datomic's
+    * gate (only indexed attrs are searchable). Score is term
+    * frequency, not Lucene BM25 (see Explore.fulltextHits). */
+  final case class FulltextClause(attr: EKw, needle: Term,
+    outE: Option[String], outV: Option[String],
+    outTx: Option[String] = None, outScore: Option[String] = None)
+    extends Clause {
+    require(Seq(outE, outV, outTx, outScore).flatten.nonEmpty,
+      "(fulltext …) must bind at least one output slot")
+  }
   /** One rule definition: `[(name ?p1 ?p2) clause…]`. A rule may have
     * several definitions (disjunction); a definition whose body calls
     * back into its own strongly-connected component is recursive.
@@ -154,8 +162,8 @@ object Datalog {
         FPull(v.drop(1), Pull.parsePattern(pat))
       case EList(Vector(ESym("", fn), ESym("", v))) if v.startsWith("?") =>
         if (fn == "distinct") FAggN(fn, -1, v.drop(1)) else FAgg(fn, v.drop(1))
-      case EList(Vector(ESym("", fn @ ("min" | "max")), ELong(n), ESym("", v)))
-          if v.startsWith("?") && n > 0 =>
+      case EList(Vector(ESym("", fn @ ("min" | "max" | "sample" | "rand")), ELong(n),
+          ESym("", v))) if v.startsWith("?") && n > 0 =>
         FAggN(fn, n.toInt, v.drop(1))
       case other => throw new IllegalArgumentException(s"bad :find element: ${Edn.print(other)}")
     }
@@ -274,12 +282,18 @@ object Datalog {
           kws.nonEmpty && kws.forall(_.isInstanceOf[EKw]) =>
       GetSomeClause(e.drop(1), kws.map(_.asInstanceOf[EKw]), outV.drop(1),
         Some(outA.drop(1)))
-    // `[(fulltext $ :attr ?needle) [[?e ?v]]]` — relation-binding
-    // output, as in Datomic (the [?tx ?score] tail is not modeled)
+    // `[(fulltext $ :attr ?needle) [[?e ?v ?tx ?score]]]` —
+    // relation-binding output, 2 to 4 slots, `_` ignores a slot
     case EVec(Vector(EList(Vector(ESym("", "fulltext"), ESym("", "$"), k: EKw, needle)),
-        EVec(Vector(EVec(Vector(ESym("", oe), ESym("", ov)))))))
-        if oe.startsWith("?") && ov.startsWith("?") =>
-      FulltextClause(k, term(needle), oe.drop(1), ov.drop(1))
+        EVec(Vector(EVec(slots)))))
+        if slots.size >= 2 && slots.size <= 4 && slots.forall {
+          case ESym("", s) => s.startsWith("?") || s == "_"
+          case _ => false
+        } =>
+      def slot(i: Int): Option[String] = slots.lift(i).collect {
+        case ESym("", s) if s.startsWith("?") => s.drop(1)
+      }
+      FulltextClause(k, term(needle), slot(0), slot(1), slot(2), slot(3))
     case EVec(Vector(EList(ESym("", fn) +: args))) =>
       PredClause(fn, args.map(term))
     case EVec(Vector(EList(ESym("", fn) +: args), ESym("", out))) if out.startsWith("?") =>
@@ -647,8 +661,13 @@ object Datalog {
               // error, not an empty result
               require(registry.attrs.get(ft.attr.qualified).exists(_.fulltext),
                 s"(fulltext …): ${ft.attr.qualified} is not declared :db/fulltext in the schema")
-              Explore.fulltextOn(eav, Seq(ft.attr.qualified), needle)
-                .select(col("e").as(s"var_${ft.outE}"), col("v").as(s"var_${ft.outV}"))
+              val hits = Explore.fulltextHits(eav, Seq(ft.attr.qualified), needle)
+              val outCols = Seq(
+                ft.outE.map(n => col("e").as(s"var_$n")),
+                ft.outV.map(n => col("v").as(s"var_$n")),
+                ft.outTx.map(n => col("tx").as(s"var_$n")),
+                ft.outScore.map(n => col("score").as(s"var_$n"))).flatten
+              hits.select(outCols: _*)
             case _ => throw new IllegalStateException("unreachable")
           }
           Some(acc.fold(projected) { a =>
@@ -1025,6 +1044,24 @@ object Datalog {
             .as(s"max_${n}_$v")
         case FAggN("distinct", _, v) =>
           sort_array(collect_set(col(s"var_$v"))).as(s"distinct_$v")
+        // (sample n ?x): n DISTINCT values, drawn without replacement.
+        // Datomic's draw is nondeterministic and cannot be oracle-
+        // gated; ours is SEEDED — rank distinct values by md5(value)
+        // (the same text hash DuckDB computes, so the gate holds
+        // cross-engine) and take the n smallest ranks. Output sorts
+        // ascending like every Datomic collection aggregate here.
+        case FAggN("sample", n, v) =>
+          val drawn = slice(sort_array(collect_set(
+            struct(md5(col(s"var_$v")).as("h"), col(s"var_$v").as("x")))), 1, n)
+          sort_array(transform(drawn, e => e("x"))).as(s"sample_${n}_$v")
+        // (rand n ?x): n draws WITH replacement — draw k picks the
+        // value minimizing md5(value ++ k), so each draw is an
+        // independent seeded choice over the group's distinct values
+        // and repeats are possible, as in Datomic's rand.
+        case FAggN("rand", n, v) =>
+          sort_array(array((0 until n).map(k =>
+            min_by(col(s"var_$v"),
+              md5(concat(col(s"var_$v"), lit(s"#$k"))))): _*)).as(s"rand_${n}_$v")
         case FAggN(fn, _, _) => throw new IllegalArgumentException(s"unsupported aggregate: $fn")
       }
       if (plainVars.isEmpty) joinedSet.agg(aggCols.head, aggCols.tail: _*)

@@ -63,15 +63,36 @@ object Explore {
     * multi-word needle tokenizes the same way as values and requires
     * EVERY token present (Lucene's implicit AND for a plain multi-term
     * query). Oracle-gated by q46. */
-  def fulltextOn(eav: DataFrame, ftAttrs: Seq[String], needle: String): DataFrame = {
+  def fulltextOn(eav: DataFrame, ftAttrs: Seq[String], needle: String): DataFrame =
+    fulltextHits(eav, ftAttrs, needle).select(col("e"), col("a"), col("v"))
+
+  /** Full 4-slot fulltext relation `(e, a, v, tx, score)` — Datomic's
+    * fulltext clause binds up to `[?e ?v ?tx ?score]`:
+    *  - `tx`: the latest tx among the matching datoms of that
+    *    (e, a, v) in the searched frame (null when the frame carries
+    *    no tx column, e.g. an already-resolved current view);
+    *  - `score`: occurrences of the needle's tokens in the value —
+    *    a deterministic term-frequency stand-in for Lucene's BM25
+    *    (documented divergence: Datomic's score is an opaque Lucene
+    *    relevance; ours is exact-count, so it is oracle-able).
+    * One attr-pruned scan + one keyed agg; dedup on (e, a, v) keeps
+    * the relation a set, as the 2-slot form always promised. */
+  def fulltextHits(eav: DataFrame, ftAttrs: Seq[String], needle: String): DataFrame = {
     require(ftAttrs.nonEmpty, "schema declares no fulltext attrs")
     val tokens = needle.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     require(tokens.nonEmpty, s"fulltext needle has no searchable tokens: '$needle'")
     val valueTokens = expr("filter(split(lower(v), '[^a-z0-9]+'), t -> length(t) > 0)")
-    eav
+    val withTx =
+      if (eav.columns.contains("tx")) eav
+      else eav.withColumn("tx", lit(null).cast("long"))
+    val inSet = tokens.map(t => s"'$t'").mkString(", ") // tokens are [a-z0-9]+, safe to inline
+    withTx
       .filter(col("a").isInCollection(ftAttrs))
       .filter(tokens.map(t => array_contains(valueTokens, t)).reduce(_ && _))
-      .select(col("e"), col("a"), col("v")).distinct()
+      .groupBy(col("e"), col("a"), col("v"))
+      .agg(max(col("tx")).as("tx"))
+      .withColumn("score", expr(
+        s"cast(size(filter(split(lower(v), '[^a-z0-9]+'), t -> t IN ($inSet))) as double)"))
   }
 
   /** FK integrity (beyond the reference, which defers to Datomic's

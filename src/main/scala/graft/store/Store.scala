@@ -199,6 +199,24 @@ final class Store(spark: SparkSession, val dir: String) {
     * importer (upserts supersede by tx; nothing is destroyed until
     * offline `compact`). */
   def history: DataFrame = eav
+
+  /** History honoring `:db/noHistory` (Datomic's churn valve: set it
+    * on counters/heartbeats so a 100 TB log doesn't retain every
+    * tick). For noHistory attrs only the CURRENTLY-VISIBLE datoms
+    * survive — superseded card-one values, retracted values, and
+    * retraction markers are all absent, exactly as if the old index
+    * segments were dropped; every other attr keeps its full history.
+    * `current`/`asOf` semantics are unchanged at the latest horizon
+    * (Datomic does not promise pre-supersession asOf reads of a
+    * noHistory attr, and neither do we — they may or may not
+    * resolve, here they don't once this view is the source). The
+    * noHistory subset is one keyed agg over those attrs' pruned
+    * partitions; shuffle ∝ their datoms, not the log. */
+  def history(registry: SchemaRegistry): DataFrame = {
+    val nh = registry.attrs.values.filter(_.noHistory).map(_.ident).toSeq
+    if (nh.isEmpty) eav else Store.dropNoHistory(eav, nh,
+      registry.attrs.values.filter(a => a.noHistory && a.many).map(_.ident).toSeq)
+  }
 }
 
 object Store {
@@ -284,6 +302,36 @@ object Store {
     val many = latest.filter(col("a").isInCollection(manyAttrs))
       .select(p ++ Seq(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")): _*)
     one.unionByName(many)
+  }
+
+  /** Core of `:db/noHistory` trimming over any log: rows of `nhAttrs`
+    * reduce to their currently-VISIBLE datoms (same per-value
+    * resolution as `resolve` — latest (tx, op) event per (e, a, v)
+    * must be an assert; card-one then keeps the latest assert per
+    * (e, a)); retraction markers and superseded values vanish. Every
+    * other attr passes through untouched. Shuffles key on the
+    * noHistory attrs' datoms only — the full log never re-shuffles. */
+  def dropNoHistory(log: DataFrame, nhAttrs: Seq[String],
+      nhManyAttrs: Seq[String]): DataFrame = {
+    val withOp =
+      if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
+    val cols = withOp.columns
+    def all = struct(cols.map(col): _*)
+    val nhRows = withOp.filter(col("a").isInCollection(nhAttrs))
+    val perValue = nhRows
+      .groupBy(col("e"), col("a"), col("v"))
+      .agg(max_by(all, struct(col("tx"), col("op"))).as("s"))
+      .select(col("s.*"))
+      .filter(col("op"))
+    val isMany =
+      if (nhManyAttrs.isEmpty) lit(false) else col("a").isInCollection(nhManyAttrs)
+    val kept = perValue.filter(isMany)
+      .unionByName(perValue
+        .filter(!isMany)
+        .groupBy(col("e"), col("a"))
+        .agg(max_by(all, struct(col("tx"), col("v"))).as("s"))
+        .select(col("s.*")))
+    withOp.filter(!col("a").isInCollection(nhAttrs)).unionByName(kept)
   }
 
   /** AVET index-range scan (Datomic `d/index-range`): the datoms of
@@ -431,6 +479,53 @@ object Store {
           lit("]")).as("v"),
         lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
         lit(tx).as("tx"), lit(true).as("op"))
+  }
+
+  /** `:db.type/tuple` + `:db/tupleTypes` — directly-asserted
+    * heterogeneous tuples (Datomic's compound values: coordinates,
+    * ranges, versioned keys). Each row of `rows` contributes one
+    * datom `(e, attr, "[s0 s1 …]")`; slots are cast to their declared
+    * types (long/double/boolean parse, anything else passes as text)
+    * and render in THE SAME text encoding `deriveTupleAttr` uses —
+    * nil for null slots — so asserted and composite tuples compare
+    * and join interchangeably. Arity is validated here (Datomic
+    * rejects a tuple whose length disagrees with :db/tupleTypes);
+    * per-slot cast failures surface as nil, the encoding's null.
+    * Caveat shared with composite tuples: the space-separated text
+    * form requires string slots without embedded spaces. Map-only —
+    * no shuffle. */
+  def tupleDatoms(rows: DataFrame, e: Column, attr: String,
+      slots: Seq[Column], tupleTypes: Seq[String], tx: Long): DataFrame = {
+    require(tupleTypes.size >= 2, "a tuple needs at least 2 slots")
+    require(slots.size == tupleTypes.size,
+      s"tuple arity ${slots.size} != :db/tupleTypes arity ${tupleTypes.size}")
+    val rendered = slots.zip(tupleTypes).map { case (c, t) =>
+      val typed = t match {
+        case "long" | "ref" | "instant" => c.cast("long").cast("string")
+        case "double" | "float" => c.cast("double").cast("string")
+        case "boolean" => c.cast("boolean").cast("string")
+        case _ => c.cast("string")
+      }
+      coalesce(typed, lit("nil"))
+    }
+    rows.select(e.as("e"), lit(attr).as("a"),
+      concat(lit("["), concat_ws(" ", rendered: _*), lit("]")).as("v"),
+      lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
+      lit(tx).as("tx"), lit(true).as("op"))
+  }
+
+  /** Slot extractor for the tuple text encoding: slot `i` of `v`,
+    * cast per the declared type; `nil` decodes to null. The inverse
+    * of `tupleDatoms`/`deriveTupleAttr` rendering. */
+  def tupleSlot(v: Column, i: Int, tupleType: String): Column = {
+    val raw = split(v.substr(lit(2), length(v) - 2), " ")(i)
+    val noNil = when(raw === "nil", lit(null)).otherwise(raw)
+    tupleType match {
+      case "long" | "ref" | "instant" => noNil.cast("long")
+      case "double" | "float" => noNil.cast("double")
+      case "boolean" => noNil.cast("boolean")
+      case _ => noNil
+    }
   }
 
   /** `:db.fn/retractEntity`: retract a set of entities wholesale at

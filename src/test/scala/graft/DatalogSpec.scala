@@ -549,6 +549,79 @@ class DatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("fulltext"), err.getMessage)
   }
 
+  test("(sample n ?x) / (rand n ?x): seeded deterministic draws") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "tag", "red"), ("e2", "tag", "green"), ("e3", "tag", "blue"),
+      ("e4", "tag", "cyan"), ("e5", "tag", "plum"))
+      .toDF("e", "a", "v")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val values = Seq("red", "green", "blue", "cyan", "plum")
+    // the engine's seed: rank by md5(value), take the 2 smallest, sort asc
+    val expectSample = values.sortBy(md5hex).take(2).sorted
+    val q = Datalog.parse(
+      """[:find (sample 2 ?v) :where [?e :tag ?v]]""")
+    val out = Datalog.runOn(eav, emptyRegistry, q, Map.empty)
+      .collect()(0).getSeq[String](0)
+    assert(out === expectSample, s"got $out, want $expectSample")
+    // deterministic: the same query twice draws the same values
+    val again = Datalog.runOn(eav, emptyRegistry, q, Map.empty)
+      .collect()(0).getSeq[String](0)
+    assert(again === out)
+    // n >= population: every distinct value comes back
+    val all = Datalog.parse("""[:find (sample 9 ?v) :where [?e :tag ?v]]""")
+    assert(Datalog.runOn(eav, emptyRegistry, all, Map.empty)
+      .collect()(0).getSeq[String](0).sorted === values.sorted)
+    // rand draws WITH replacement: draw k minimizes md5(value ++ "#k")
+    val expectRand = (0 until 3)
+      .map(k => values.minBy(v => md5hex(v + s"#$k"))).sorted
+    val qr = Datalog.parse("""[:find (rand 3 ?v) :where [?e :tag ?v]]""")
+    val outR = Datalog.runOn(eav, emptyRegistry, qr, Map.empty)
+      .collect()(0).getSeq[String](0)
+    assert(outR === expectRand, s"got $outR, want $expectRand")
+  }
+
+  test("fulltext 3/4-slot destructuring: [?e ?v ?tx ?score] and _ wildcards") {
+    import spark.implicits._
+    val eav = Seq(
+      // "ring ring ring" scores 3 for needle "ring"; latest assert tx 5
+      ("e1", "doc/title", "ring ring ring", 2L),
+      ("e1", "doc/title", "ring ring ring", 5L),
+      ("e2", "doc/title", "one ring only", 3L))
+      .toDF("e", "a", "v", "tx")
+    val registry = new SchemaRegistry(Map(
+      "doc/title" -> graft.model.AttrDef("doc/title", "string", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = true)))
+    // 4-slot: tx is the latest matching assert, score is term frequency
+    val q4 = Datalog.parse(
+      """[:find ?e ?tx ?score
+        | :where [(fulltext $ :doc/title "ring") [[?e _ ?tx ?score]]]]""".stripMargin)
+    val out4 = Datalog.runOn(eav, registry, q4, Map.empty)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out4 === Set(("e1", 5L, 3.0), ("e2", 3L, 1.0)), out4.toString)
+    // 3-slot suffix: [?e ?v ?tx]
+    val q3 = Datalog.parse(
+      """[:find ?e ?tx
+        | :where [(fulltext $ :doc/title "only") [[?e ?v ?tx]]]]""".stripMargin)
+    val out3 = Datalog.runOn(eav, registry, q3, Map.empty)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out3 === Set(("e2", 3L)), out3.toString)
+    // score can join downstream clauses like any binding: keep docs
+    // whose score exceeds 2 (predicate over the fulltext relation)
+    val qPred = Datalog.parse(
+      """[:find ?e
+        | :where [(fulltext $ :doc/title "ring") [[?e _ _ ?score]]]
+        |        [(> ?score 2.0)]]""".stripMargin)
+    val outP = Datalog.runOn(eav, registry, qPred, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(outP === Set("e1"), outP.toString)
+    // a frame WITHOUT tx binds tx as null (resolved current view)
+    val noTx = Datalog.runOn(eav.drop("tx"), registry, q4, Map.empty).collect()
+    assert(noTx.forall(_.isNullAt(1)), noTx.mkString(","))
+  }
+
   test("history five-tuple: [?e :attr ?v ?tx ?added] binds the op flag") {
     import spark.implicits._
     val log = Seq(

@@ -288,6 +288,85 @@ class TxFnSpec extends AnyFunSuite {
     assert(Store.resolve(log.filter(col("tx") <= -1L), Seq.empty).count() == 0)
   }
 
+  test("typed tuples: round-trip through the text encoding, nil slots, arity gate") {
+    import spark.implicits._
+    val rows = Seq(
+      ("p1", Some("alpha"), Some(7L), Some(1.5)),
+      ("p2", None, Some(9L), None),           // null slots render nil
+      ("p3", Some("gamma"), None, Some(-2.0)))
+      .toDF("id", "s", "n", "x")
+    val datoms = Store.tupleDatoms(rows, col("id"), "geo/tag+n+x",
+      Seq(col("s"), col("n"), col("x")), Seq("string", "long", "double"), tx = 1L)
+    val v = datoms.collect().map(r =>
+      r.getString(r.fieldIndex("e")) -> r.getString(r.fieldIndex("v"))).toMap
+    assert(v("p1") === "[alpha 7 1.5]")
+    assert(v("p2") === "[nil 9 nil]")
+    assert(v("p3") === "[gamma nil -2.0]")
+    // decode = encode⁻¹, with per-slot types and nil → null
+    val back = datoms.select(col("e"),
+        Store.tupleSlot(col("v"), 0, "string").as("s"),
+        Store.tupleSlot(col("v"), 1, "long").as("n"),
+        Store.tupleSlot(col("v"), 2, "double").as("x"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(back("p1") === ((Some("alpha"), Some(7L), Some(1.5))))
+    assert(back("p2") === ((None, Some(9L), None)))
+    assert(back("p3") === ((Some("gamma"), None, Some(-2.0))))
+    // arity mismatch is a loud error, as in Datomic
+    val err = intercept[IllegalArgumentException](
+      Store.tupleDatoms(rows, col("id"), "t", Seq(col("s")), Seq("string", "long"), 1L))
+    assert(err.getMessage.contains("arity"), err.getMessage)
+    // schema registry parses :db/tupleTypes
+    val reg = graft.model.SchemaRegistry.fromEdn(
+      """[{:db/ident :geo/latlon
+        |  :db/valueType :db.type/tuple
+        |  :db/tupleTypes [:db.type/double :db.type/double]
+        |  :db/cardinality :db.cardinality/one}]""".stripMargin)
+    assert(reg("geo/latlon").tupleTypes === Seq("double", "double"))
+    assert(reg("geo/latlon").valueType === "tuple")
+  }
+
+  test("noHistory: superseded values invisible to history(registry); current unchanged") {
+    import graft.model.{AttrDef, SchemaRegistry}
+    def ad(n: String, noHist: Boolean, many: Boolean = false) =
+      n -> AttrDef(n, "string", many, uniqueIdentity = false,
+        uniqueValue = false, component = false, fulltext = false, noHistory = noHist)
+    val reg = new SchemaRegistry(Map(
+      ad("dev/heartbeat", noHist = true),          // card-one, churny
+      ad("dev/tags", noHist = true, many = true),  // card-many noHistory
+      ad("dev/name", noHist = false)))
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("nohist").toString)
+    st.append(datoms(
+      ("d1", "dev/heartbeat", "t1", 1L), ("d1", "dev/name", "alpha", 1L),
+      ("d1", "dev/tags", "a", 1L), ("d1", "dev/tags", "b", 1L)))
+    st.append(datoms(("d1", "dev/heartbeat", "t2", 2L),
+      ("d1", "dev/name", "beta", 2L)))
+    // retract tag "a" at tx 3
+    st.retract(datoms(("d1", "dev/tags", "a", 3L)))
+    st.append(datoms(("d1", "dev/heartbeat", "t3", 4L)))
+    val hist = st.history(reg).select("e", "a", "v", "op")
+    val hb = hist.filter(col("a") === "dev/heartbeat").collect()
+    // superseded heartbeats t1/t2 are GONE; only the current t3 row remains
+    assert(hb.map(_.getString(2)).toSeq === Seq("t3"), hb.mkString(","))
+    // retracted noHistory card-many value and its retraction marker both vanish
+    val tags = hist.filter(col("a") === "dev/tags").collect()
+    assert(tags.map(_.getString(2)).toSeq === Seq("b"), tags.mkString(","))
+    assert(tags.forall(_.getBoolean(3)))
+    // a NORMAL attr keeps its full history (both name versions)
+    assert(hist.filter(col("a") === "dev/name").count() === 2)
+    // current view is unchanged by the flag
+    val cur = st.current(reg).filter(col("a") =!= "db/txInstant")
+      .select("e", "a", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(cur === Set(("d1", "dev/heartbeat", "t3"), ("d1", "dev/name", "beta"),
+      ("d1", "dev/tags", "b")), cur.toString)
+    // the registry-less raw log still has everything (the durable record)
+    assert(st.history.filter(col("a") === "dev/heartbeat").count() === 3)
+  }
+
   test("loader stamps one txInstant per transaction; asOfInstant reads through it") {
     val registry = graft.model.SchemaRegistry.load(
       "/root/reference/subsets/entities/schema.edn")
