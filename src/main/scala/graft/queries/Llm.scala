@@ -739,9 +739,14 @@ object Llm {
     * blocks whose pair set is clearly boilerplate). */
   def prefixDedup(docsIn: DataFrame, maxBlockSize: Int): DataFrame = {
     val docs = docsIn.select(col("doc_id"), col("text"))
-    // long lane: block on the shared first 64 chars, cap hot blocks
-    val withBlk = docs.select(col("doc_id"), col("text"),
-      substring(col("text"), 1, 64).as("blk"))
+    // long lane: block on the shared first 64 chars, cap hot blocks.
+    // Docs shorter than 64 chars can never appear in a long-lane pair
+    // (prefix side needs len ≥ 64, so the full side needs ≥ 65) —
+    // prune them BEFORE the block census so a pile of short exact
+    // dups neither inflates a block past the cap nor rides the
+    // self-join shuffle; exact dups are d01's lane either way
+    val withBlk = docs.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 64).as("blk"))
     val hot = withBlk.groupBy(col("blk")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlockSize).select(col("blk"))
     val ok = withBlk.join(broadcast(hot), Seq("blk"), "left_anti")

@@ -173,6 +173,15 @@ class PlanSpec extends AnyFunSuite {
       s"cap must be upstream of the self-join:\n${p.take(800)}")
   }
 
+  test("q64: typed-tuple build prunes the customer scan to its 3 columns") {
+    val p = plan(Relational.q64_typed_tuples(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_mktsegment")
+      && readSchema.contains("c_nationkey"), readSchema)
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_address"),
+      readSchema)
+  }
+
   test("d29: prefix-sum packing has no unpartitioned window") {
     val p = plan(graft.queries.Curate.d29_sequence_pack(spark, sf))
     assert(!(p.contains("Window") && p.contains("SinglePartition")),

@@ -365,6 +365,14 @@ class TxFnSpec extends AnyFunSuite {
       ("d1", "dev/tags", "b")), cur.toString)
     // the registry-less raw log still has everything (the durable record)
     assert(st.history.filter(col("a") === "dev/heartbeat").count() === 3)
+    // retract-then-REASSERT: the live value survives with its later tx
+    // (only superseded/retracted values vanish, not the attr)
+    st.retract(datoms(("d1", "dev/heartbeat", "t3", 5L)))
+    st.append(datoms(("d1", "dev/heartbeat", "t9", 6L)))
+    val hb2 = st.history(reg).filter(col("a") === "dev/heartbeat")
+      .select("v", "tx").collect()
+    assert(hb2.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("t9", 6L)),
+      hb2.mkString(","))
   }
 
   test("loader stamps one txInstant per transaction; asOfInstant reads through it") {
