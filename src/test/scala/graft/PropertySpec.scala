@@ -140,4 +140,46 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expected, s"log: $rows")
     }
   }
+
+  test("dropNoHistory: current view preserved; nh rows = exactly the visible datoms") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val genDatom: Gen[(String, String, String, Long, Boolean)] = for {
+      e <- Gen.oneOf("e1", "e2", "e3")
+      a <- Gen.oneOf("one1", "one2", "many1") // one1/many1 are noHistory
+      v <- Gen.oneOf("v1", "v2", "v3", "v4")
+      tx <- Gen.choose(1L, 5L)
+      op <- Gen.oneOf(true, false)
+    } yield (e, a, v, tx, op)
+    val genLog = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, genDatom))
+    def resolved(df: org.apache.spark.sql.DataFrame) =
+      graft.store.Store.resolve(df, Seq("many1"))
+        .select("e", "a", "v").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    samples(genLog, 40).foreach { rows =>
+      val df = rows.toDF("e", "a", "v", "tx", "op")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+      val trimmed = graft.store.Store.dropNoHistory(df,
+        Seq("one1", "many1"), Seq("many1"))
+      // the current view reads identically through the trimmed log
+      assert(resolved(trimmed) === resolved(df), s"log: $rows")
+      // non-noHistory rows pass through as an exact multiset
+      val other = (d: org.apache.spark.sql.DataFrame) =>
+        d.filter(col("a") === "one2").select("e", "a", "v", "tx", "op").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getBoolean(4))).groupBy(identity).view.mapValues(_.length).toMap
+      assert(other(trimmed) === other(df), s"log: $rows")
+      // nh rows are all asserts whose (e,a,v) is EXACTLY the visible set
+      val nhKept = trimmed.filter(col("a") =!= "one2")
+        .select("e", "a", "v", "op").collect()
+      assert(nhKept.forall(_.getBoolean(3)), s"retraction survived: log $rows")
+      val visibleNh = resolved(df).filter(_._2 != "one2")
+      assert(nhKept.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        === visibleNh, s"log: $rows")
+      // and one row per visible datom — no duplicates
+      assert(nhKept.length === visibleNh.size, s"log: $rows")
+    }
+  }
 }
