@@ -67,6 +67,11 @@ object Datalog {
   /** `[(fn ?x …) ?out]` — bind `?out` to a computed expression
     * (+ - * / as double, str as concat). */
   final case class FnClause(fn: String, args: Seq[Term], out: String) extends Clause
+  /** `[(untuple ?t) [?a ?b …]]` — Datomic's tuple destructuring:
+    * split a tuple-encoded value (the `[s0 s1 …]` text form shared by
+    * `(tuple …)`, `:db/tupleAttrs` and `:db/tupleTypes` datoms) into
+    * per-slot bindings; `_` ignores a slot, `nil` decodes to null. */
+  final case class UntupleClause(t: Term, outs: Seq[Option[String]]) extends Clause
   /** `(not clause …)` — Datomic negation: drop outer bindings for
     * which the inner conjunction has any solution (anti-join on the
     * shared variables, which must already be bound). */
@@ -294,6 +299,16 @@ object Datalog {
         case ESym("", s) if s.startsWith("?") => s.drop(1)
       }
       FulltextClause(k, term(needle), slot(0), slot(1), slot(2), slot(3))
+    // `[(untuple ?t) [?a ?b …]]` — tuple-destructuring output form
+    case EVec(Vector(EList(Vector(ESym("", "untuple"), t)), EVec(outs)))
+        if outs.nonEmpty && outs.forall {
+          case ESym("", s) => s.startsWith("?") || s == "_"
+          case _ => false
+        } =>
+      UntupleClause(term(t), outs.map {
+        case ESym("", s) if s.startsWith("?") => Some(s.drop(1))
+        case _ => None
+      })
     case EVec(Vector(EList(ESym("", fn) +: args))) =>
       PredClause(fn, args.map(term))
     case EVec(Vector(EList(ESym("", fn) +: args), ESym("", out))) if out.startsWith("?") =>
@@ -521,6 +536,16 @@ object Datalog {
         case "/" => a / b
       })
     case "str" => concat(fc.args.map(termCol(_, numeric = false, registry)): _*)
+    // `[(tuple ?a ?b …) ?t]` — compose a tuple value in the SAME text
+    // encoding Store.tupleDatoms / :db/tupleAttrs use (nil for null),
+    // so query-built tuples compare/join against stored ones
+    case "tuple" =>
+      require(fc.args.size >= 2, "(tuple …) takes at least two arguments")
+      val slots = fc.args.map {
+        case TConst(ELong(v)) => lit(v).cast("string") // keep "7", not "7.0"
+        case a => termCol(a, numeric = false, registry).cast("string")
+      }
+      concat(lit("["), concat_ws(" ", slots.map(coalesce(_, lit("nil"))): _*), lit("]"))
     // `[(ground <const>) ?x]` — bind a constant (Datomic ground; most
     // useful inside or/or-join legs to tag which leg matched)
     case "ground" =>
@@ -551,6 +576,16 @@ object Datalog {
         case fc: FnClause =>
           Some(bound.withColumn(s"var_${fc.out}",
             fnColumn(fc.copy(args = fc.args.map(resolve)), registry)))
+        case uc: UntupleClause =>
+          val t = termCol(resolve(uc.t), numeric = false, registry)
+          val inner = split(t.substr(lit(2), length(t) - 2), " ")
+          Some(uc.outs.zipWithIndex.foldLeft(bound) {
+            case (df, (Some(n), i)) =>
+              val raw = inner(i)
+              df.withColumn(s"var_$n",
+                when(raw === "nil", lit(null)).otherwise(raw))
+            case (df, (None, _)) => df
+          })
         case nc: NotClause =>
           val a = bound
           val inner = evalClauses(srcEav, registry, nc.clauses, resolve, ruleEnv, ruleReq)

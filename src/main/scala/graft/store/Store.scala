@@ -194,6 +194,14 @@ final class Store(spark: SparkSession, val dir: String) {
   def txRange(from: Long, until: Long): DataFrame =
     eav.filter(col("tx") >= from && col("tx") < until)
 
+  /** Datomic `d/basis-t`: the latest transaction in this database
+    * value (0 for an empty store). One aggregate over the tx column —
+    * parquet column stats answer it without reading data pages. */
+  def basisT: Long = {
+    val r = eav.agg(max(col("tx"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Full assertion history (Datomic `d/history` analog). The log IS
     * the history — this store is assert-only, like the reference
     * importer (upserts supersede by tx; nothing is destroyed until

@@ -549,6 +549,33 @@ class DatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("fulltext"), err.getMessage)
   }
 
+  test("(tuple …) composes and [(untuple ?t) [?a ?b]] destructures, nil round-trips") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "p/x", "7"), ("e1", "p/y", "foo"),
+      ("e2", "p/x", "9")) // e2 has no p/y
+      .toDF("e", "a", "v")
+    // compose: the same text encoding tupleDatoms writes
+    val qT = Datalog.parse(
+      """[:find ?e ?t
+        | :where [?e :p/x ?x]
+        |        [(get-else $ ?e :p/y "nil") ?y]
+        |        [(tuple ?x ?y) ?t]]""".stripMargin)
+    val t = Datalog.runOn(eav, emptyRegistry, qT, Map.empty)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(t === Map("e1" -> "[7 foo]", "e2" -> "[9 nil]"), t.toString)
+    // destructure back out; nil decodes to null, `_` skips a slot
+    val qU = Datalog.parse(
+      """[:find ?e ?y2
+        | :where [?e :p/x ?x]
+        |        [(get-else $ ?e :p/y "nil") ?y]
+        |        [(tuple ?x ?y) ?t]
+        |        [(untuple ?t) [_ ?y2]]]""".stripMargin)
+    val u = Datalog.runOn(eav, emptyRegistry, qU, Map.empty)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(u === Map("e1" -> Some("foo"), "e2" -> None), u.toString)
+  }
+
   test("(sample n ?x) / (rand n ?x): seeded deterministic draws") {
     import spark.implicits._
     val eav = Seq(

@@ -288,6 +288,14 @@ class TxFnSpec extends AnyFunSuite {
     assert(Store.resolve(log.filter(col("tx") <= -1L), Seq.empty).count() == 0)
   }
 
+  test("basisT: latest tx of the database value; 0 on an empty store") {
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("basist").toString)
+    assert(st.basisT === 0L)
+    st.append(datoms(("e1", "x/a", "1", 3L), ("e2", "x/a", "2", 7L)))
+    assert(st.basisT === 7L)
+  }
+
   test("typed tuples: round-trip through the text encoding, nil slots, arity gate") {
     import spark.implicits._
     val rows = Seq(
