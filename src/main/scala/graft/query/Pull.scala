@@ -247,6 +247,17 @@ object Pull {
     expanded.foldLeft(roots.select(col("e")))(step)
   }
 
+  /** Ceiling on automatic `...` unrolling. Two forces bound it:
+    * the closure walk below carries (root, node) pairs, so on a
+    * deep graph pulled from many roots the pair volume approaches
+    * roots × reachable — capping rounds caps that cost; and the
+    * unroll depth IS the output schema's struct-nesting depth, which
+    * Spark's analyzer/codegen handle poorly past a few dozen levels.
+    * Levels beyond the cap render as the plain ref id — the same
+    * shape Datomic uses at its own recursion limits. A deeper unroll
+    * is always available explicitly via `{:ref N}`. */
+  val MaxAutoUnroll = 16
+
   /** Closure depth of one ref attribute's graph from a root set — the
     * plan-time resolution of `...` recursion. The unroll depth is the
     * longest hop count from any INDIVIDUAL root, so the walk carries
@@ -258,8 +269,9 @@ object Pull {
     * so depth = max eccentricity over roots; a longest-SIMPLE-path
     * unroll (Datomic's per-path repeat test can nest deeper on
     * diamond graphs) is NP-hard and not attempted. Rounds scale with
-    * graph depth; pair volume with Σ per-root reachable sets —
-    * declared-depth specs (`{:ref N}`) skip the walk entirely. */
+    * graph depth, capped at MaxAutoUnroll; pair volume with
+    * Σ per-root reachable sets within the cap — declared-depth specs
+    * (`{:ref N}`) skip the walk entirely. */
   private def closureDepth(cur: DataFrame, attr: String, reverse: Boolean,
       roots: DataFrame): Int = {
     val edges =
@@ -273,7 +285,7 @@ object Pull {
     var visited = List(frontier)
     var depth = 0
     var growing = true
-    while (growing) {
+    while (growing && depth < MaxAutoUnroll) {
       val seen = visited.reduce(_ unionByName _)
       val next = frontier.join(edges, frontier("e") === edges("src"))
         .select(col("r"), col("dst").as("e")).distinct()

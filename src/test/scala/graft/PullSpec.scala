@@ -198,6 +198,27 @@ class PullSpec extends AnyFunSuite {
     assert(out("p4").isNullAt(out("p4").fieldIndex("p_boss")))
   }
 
+  test("recursion {:ref ...}: auto-unroll caps at MaxAutoUnroll, deeper renders plain id") {
+    val chainReg = new SchemaRegistry(Map(ad("p/name"), ad("p/boss", ref = true)))
+    val n = Pull.MaxAutoUnroll + 4 // chain DEEPER than the cap
+    val rows = (1 to n).flatMap { i =>
+      Seq((s"p$i", "p/name", s"name$i")) ++
+        (if (i < n) Seq((s"p$i", "p/boss", s"p${i + 1}")) else Seq.empty)
+    }
+    val chain = rows.toDF("e", "a", "v")
+    val row = Pull.pullFrom(chain, chainReg,
+        Pull.parsePattern("[:p/name {:p/boss ...}]"), roots("p1"))
+      .collect()(0)
+    // walk down: exactly MaxAutoUnroll nested struct levels, then the
+    // ref renders as the plain id (Datomic's limit-hit shape)
+    var cur: org.apache.spark.sql.Row = row
+    for (_ <- 1 to Pull.MaxAutoUnroll)
+      cur = cur.getStruct(cur.fieldIndex("p_boss"))
+    assert(cur.getString(cur.fieldIndex("p_name")) == s"name${Pull.MaxAutoUnroll + 1}")
+    assert(cur.schema("p_boss").dataType == org.apache.spark.sql.types.StringType)
+    assert(cur.getString(cur.fieldIndex("p_boss")) == s"p${Pull.MaxAutoUnroll + 2}")
+  }
+
   test("[*] recursively hydrates COMPONENT refs; schema cycles stay safe") {
     def comp(ident: String) =
       ident -> AttrDef(ident, "ref", many = false,
