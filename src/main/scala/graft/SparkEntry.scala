@@ -120,6 +120,7 @@ object SparkEntry {
     "d33_gopher_rules"       -> (Curate.d33_gopher_rules _),
     "d34_novelty"            -> (Curate.d34_novelty _),
     "d35_prefix_dedup"       -> (Llm.d35_prefix_dedup _),
+    "d36_shard_plan"         -> (Curate.d36_shard_plan _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -998,6 +999,7 @@ object SparkEntry {
     "d33_gopher_rules" -> Curate.d33OracleSql,
     "d34_novelty" -> Curate.d34OracleSql,
     "d35_prefix_dedup" -> Llm.d35OracleSql,
+    "d36_shard_plan" -> Curate.d36OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

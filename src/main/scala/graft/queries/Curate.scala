@@ -294,6 +294,31 @@ object Curate {
         sum(when(length(trim(col("text"))) === 0, 0L).otherwise(col("n_tokens"))).as("total_tokens"),
         (expr("percentile(n_chars, 0.5)") * 10).cast("long").as("median_chars_x10"))
 
+  // ── d36: deterministic shuffle-shard plan ─────────────────────────
+  /** The OUTPUT stage of a training-data pipeline: after curation the
+    * corpus is shuffled and written as N shards, and both the shard
+    * assignment and the intra-shard order must be deterministic (so a
+    * re-run, a resumed job, and another engine produce byte-identical
+    * shards). shard = pmod(xxhash64(doc_id), 16); order within a
+    * shard = the signed hash itself. This query emits the shard PLAN
+    * — per-shard doc count and the first document in hash order —
+    * which the writer would consume via
+    * `repartition(N, shard).sortWithinPartitions(h)`; gating the plan
+    * gates the layout. One scan + one tiny 16-row aggregate; the
+    * corpus shuffles once, keyed on the shard id, exactly as the real
+    * write would. Oracle: generated DuckDB XXH64 (XxhOracle.d36Sql) —
+    * hash parity IS the determinism claim. */
+  def d36_shard_plan(s: SparkSession, d: String): DataFrame = {
+    val h = expr("xxhash64(doc_id)") // seed 42, same as the write path
+    documents(s, d)
+      .select(col("doc_id"), pmod(h, lit(16)).as("shard"), h.as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("__h")).as("first_doc"))
+  }
+
+  def d36OracleSql: String = graft.queries.XxhOracle.d36Sql
+
   // ── d33: Gopher-style quality rules ───────────────────────────────
   /** The classic hand-tuned quality gates (Gopher/C4 lineage): word
     * count bounds, mean word length, alphabetic-word ratio, stop-word

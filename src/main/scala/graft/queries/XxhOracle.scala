@@ -170,6 +170,22 @@ object XxhOracle {
        |$bandsCte
        |SELECT doc_id, b::BIGINT AS band, ${signed("v")} AS band_hash FROM bh""".stripMargin
 
+  /** d36: deterministic shuffle-shard plan. shard = xxh64(doc_id) mod
+    * 16 — with a power-of-two shard count, `pmod(signed, 16)` equals
+    * `unsigned % 16` (2^64 ≡ 0 mod 16), so the HUGEINT oracle needs no
+    * sign gymnastics; first_doc is the arg-min by the SIGNED hash
+    * (Spark's xxhash64 is a signed long), pinning the intra-shard
+    * hash order the writer would emit. */
+  def d36Sql: String = {
+    val g = new Gen("w")
+    val h = g.hashLong("doc_id::HUGEINT", "42::HUGEINT")
+    val body = g.wrap("SELECT doc_id FROM documents")
+    s"""WITH hs AS (SELECT doc_id, $h AS hu FROM $body)
+       |SELECT (hu % 16)::BIGINT AS shard, count(*) AS n_docs,
+       |  min_by(doc_id, ${signed("hu")}) AS first_doc
+       |FROM hs GROUP BY 1""".stripMargin
+  }
+
   def d03Sql: String =
     s"""WITH $minhashCte,
        |$bandsCte,

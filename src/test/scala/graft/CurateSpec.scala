@@ -86,6 +86,28 @@ class CurateSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(500))
   }
 
+  test("d36: shard plan is exhaustive, in-range, and deterministic") {
+    val rows = Curate.d36_shard_plan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    // every document lands in exactly one shard; ids within [0, 16)
+    assert(rows.map(_._2).sum === nDocs)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16), rows.mkString(","))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // hash-derived, not rand(): byte-identical across runs
+    val again = Curate.d36_shard_plan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+    // the first_doc really is the shard's hash-min (spot-check shard 0)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("xxhash64(doc_id)").as("h"))
+      .filter(pmod(col("h"), lit(16)) === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectFirst = docs.minBy(_._2)._1
+    assert(rows.find(_._1 == 0L).get._3 === expectFirst)
+  }
+
   test("d22 bucket arithmetic matches the oracle's hex-parse path") {
     import spark.implicits._
     // literal pins: int(md5("<id>:graft").hex[:15], 16) % 100, computed
