@@ -72,6 +72,16 @@ object Datalog {
     * `(tuple …)`, `:db/tupleAttrs` and `:db/tupleTypes` datoms) into
     * per-slot bindings; `_` ignores a slot, `nil` decodes to null. */
   final case class UntupleClause(t: Term, outs: Seq[Option[String]]) extends Clause
+  /** `[(tx-ids $ t1 t2) [?tx ...]]` — Datomic's log API in query:
+    * the distinct transaction ids in [t1, t2). Bounds are constants
+    * or bound :in params. The log IS the `$` source here (the store
+    * is an EAV log), so no separate log handle is needed. */
+  final case class TxIdsClause(t1: Term, t2: Term, out: String) extends Clause
+  /** `[(tx-data $ ?tx) [[?e ?a ?v ?tx ?op]]]` — the datoms of
+    * transaction(s): 3 to 5 output slots, `_` skips. A constant tx
+    * filters the scan (tx row-group pruning); a variable tx binds and
+    * joins like any shared var. */
+  final case class TxDataClause(t: Term, outs: Seq[Option[String]]) extends Clause
   /** `(not clause …)` — Datomic negation: drop outer bindings for
     * which the inner conjunction has any solution (anti-join on the
     * shared variables, which must already be bound). */
@@ -299,6 +309,22 @@ object Datalog {
         case ESym("", s) if s.startsWith("?") => s.drop(1)
       }
       FulltextClause(k, term(needle), slot(0), slot(1), slot(2), slot(3))
+    // `[(tx-ids $ t1 t2) [?tx ...]]` — collection-binding output
+    case EVec(Vector(EList(Vector(ESym("", "tx-ids"), ESym("", "$"), t1, t2)),
+        EVec(Vector(ESym("", otx), ESym("", "...")))))
+        if otx.startsWith("?") =>
+      TxIdsClause(term(t1), term(t2), otx.drop(1))
+    // `[(tx-data $ ?tx) [[?e ?a ?v ?tx ?op]]]` — relation binding
+    case EVec(Vector(EList(Vector(ESym("", "tx-data"), ESym("", "$"), t)),
+        EVec(Vector(EVec(slots)))))
+        if slots.size >= 3 && slots.size <= 5 && slots.forall {
+          case ESym("", s) => s.startsWith("?") || s == "_"
+          case _ => false
+        } =>
+      TxDataClause(term(t), slots.map {
+        case ESym("", s) if s.startsWith("?") => Some(s.drop(1))
+        case _ => None
+      })
     // `[(untuple ?t) [?a ?b …]]` — tuple-destructuring output form
     case EVec(Vector(EList(Vector(ESym("", "untuple"), t)), EVec(outs)))
         if outs.nonEmpty && outs.forall {
@@ -683,6 +709,38 @@ object Datalog {
                 }
               }
               evalRuleCall(ruleEnv(rc.name), rc, registry)
+            case ti: TxIdsClause =>
+              def asLong(t: Term, what: String): Long = resolve(t) match {
+                case TConst(ELong(v)) => v
+                case other => throw new IllegalArgumentException(
+                  s"(tx-ids …) $what must be a tx constant or a bound :in parameter, got $other")
+              }
+              require(eav.columns.contains("tx"),
+                "(tx-ids …) needs a log view with a tx column")
+              eav.filter(col("tx") >= asLong(ti.t1, "start") &&
+                  col("tx") < asLong(ti.t2, "end"))
+                .select(col("tx").as(s"var_${ti.out}")).distinct()
+            case td: TxDataClause =>
+              require(eav.columns.contains("tx"),
+                "(tx-data …) needs a log view with a tx column")
+              val withOp =
+                if (eav.columns.contains("op")) eav else eav.withColumn("op", lit(true))
+              val base = resolve(td.t) match {
+                case TConst(ELong(v)) => withOp.filter(col("tx") === v)
+                case TVar(_) => withOp // a shared var joins below
+                case other => throw new IllegalArgumentException(
+                  s"(tx-data …) tx must be a constant, :in parameter or variable, got $other")
+              }
+              val slotSrc = Seq("e", "a", "v", "tx", "op")
+              val outCols = td.outs.zip(slotSrc).collect {
+                case (Some(n), src) => col(src).as(s"var_$n")
+              } ++ (resolve(td.t) match {
+                case TVar(n) if !td.outs.lift(3).flatten.contains(n) =>
+                  Seq(col("tx").as(s"var_$n"))
+                case _ => Seq.empty
+              })
+              require(outCols.nonEmpty, "(tx-data …) must bind at least one slot")
+              base.select(outCols: _*)
             case ft: FulltextClause =>
               val needle = resolve(ft.needle) match {
                 case TConst(EStr(s)) => s

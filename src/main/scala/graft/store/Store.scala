@@ -499,9 +499,10 @@ object Store {
     * and join interchangeably. Arity is validated here (Datomic
     * rejects a tuple whose length disagrees with :db/tupleTypes);
     * per-slot cast failures surface as nil, the encoding's null.
-    * Caveat shared with composite tuples: the space-separated text
-    * form requires string slots without embedded spaces. Map-only —
-    * no shuffle. */
+    * Caveats shared with composite tuples: the space-separated text
+    * form requires string slots without embedded spaces, and the
+    * literal string "nil" is indistinguishable from a null slot.
+    * Map-only — no shuffle. */
   def tupleDatoms(rows: DataFrame, e: Column, attr: String,
       slots: Seq[Column], tupleTypes: Seq[String], tx: Long): DataFrame = {
     require(tupleTypes.size >= 2, "a tuple needs at least 2 slots")

@@ -649,6 +649,39 @@ class DatalogSpec extends AnyFunSuite {
     assert(noTx.forall(_.isNullAt(1)), noTx.mkString(","))
   }
 
+  test("log API: (tx-ids $ t1 t2) and (tx-data $ ?tx) walk the log from query text") {
+    import spark.implicits._
+    val log = Seq(
+      ("e1", "price", "100", 1L, true),
+      ("e2", "price", "200", 2L, true),
+      ("e1", "price", "100", 3L, false), // retraction at tx 3
+      ("e1", "price", "150", 3L, true),
+      ("e3", "price", "300", 5L, true))
+      .toDF("e", "a", "v", "tx", "op")
+    // tx-ids: distinct txes in [2, 5) — half-open, as in Datomic
+    val qIds = Datalog.parse(
+      """[:find ?tx :where [(tx-ids $ 2 5) [?tx ...]]]""")
+    val ids = Datalog.runOn(log, emptyRegistry, qIds, Map.empty)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 3L), ids.toString)
+    // tx-data with a CONSTANT tx: the datoms of tx 3, op flag bound
+    val qData = Datalog.parse(
+      """[:find ?e ?v ?op :where [(tx-data $ 3) [[?e _ ?v _ ?op]]]]""")
+    val d3 = Datalog.runOn(log, emptyRegistry, qData, Map.empty)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(d3 === Set(("e1", "100", false), ("e1", "150", true)), d3.toString)
+    // tx-data with a VARIABLE tx joins: walk the ids of [2,5) and
+    // pull each tx's data — the composed log-walk idiom
+    val qWalk = Datalog.parse(
+      """[:find ?tx ?e ?v
+        | :where [(tx-ids $ 2 5) [?tx ...]]
+        |        [(tx-data $ ?tx) [[?e _ ?v]]]]""".stripMargin)
+    val walk = Datalog.runOn(log, emptyRegistry, qWalk, Map.empty)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(walk === Set((2L, "e2", "200"), (3L, "e1", "100"), (3L, "e1", "150")),
+      walk.toString)
+  }
+
   test("history five-tuple: [?e :attr ?v ?tx ?added] binds the op flag") {
     import spark.implicits._
     val log = Seq(

@@ -182,6 +182,13 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("d36: shard plan shuffles once, keyed on the shard id") {
+    val p = plan(graft.queries.Curate.d36_shard_plan(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1, s"exactly one shuffle:\n${p.take(800)}")
+    assert(exchanges.head.contains("shard"), exchanges.head)
+  }
+
   test("d29: prefix-sum packing has no unpartitioned window") {
     val p = plan(graft.queries.Curate.d29_sequence_pack(spark, sf))
     assert(!(p.contains("Window") && p.contains("SinglePartition")),

@@ -141,6 +141,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tuple encode/decode round-trips over generated slot values") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // space-free, non-"nil" strings (the text encoding's documented
+    // constraints), longs and doubles, each independently nullable
+    val genStr = Gen.oneOf(Gen.alphaNumStr.map(_.take(8))
+        .suchThat(s => s.nonEmpty && s != "nil"),
+      Gen.const("x"))
+    val genRow: Gen[(Option[String], Option[Long], Option[Double])] = for {
+      s <- Gen.option(genStr)
+      n <- Gen.option(Gen.choose(-999999L, 999999L))
+      x <- Gen.option(Gen.oneOf(1.5, -2.25, 0.0, 1234.0625))
+    } yield (s, n, x)
+    val rows = samples(genRow, 120).zipWithIndex
+      .map { case ((s, n, x), i) => (i.toLong, s, n, x) }
+    val df = rows.toDF("id", "s", "n", "x")
+    val datoms = graft.store.Store.tupleDatoms(df, col("id").cast("string"),
+      "t/snx", Seq(col("s"), col("n"), col("x")),
+      Seq("string", "long", "double"), tx = 1L)
+    val back = datoms.select(col("e"),
+        graft.store.Store.tupleSlot(col("v"), 0, "string").as("s"),
+        graft.store.Store.tupleSlot(col("v"), 1, "long").as("n"),
+        graft.store.Store.tupleSlot(col("v"), 2, "double").as("x"))
+      .collect().map { r =>
+        (r.getString(0).toLong,
+          Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }.sortBy(_._1)
+    assert(back.toSeq === rows.toSeq, "tuple round-trip must be lossless")
+  }
+
   test("dropNoHistory: current view preserved; nh rows = exactly the visible datoms") {
     val spark = TestSpark.spark
     import spark.implicits._
