@@ -47,8 +47,10 @@ object Llm {
     // stats are trustworthy only for file-scan-rooted plans: a plan
     // with joins/aggs above the scan reports conservative PRODUCTS of
     // sizes, which would inflate estSplits past target and silently
-    // skip the spread — for those, pay the one RDD-conversion pass
-    // and read the real partition count
+    // skip the spread. For those, estimate from the SUM of the leaf
+    // relations' sizes instead — still a plan-time number (calling
+    // .rdd here would eagerly execute every upstream shuffle stage
+    // under AQE just to read a partition count)
     val plan = df.queryExecution.optimizedPlan
     val scanRooted = plan.collectLeaves().nonEmpty && plan.collectLeaves().forall {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
@@ -58,9 +60,10 @@ object Llm {
       case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
       case _ => false
     }
-    val estSplits =
-      if (scanRooted) (plan.stats.sizeInBytes / splitBytes).toLong + 1
-      else df.rdd.getNumPartitions.toLong
+    val sizeInBytes =
+      if (scanRooted) plan.stats.sizeInBytes
+      else plan.collectLeaves().map(_.stats.sizeInBytes).sum
+    val estSplits = (sizeInBytes / splitBytes).toLong + 1
     if (estSplits >= target) df else df.repartition(target)
   }
 
@@ -728,7 +731,10 @@ object Llm {
     *    against the same-length prefix of every longer doc — the
     *    distinct short lengths (≤ 63 values, bounded collect) each
     *    add one shuffle key per doc, so the lane costs
-    *    |short lengths| × corpus keys, still never corpus².
+    *    |short lengths| × corpus keys, still never corpus². The same
+    *    `maxBlockSize` cap applies to the (len, prefix) join keys on
+    *    both sides — a short boilerplate line shared by many docs is
+    *    the same pathology as a hot 64-char block.
     *
     * Strictly-shorter keeps exact duplicates in d01's lane. */
   def d35_prefix_dedup(s: SparkSession, d: String): DataFrame =
@@ -777,10 +783,25 @@ object Llm {
         .filter(col("b_len") > col("len"))
         .select(col("full_id"), col("len"), col("b_len"),
           col("text").substr(lit(1), col("len")).as("key"))
-      shortDocs.join(keys,
-          shortDocs("len") === keys("len") && shortDocs("a_text") === keys("key"))
+      // the same hot-key cap as the long lane, on BOTH sides of the
+      // (len, key) join: pair volume per key is |identical short
+      // texts| × |docs sharing that opening| — a short boilerplate
+      // line ('404 not found') shared by 100k docs would otherwise
+      // rebuild exactly the quadratic blow-up the block cap prevents
+      val hotShort = shortDocs.groupBy(col("len"), col("a_text").as("key"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockSize)
+        .select(col("len"), col("key"))
+        .unionByName(keys.groupBy(col("len"), col("key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockSize)
+          .select(col("len"), col("key")))
+        .distinct()
+      val okShort = shortDocs.join(broadcast(hotShort),
+        shortDocs("len") === hotShort("len") && shortDocs("a_text") === hotShort("key"),
+        "left_anti")
+      okShort.join(keys,
+          okShort("len") === keys("len") && okShort("a_text") === keys("key"))
         .select(col("prefix_id"), col("full_id"),
-          shortDocs("len").cast("long").as("prefix_len"),
+          okShort("len").cast("long").as("prefix_len"),
           col("b_len").cast("long").as("full_len"))
         .unionByName(longLane)
     }

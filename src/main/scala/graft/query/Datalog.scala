@@ -567,11 +567,10 @@ object Datalog {
     // so query-built tuples compare/join against stored ones
     case "tuple" =>
       require(fc.args.size >= 2, "(tuple …) takes at least two arguments")
-      val slots = fc.args.map {
-        case TConst(ELong(v)) => lit(v).cast("string") // keep "7", not "7.0"
-        case a => termCol(a, numeric = false, registry).cast("string")
-      }
-      concat(lit("["), concat_ws(" ", slots.map(coalesce(_, lit("nil"))): _*), lit("]"))
+      graft.store.Store.renderTuple(fc.args.map {
+        case TConst(ELong(v)) => lit(v) // keep "7", not termCol's "7.0"
+        case a => termCol(a, numeric = false, registry)
+      })
     // `[(ground <const>) ?x]` — bind a constant (Datomic ground; most
     // useful inside or/or-join legs to tag which leg matched)
     case "ground" =>
@@ -604,12 +603,9 @@ object Datalog {
             fnColumn(fc.copy(args = fc.args.map(resolve)), registry)))
         case uc: UntupleClause =>
           val t = termCol(resolve(uc.t), numeric = false, registry)
-          val inner = split(t.substr(lit(2), length(t) - 2), " ")
           Some(uc.outs.zipWithIndex.foldLeft(bound) {
             case (df, (Some(n), i)) =>
-              val raw = inner(i)
-              df.withColumn(s"var_$n",
-                when(raw === "nil", lit(null)).otherwise(raw))
+              df.withColumn(s"var_$n", graft.store.Store.tupleSlot(t, i, "string"))
             case (df, (None, _)) => df
           })
         case nc: NotClause =>

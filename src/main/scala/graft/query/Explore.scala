@@ -68,9 +68,12 @@ object Explore {
 
   /** Full 4-slot fulltext relation `(e, a, v, tx, score)` — Datomic's
     * fulltext clause binds up to `[?e ?v ?tx ?score]`:
-    *  - `tx`: the latest tx among the matching datoms of that
-    *    (e, a, v) in the searched frame (null when the frame carries
-    *    no tx column, e.g. an already-resolved current view);
+    *  - retraction-aware: Datomic's fulltext searches the CURRENT
+    *    index, so on a frame with an `op` column a value whose latest
+    *    (tx, op) event is a retraction does not match;
+    *  - `tx`: the latest ASSERT tx of that (e, a, v) in the searched
+    *    frame (null when the frame carries no tx column, e.g. an
+    *    already-resolved current view);
     *  - `score`: occurrences of the needle's tokens in the value —
     *    a deterministic term-frequency stand-in for Lucene's BM25
     *    (documented divergence: Datomic's score is an opaque Lucene
@@ -85,12 +88,19 @@ object Explore {
     val withTx =
       if (eav.columns.contains("tx")) eav
       else eav.withColumn("tx", lit(null).cast("long"))
+    val withOp =
+      if (withTx.columns.contains("op")) withTx
+      else withTx.withColumn("op", lit(true))
     val inSet = tokens.map(t => s"'$t'").mkString(", ") // tokens are [a-z0-9]+, safe to inline
-    withTx
+    withOp
       .filter(col("a").isInCollection(ftAttrs))
       .filter(tokens.map(t => array_contains(valueTokens, t)).reduce(_ && _))
       .groupBy(col("e"), col("a"), col("v"))
-      .agg(max(col("tx")).as("tx"))
+      // same visibility + tiebreak as resolveCore: the latest (tx, op)
+      // event must be an assert, tx binds the last assert
+      .agg(max_by(col("op"), struct(col("tx"), col("op"))).as("__vis"),
+        max(when(col("op"), col("tx"))).as("tx"))
+      .filter(col("__vis")).drop("__vis")
       .withColumn("score", expr(
         s"cast(size(filter(split(lower(v), '[^a-z0-9]+'), t -> t IN ($inSet))) as double)"))
   }

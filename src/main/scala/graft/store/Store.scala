@@ -482,9 +482,7 @@ object Store {
       .groupBy(col("e"))
       .agg(slots.head, slots.tail: _*)
       .select(col("e"), lit(tupleAttr).as("a"),
-        concat(lit("["),
-          concat_ws(" ", srcAttrs.map(a => coalesce(col(s"`$a`"), lit("nil"))): _*),
-          lit("]")).as("v"),
+        renderTuple(srcAttrs.map(a => col(s"`$a`"))).as("v"),
         lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
         lit(tx).as("tx"), lit(true).as("op"))
   }
@@ -508,20 +506,32 @@ object Store {
     require(tupleTypes.size >= 2, "a tuple needs at least 2 slots")
     require(slots.size == tupleTypes.size,
       s"tuple arity ${slots.size} != :db/tupleTypes arity ${tupleTypes.size}")
-    val rendered = slots.zip(tupleTypes).map { case (c, t) =>
-      val typed = t match {
-        case "long" | "ref" | "instant" => c.cast("long").cast("string")
-        case "double" | "float" => c.cast("double").cast("string")
-        case "boolean" => c.cast("boolean").cast("string")
-        case _ => c.cast("string")
+    val typed = slots.zip(tupleTypes).map { case (c, t) =>
+      t match {
+        case "long" | "ref" => c.cast("long")
+        // instants carry epoch MILLIS, the store-wide convention
+        // (`txInstantAttr`'s v_long) — a bare cast("long") on a
+        // timestamp would yield SECONDS and silently lose precision
+        case "instant" => unix_millis(c.cast("timestamp"))
+        case "double" | "float" => c.cast("double")
+        case "boolean" => c.cast("boolean")
+        case _ => c
       }
-      coalesce(typed, lit("nil"))
     }
-    rows.select(e.as("e"), lit(attr).as("a"),
-      concat(lit("["), concat_ws(" ", rendered: _*), lit("]")).as("v"),
+    rows.select(e.as("e"), lit(attr).as("a"), renderTuple(typed).as("v"),
       lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
       lit(tx).as("tx"), lit(true).as("op"))
   }
+
+  /** THE tuple text encoding — `"[s0 s1 …]"` with `nil` for null
+    * slots. Single definition shared by `tupleDatoms`,
+    * `deriveTupleAttr` and the Datalog `(tuple …)` function, so
+    * query-built, asserted, and derived tuples always compare equal;
+    * `tupleSlot` is its inverse. */
+  def renderTuple(slots: Seq[Column]): Column =
+    concat(lit("["),
+      concat_ws(" ", slots.map(c => coalesce(c.cast("string"), lit("nil"))): _*),
+      lit("]"))
 
   /** Slot extractor for the tuple text encoding: slot `i` of `v`,
     * cast per the declared type; `nil` decodes to null. The inverse
@@ -530,7 +540,7 @@ object Store {
     val raw = split(v.substr(lit(2), length(v) - 2), " ")(i)
     val noNil = when(raw === "nil", lit(null)).otherwise(raw)
     tupleType match {
-      case "long" | "ref" | "instant" => noNil.cast("long")
+      case "long" | "ref" | "instant" => noNil.cast("long") // instant = epoch millis
       case "double" | "float" => noNil.cast("double")
       case "boolean" => noNil.cast("boolean")
       case _ => noNil

@@ -647,6 +647,18 @@ class DatalogSpec extends AnyFunSuite {
     // a frame WITHOUT tx binds tx as null (resolved current view)
     val noTx = Datalog.runOn(eav.drop("tx"), registry, q4, Map.empty).collect()
     assert(noTx.forall(_.isNullAt(1)), noTx.mkString(","))
+    // retraction-aware on a log frame: a value whose latest event is a
+    // retract does not match, and ?tx binds the last ASSERT, never the
+    // retraction's tx (Datomic searches the current index)
+    val logged = eav.withColumn("op",
+        org.apache.spark.sql.functions.lit(true)).unionByName(
+      Seq(("e2", "doc/title", "one ring only", 7L, false),
+        ("e1", "doc/title", "ring ring ring", 9L, false), // stale: re-asserted below
+        ("e1", "doc/title", "ring ring ring", 10L, true))
+        .toDF("e", "a", "v", "tx", "op"))
+    val vis = Datalog.runOn(logged, registry, q4, Map.empty)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(vis === Map("e1" -> 10L), vis.toString) // e2 retracted, gone
   }
 
   test("log API: (tx-ids $ t1 t2) and (tx-data $ ?tx) walk the log from query text") {

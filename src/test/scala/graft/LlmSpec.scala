@@ -236,12 +236,17 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((2L, 1L), (3L, 1L), (3L, 2L)),
       s"expected both lanes' pairs, got $pairs")
-    // cap: docs 1 and 2 share a 64-char block of size 2; with
-    // maxBlockSize = 1 that block is dropped BEFORE the self-join, so
-    // only the short-lane pairs survive (the cap is long-lane only)
+    // cap: docs 1 and 2 share a 64-char block of size 2 (long lane)
+    // AND the same 20-char opening (short lane's key side) — with
+    // maxBlockSize = 1 both lanes drop their hot keys BEFORE joining,
+    // so no pairs at all survive
     val capped = Llm.prefixDedup(docs, maxBlockSize = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped === Set((3L, 1L), (3L, 2L)), s"got $capped")
+    assert(capped === Set.empty, s"got $capped")
+    // cap = 2 keeps both lanes (each hot key has exactly 2 members)
+    val cap2 = Llm.prefixDedup(docs, maxBlockSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap2 === Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $cap2")
   }
 
   test("d28: three ranked terms per doc, rare term outranks shared vocabulary") {

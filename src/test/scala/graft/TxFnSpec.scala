@@ -326,6 +326,15 @@ class TxFnSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       Store.tupleDatoms(rows, col("id"), "t", Seq(col("s")), Seq("string", "long"), 1L))
     assert(err.getMessage.contains("arity"), err.getMessage)
+    // instant slots carry epoch MILLIS (the store-wide convention) —
+    // a bare long cast would truncate to seconds
+    val at = java.time.Instant.parse("2020-01-02T03:04:05.678Z")
+    val ts = Seq(("i1", java.sql.Timestamp.from(at), 1L)).toDF("id", "at", "k")
+    val enc = Store.tupleDatoms(ts, col("id"), "t/at+k",
+      Seq(col("at"), col("k")), Seq("instant", "long"), 1L)
+    val millis = enc.select(Store.tupleSlot(col("v"), 0, "instant").as("m"))
+      .collect()(0).getLong(0)
+    assert(millis === at.toEpochMilli, s"got $millis")
     // schema registry parses :db/tupleTypes
     val reg = graft.model.SchemaRegistry.fromEdn(
       """[{:db/ident :geo/latlon
