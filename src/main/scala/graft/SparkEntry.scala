@@ -109,6 +109,7 @@ object SparkEntry {
     "q63_index_pull"         -> (Relational.q63_index_pull _),
     "q64_typed_tuples"       -> (Relational.q64_typed_tuples _),
     "q65_datalog_sample"     -> (Relational.q65_datalog_sample _),
+    "q66_since"              -> (Relational.q66_since _),
     "d27_kmeans"             -> (Llm.d27_kmeans _),
     "d30_unigram_logprob"    -> (Llm.d30_unigram_logprob _),
     "d28_tfidf"              -> (Llm.d28_tfidf _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "d34_novelty"            -> (Curate.d34_novelty _),
     "d35_prefix_dedup"       -> (Llm.d35_prefix_dedup _),
     "d36_shard_plan"         -> (Curate.d36_shard_plan _),
+    "d37_duplicate_spans"    -> (Llm.d37_duplicate_spans _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -284,6 +286,29 @@ object SparkEntry {
         |SELECT asof_tx, CAST(COUNT(*) AS BIGINT) AS n_entities,
         |  CAST(SUM(cents) AS BIGINT) AS total_cents
         |FROM resolved WHERE rn = 1 GROUP BY asof_tx""".stripMargin,
+    // q66: since = the log SUFFIX (tx > horizon), latest assert wins
+    "q66_since" ->
+      """WITH log AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS e,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, 1 AS tx
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR),
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2, 2
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR),
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + 1, 3
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |horizons AS (SELECT CAST(0 AS BIGINT) AS since_tx
+        |  UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |resolved AS (
+        |  SELECT h.since_tx, l.e, l.cents,
+        |    ROW_NUMBER() OVER (PARTITION BY h.since_tx, l.e ORDER BY l.tx DESC) AS rn
+        |  FROM log l JOIN horizons h ON l.tx > h.since_tx)
+        |SELECT since_tx, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM resolved WHERE rn = 1 GROUP BY since_tx""".stripMargin,
     "q31_datalog_recursion" ->
       """WITH RECURSIVE edges AS (
         |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src,
@@ -1000,6 +1025,7 @@ object SparkEntry {
     "d34_novelty" -> Curate.d34OracleSql,
     "d35_prefix_dedup" -> Llm.d35OracleSql,
     "d36_shard_plan" -> Curate.d36OracleSql,
+    "d37_duplicate_spans" -> Llm.d37OracleSql,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

@@ -814,6 +814,80 @@ object Llm {
       |FROM documents a JOIN documents b
       |  ON length(a.text) < length(b.text) AND starts_with(b.text, a.text)""".stripMargin
 
+  // ── d37: duplicated-span coverage ─────────────────────────────────
+  /** Sliding-window exact-substring duplication — the scalable form
+    * of suffix-array substring dedup ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022): every length-8
+    * word window of every document, censused across the corpus; a
+    * window seen in ≥ 2 DISTINCT documents is duplicated text, and a
+    * document's `dup_bp` (duplicated windows / windows, basis points)
+    * is the drop-or-trim criterion. Distinct from d25 (tumbling
+    * segments, removal) and d17 (within-doc repetition): overlapping
+    * windows measure how much of a doc exists verbatim elsewhere.
+    *
+    * Shape: one window explode (≈ token count rows), a census
+    * groupBy(span) over the (doc, span)-deduped set, one join back on
+    * the span key — both shuffles keyed on span text, candidate
+    * volume ∝ corpus window count, never docs². Within-doc repeats
+    * keep their multiplicity in `n_windows` (they are all duplicated
+    * TEXT once the span is shared) but collapse to one census vote,
+    * so internal repetition alone never marks a span. At 100 TB swap
+    * the span string for its 64-bit hash as the shuffle key (d01's
+    * tradeoff — ~6× narrower shuffle rows against vanishing collision
+    * odds); the string key here keeps the oracle engine-neutral.
+    * Docs with fewer than 8 words have no window at this granularity
+    * → 0 bp (short-doc dups are d01/d35's lanes). */
+  def d37_duplicate_spans(s: SparkSession, d: String): DataFrame =
+    duplicateSpans(documents(s, d), window = 8)
+
+  /** Core of d37 over any (doc_id, text) frame. */
+  def duplicateSpans(docs: DataFrame, window: Int): DataFrame = {
+    val w = window
+    val wins = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)").as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) < w, array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(1, size(ws) - ${w - 1}), i -> array_join(slice(ws, i, $w), ' '))")))
+          .as("span"))
+    val census = wins.select(col("doc_id"), col("span")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+    val perDoc = wins.join(census, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, 0L)
+          .otherwise(expr("coalesce(n_dup_windows, 0) * 10000 div n_windows"))
+          .as("dup_bp"))
+  }
+
+  def d37OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+      |    ELSE list_transform(range(1, len(ws) - 6),
+      |      i -> array_to_string(list_slice(ws, i, i + 7), ' ')) END) AS span
+      |  FROM t),
+      |c AS (SELECT span, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY span),
+      |pd AS (
+      |  SELECT w.doc_id, count(*) AS n_windows,
+      |    sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+      |  FROM w JOIN c USING (span) GROUP BY w.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+      |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+      |  CAST(CASE WHEN coalesce(pd.n_windows, 0) = 0 THEN 0
+      |       ELSE coalesce(pd.n_dup, 0) * 10000 // pd.n_windows END AS BIGINT) AS dup_bp
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   /** Exact all-pairs variant on a deterministic sample — the recall
     * baseline d15 is measured against in LlmSpec; NOT a gated query
     * (a BroadcastNestedLoopJoin is quadratic work however you sample). */

@@ -347,6 +347,35 @@ object Relational {
         sum(col("v").cast("long")).cast("long").as("total_cents"))
   }
 
+  // ── d/since: the incremental-consumer horizon ─────────────────────
+  /** Datomic `d/since` surfaced as a query (`Store.sinceAtHorizons`,
+    * the exact code `Store.since` feeds): a three-tx log over orders
+    * (base price at tx 1, every 10th doubled at tx 2, every 100th
+    * nudged at tx 3) read at since-horizons 0/1/2. Since FILTERS the
+    * log rather than rewinding it — an entity untouched after the
+    * horizon is invisible, so each horizon's row count shrinks to
+    * "what changed since t", the exact shape an incremental consumer
+    * (cache refresher, downstream sync) reads. One log scan fans out
+    * to all horizons; at scale the `tx > t` predicate prunes parquet
+    * row groups the same way as-of's `tx <= t` does, so a recent
+    * since-window reads only recent row groups. */
+  def q66_since(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    def asLog(v: Column, tx: Long, pred: Column) = o.filter(pred)
+      .select(col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+        v.cast("string").as("v"), lit(null).cast("long").as("v_long"),
+        lit(false).as("is_ref"), lit(tx).as("tx"))
+    val c = cents(col("o_totalprice"))
+    val log = asLog(c, 1L, lit(true))
+      .unionByName(asLog(c * 2, 2L, pmod(k, lit(10)) === 0))
+      .unionByName(asLog(c + 1, 3L, pmod(k, lit(100)) === 0))
+    graft.store.Store.sinceAtHorizons(log, Seq(0L, 1L, 2L), Seq.empty)
+      .groupBy(col("since_tx"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("v").cast("long")).cast("long").as("total_cents"))
+  }
+
   // ── Recursive Datalog rules: reachability closure ─────────────────
   /** Datomic rule recursion (the `%` rule set) over a location
     * hierarchy synthesized from supplier→nation→region: `(reach ?a

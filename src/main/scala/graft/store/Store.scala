@@ -280,6 +280,25 @@ object Store {
     resolveCore(tagged, Seq("asof_tx"), manyAttrs)
   }
 
+  /** `d/since` resolution at several horizons in one pass — the
+    * incremental-consumer mirror of [[resolveAtHorizons]]: each datom
+    * fans out to the horizons it was asserted AFTER (`tx > since_tx`),
+    * and latest-wins resolution runs over only that suffix of the
+    * log. Matches Datomic's since-db semantics: an entity whose
+    * current value predates the horizon is invisible, not stale —
+    * since filters the log, it does not rewind it. Same cost shape:
+    * one scan, shuffle ∝ visible rows. Output adds `since_tx`. */
+  def sinceAtHorizons(log: DataFrame, horizons: Seq[Long],
+      manyAttrs: Seq[String]): DataFrame = {
+    require(horizons.nonEmpty, "need at least one horizon")
+    val withOp =
+      if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
+    val tagged = withOp
+      .select(col("*"), explode(lit(horizons.toArray)).as("since_tx"))
+      .filter(col("tx") > col("since_tx"))
+    resolveCore(tagged, Seq("since_tx"), manyAttrs)
+  }
+
   /** The shared two-aggregation core; `prefix` names extra grouping
     * key columns (the multi-horizon path's `asof_tx`).
     * Tiebreaks are EXPLICIT in both max_by orderings — max_by alone

@@ -249,6 +249,34 @@ class LlmSpec extends AnyFunSuite {
     assert(cap2 === Set((2L, 1L), (3L, 1L), (3L, 2L)), s"got $cap2")
   }
 
+  test("d37: cross-doc spans mark coverage; within-doc repeats alone do not") {
+    // A/B share ONE 8-word window ("one … eight" at A[1], B[2]);
+    // D repeats its own 8-word phrase twice (positions 1 and 9) and E
+    // is that phrase verbatim — so the repeated span IS cross-doc and
+    // BOTH of D's occurrences count as duplicated text; C is below
+    // the window size (no window, 0 bp, not dropped from the output)
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine"),          // A: 2 windows
+      (2L, "zero one two three four five six seven eight"),          // B: 2 windows
+      (3L, "hello world"),                                           // C: short
+      (4L, "a b c d e f g h a b c d e f g h"),                       // D: 9 windows
+      (5L, "a b c d e f g h"))                                       // E: 1 window
+      .toDF("doc_id", "text")
+    val out = Llm.duplicateSpans(docs, window = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 5000L)), s"A: ${out(1L)}")
+    assert(out(2L) === ((2L, 1L, 5000L)), s"B: ${out(2L)}")
+    assert(out(3L) === ((0L, 0L, 0L)), s"C: ${out(3L)}")
+    assert(out(4L) === ((9L, 2L, 2222L)), s"D: ${out(4L)}")
+    assert(out(5L) === ((1L, 1L, 10000L)), s"E: ${out(5L)}")
+    // D without E: the self-repeat collapses to one census vote →
+    // nothing in D is marked duplicated
+    val alone = Llm.duplicateSpans(docs.filter(col("doc_id") =!= 5L), window = 8)
+      .filter(col("doc_id") === 4L).collect().head
+    assert((alone.getLong(1), alone.getLong(2)) === ((9L, 0L)),
+      s"D alone: $alone")
+  }
+
   test("d28: three ranked terms per doc, rare term outranks shared vocabulary") {
     val out = Llm.d28_tfidf(spark, fixtureDir)
     val byDoc = out.collect().groupBy(_.getLong(0))

@@ -188,6 +188,27 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("d37: span census and join-back key on span, never all-pairs") {
+    val p = plan(graft.queries.Llm.d37_duplicate_spans(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    // both worker-side shuffles ride the span key (census + join-back;
+    // the doc_id shuffles belong to the per-doc rollup + left join)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("span")), p.take(800))
+  }
+
+  test("q66: the log scans once per union leg, NOT once per horizon") {
+    val p = plan(Relational.q66_since(spark, sf))
+    // the horizon fan-out is a generator (explode) over the scanned
+    // log — a per-horizon re-resolve would multiply the 3 union legs
+    // by the 3 horizons
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders"))
+    assert(scans == 3, s"expected the 3 union-leg scans only, got $scans:\n${p.take(800)}")
+    assert(p.contains("Generate explode") || p.contains("Expand"), p.take(400))
+  }
+
   test("d36: shard plan shuffles once, keyed on the shard id") {
     val p = plan(graft.queries.Curate.d36_shard_plan(spark, sf))
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq

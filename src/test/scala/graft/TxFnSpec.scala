@@ -50,6 +50,29 @@ class TxFnSpec extends AnyFunSuite {
     assert(resolved === Map("e1" -> "150", "e2" -> "200", "e3" -> "300"))
   }
 
+  test("sinceAtHorizons: log suffix per horizon; orphan retraction stays invisible") {
+    // e1 re-asserted at tx2; e2 untouched after tx1; e3 new at tx3;
+    // e4 asserted tx1 then retracted tx2
+    val log = datoms(
+      ("e1", "p", "10", 1L), ("e1", "p", "20", 2L),
+      ("e2", "p", "30", 1L),
+      ("e3", "p", "40", 3L),
+      ("e4", "p", "50", 1L))
+      .unionByName(datoms(("e4", "p", "50", 2L)).withColumn("op", lit(false)))
+    val out = Store.sinceAtHorizons(log, Seq(0L, 1L, 2L), Seq.empty)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (h, rows) =>
+        h -> rows.map(r => r.getString(1) -> r.getString(3)).toMap }
+    // since 0 = the whole log: e4's retraction wins, the rest current
+    assert(out(0L) === Map("e1" -> "20", "e2" -> "30", "e3" -> "40"))
+    // since 1: e2 vanishes (not stale — INVISIBLE: nothing after tx1);
+    // e4's suffix holds a retraction with no assert → still absent
+    assert(out(1L) === Map("e1" -> "20", "e3" -> "40"))
+    // since 2: only the tx3 assert
+    assert(out(2L) === Map("e3" -> "40"))
+  }
+
   test("retractEntity: depth-2 component cascade + inbound refs; non-component survives") {
     import spark.implicits._
     // order o1 owns line l1 (component), l1 owns sub s1 (component,
