@@ -831,19 +831,22 @@ object Llm {
     * volume ∝ corpus window count, never docs². Within-doc repeats
     * keep their multiplicity in `n_windows` (they are all duplicated
     * TEXT once the span is shared) but collapse to one census vote,
-    * so internal repetition alone never marks a span. At 100 TB swap
-    * the span string for its 64-bit hash as the shuffle key (d01's
-    * tradeoff — ~6× narrower shuffle rows against vanishing collision
-    * odds); the string key here keeps the oracle engine-neutral.
+    * so internal repetition alone never marks a span. At 100 TB set
+    * `hashSpans = true`: the shuffle/join key becomes the span's
+    * XXH64 (d01's tradeoff — ~6× narrower shuffle rows against
+    * vanishing collision odds); the gated query keeps the string key
+    * so the oracle stays engine-neutral, and LlmSpec pins that both
+    * keys produce identical per-doc stats.
     * Docs with fewer than 8 words have no window at this granularity
     * → 0 bp (short-doc dups are d01/d35's lanes). */
   def d37_duplicate_spans(s: SparkSession, d: String): DataFrame =
     duplicateSpans(documents(s, d), window = 8)
 
   /** Core of d37 over any (doc_id, text) frame. */
-  def duplicateSpans(docs: DataFrame, window: Int): DataFrame = {
+  def duplicateSpans(docs: DataFrame, window: Int,
+      hashSpans: Boolean = false): DataFrame = {
     val w = window
-    val wins = docs
+    val spans = docs
       .select(col("doc_id"),
         expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)").as("ws"))
       .select(col("doc_id"),
@@ -851,6 +854,12 @@ object Llm {
           .otherwise(expr(
             s"transform(sequence(1, size(ws) - ${w - 1}), i -> array_join(slice(ws, i, $w), ' '))")))
           .as("span"))
+    // the census/join-back key: the span itself, or its 64-bit hash
+    // (project the string away BEFORE the shuffles so the narrow key
+    // is what actually moves)
+    val wins =
+      if (hashSpans) spans.select(col("doc_id"), xxhash64(col("span")).as("span"))
+      else spans
     val census = wins.select(col("doc_id"), col("span")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
     val perDoc = wins.join(census, Seq("span"))

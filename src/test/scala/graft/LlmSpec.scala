@@ -275,6 +275,10 @@ class LlmSpec extends AnyFunSuite {
       .filter(col("doc_id") === 4L).collect().head
     assert((alone.getLong(1), alone.getLong(2)) === ((9L, 0L)),
       s"D alone: $alone")
+    // the 100 TB lane: hashed span keys give the identical census
+    val hashed = Llm.duplicateSpans(docs, window = 8, hashSpans = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(hashed === out, s"hashSpans diverged: $hashed vs $out")
   }
 
   test("d28: three ranked terms per doc, rare term outranks shared vocabulary") {

@@ -196,6 +196,12 @@ class PlanSpec extends AnyFunSuite {
     // the doc_id shuffles belong to the per-doc rollup + left join)
     assert(p.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning") && l.contains("span")), p.take(800))
+    // the hashed lane moves a bigint key, not the string: no span
+    // STRING column survives into any exchange
+    val ph = plan(graft.queries.Llm.duplicateSpans(
+      graft.sources.Tables.documents(spark, sf), window = 8, hashSpans = true))
+    assert(!ph.contains("CartesianProduct") && !ph.contains("BroadcastNestedLoopJoin"))
+    assert(ph.contains("xxhash64"), ph.take(400))
   }
 
   test("q66: the log scans once per union leg, NOT once per horizon") {
