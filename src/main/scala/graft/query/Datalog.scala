@@ -301,13 +301,15 @@ object Datalog {
     // relation-binding output, 2 to 4 slots, `_` ignores a slot
     case EVec(Vector(EList(Vector(ESym("", "fulltext"), ESym("", "$"), k: EKw, needle)),
         EVec(Vector(EVec(slots)))))
-        if slots.size >= 2 && slots.size <= 4 && slots.forall {
+        if slots.size >= 1 && slots.size <= 4 && slots.forall {
           case ESym("", s) => s.startsWith("?") || s == "_"
           case _ => false
         } =>
       def slot(i: Int): Option[String] = slots.lift(i).collect {
         case ESym("", s) if s.startsWith("?") => s.drop(1)
       }
+      require(Seq(slot(0), slot(1), slot(2), slot(3)).flatten.nonEmpty,
+        "(fulltext …) must bind at least one output slot")
       FulltextClause(k, term(needle), slot(0), slot(1), slot(2), slot(3))
     // `[(tx-ids $ t1 t2) [?tx ...]]` — collection-binding output
     case EVec(Vector(EList(Vector(ESym("", "tx-ids"), ESym("", "$"), t1, t2)),
@@ -602,10 +604,25 @@ object Datalog {
           Some(bound.withColumn(s"var_${fc.out}",
             fnColumn(fc.copy(args = fc.args.map(resolve)), registry)))
         case uc: UntupleClause =>
-          val t = termCol(resolve(uc.t), numeric = false, registry)
+          val tTerm = resolve(uc.t)
+          val t = termCol(tTerm, numeric = false, registry)
+          // typed destructuring: when the tuple var is bound by a
+          // pattern on an attr declaring :db/tupleTypes, each slot
+          // decodes per its declared type (Datomic's untuple yields
+          // typed slots, not text) — otherwise slots decode as text
+          val declared: Option[Seq[String]] = tTerm match {
+            case TVar(tn) => clauses.collectFirst {
+              case Pattern(_, TConst(k: EKw), TVar(vn), _, _, _)
+                  if vn == tn && registry.attrs.get(k.qualified)
+                    .exists(_.tupleTypes.nonEmpty) =>
+                registry(k.qualified).tupleTypes
+            }
+            case _ => None
+          }
           Some(uc.outs.zipWithIndex.foldLeft(bound) {
             case (df, (Some(n), i)) =>
-              df.withColumn(s"var_$n", graft.store.Store.tupleSlot(t, i, "string"))
+              val slotType = declared.flatMap(_.lift(i)).getOrElse("string")
+              df.withColumn(s"var_$n", graft.store.Store.tupleSlot(t, i, slotType))
             case (df, (None, _)) => df
           })
         case nc: NotClause =>

@@ -127,14 +127,18 @@ object Pull {
 
   /** `d/pull-many` — pull one pattern for an explicit entity-id list.
     * The engine is set-oriented already (pullFrom hydrates a whole
-    * root DataFrame at once), so this is the named Datomic API shape:
-    * ids in, one row per id out, input order NOT promised (sort the
-    * result; a DataFrame has no row order to preserve). */
+    * root DataFrame at once); Datomic returns results POSITIONALLY
+    * aligned with the input list, so the result carries an input
+    * ordinal and is sorted by it — `collect()` yields rows in input
+    * order (duplicated ids pull once, appear per occurrence). */
   def pullMany(store: Store, registry: SchemaRegistry, patternEdn: String,
       entityIds: Seq[String]): DataFrame = {
     val spark = store.eav.sparkSession
     import spark.implicits._
-    pull(store, registry, patternEdn, entityIds.toDF("e"))
+    val ords = entityIds.zipWithIndex.toDF("e", "__ord")
+    val pulled = pull(store, registry, patternEdn,
+      entityIds.distinct.toDF("e"))
+    ords.join(pulled, Seq("e"), "left").orderBy(col("__ord")).drop("__ord")
   }
 
   /** Pull over an already-resolved current-state EAV (e, a, v). */

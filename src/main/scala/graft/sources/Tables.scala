@@ -21,17 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; it must be read as epoch-nanos
-    * LongType via `spark.sql.legacy.parquet.nanosAsLong`. That is a
-    * SESSION conf the schema converter reads (not a per-scan option),
-    * so it belongs in the session builder — mutating it here as a
-    * read side effect would spookily change other readers in flight. */
+  /** events.parquet `ts` has shipped in two physical forms:
+    * TIMESTAMP(NANOS) (readable only as epoch-nanos LongType via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and, since the
+    * 2026-08-13 testdata regeneration, TIMESTAMP(MICROS) without
+    * timezone (Spark reads TIMESTAMP_NTZ). The engine-wide event-time
+    * convention stays **epoch-NANOS LongType** — this one reader
+    * normalizes, so every consumer (q19/q21/q42, the streaming twins,
+    * DuckDB oracle parity via `epoch_ns(ts)`) keeps a single unit.
+    * NTZ carries no zone and is interpreted as UTC — guarded, because
+    * the NTZ→timestamp cast reads the session zone. The projection is
+    * pruned away when a query never touches `ts`. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "when building the SparkSession")
-    t(s, d, "events")
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // legacy nanos-as-long
+      case _ =>
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ (interpreted as UTC): set " +
+            "spark.sql.session.timeZone=UTC when building the SparkSession")
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -534,7 +534,18 @@ object Store {
         case "instant" => unix_millis(c.cast("timestamp"))
         case "double" | "float" => c.cast("double")
         case "boolean" => c.cast("boolean")
-        case _ => c
+        case _ =>
+          // encode-time guard: the space-separated text form cannot
+          // represent string slots with embedded spaces or the
+          // literal "nil" — without this check they would DECODE to
+          // wrong values silently; fail loudly instead (mirrors the
+          // arity require above)
+          val s = c.cast("string")
+          when(s.isNotNull && (s.contains(" ") || s === "nil"),
+            raise_error(concat(
+              lit(s"tuple $attr: string slot not encodable " +
+                "(embedded space or literal \"nil\"): "), s)))
+            .otherwise(c)
       }
     }
     rows.select(e.as("e"), lit(attr).as("a"), renderTuple(typed).as("v"),

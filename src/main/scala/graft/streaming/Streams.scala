@@ -16,17 +16,22 @@ import org.apache.spark.sql.types._
 object Streams {
 
   /** events parquet schema, declared (never inferred — streaming
-    * requires it anyway). `ts` is epoch NANOS (see Tables.events). */
+    * requires it anyway). On disk `ts` is TIMESTAMP(MICROS) NTZ
+    * (2026-08-13 testdata regen); `readEvents` normalizes it to the
+    * engine-wide epoch-NANOS LongType convention (see Tables.events),
+    * so downstream streaming operators see the same shape batch
+    * consumers do. */
   val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "when building the SparkSession")
+    require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "events.ts is TIMESTAMP_NTZ (interpreted as UTC): set " +
+        "spark.sql.session.timeZone=UTC when building the SparkSession")
     spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
   }
 
   /** Epoch-nanos → event-time timestamp column. */

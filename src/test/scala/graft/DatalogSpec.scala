@@ -576,6 +576,55 @@ class DatalogSpec extends AnyFunSuite {
     assert(u === Map("e1" -> Some("foo"), "e2" -> None), u.toString)
   }
 
+  test("untuple decodes slots per :db/tupleTypes when the attr declares them") {
+    import spark.implicits._
+    // lexical decode would rank "9" > "10"; typed decode must not
+    val eav = Seq(
+      ("e1", "geo/tag+n", "[a 10]"),
+      ("e2", "geo/tag+n", "[b 9]"))
+      .toDF("e", "a", "v")
+    val reg = new SchemaRegistry(Map(
+      "geo/tag+n" -> graft.model.AttrDef("geo/tag+n", "tuple", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false,
+        fulltext = false, tupleTypes = Seq("string", "long"))))
+    val q = Datalog.parse(
+      """[:find ?e ?n
+        | :where [?e :geo/tag+n ?t]
+        |        [(untuple ?t) [_ ?n]]
+        |        [(> ?n 9)]]""".stripMargin)
+    val rows = Datalog.runOn(eav, reg, q, Map.empty)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("e1" -> 10L), rows.toString)
+    // without declared tupleTypes the slot stays textual (back-compat)
+    val qs = Datalog.parse(
+      """[:find ?e ?n
+        | :where [?e :geo/tag+n ?t]
+        |        [(untuple ?t) [_ ?n]]]""".stripMargin)
+    val text = Datalog.runOn(eav, emptyRegistry, qs, Map.empty)
+      .collect().map(r => r.getString(1)).toSet
+    assert(text === Set("10", "9"), text.toString)
+  }
+
+  test("fulltext single-slot form [[?e]] binds entity only") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "doc/title", "The Fire Ring", 5L),
+      ("e2", "doc/title", "Large Ring", 6L))
+      .toDF("e", "a", "v", "tx")
+    val reg = new SchemaRegistry(Map(
+      "doc/title" -> graft.model.AttrDef("doc/title", "string", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = true)))
+    val q = Datalog.parse(
+      """[:find ?e :where [(fulltext $ :doc/title "ring") [[?e]]]]""")
+    val out = Datalog.runOn(eav, reg, q, Map.empty)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("e1", "e2"), out.toString)
+    // a slot vector with no bound output is a loud parse error
+    val err = intercept[IllegalArgumentException](Datalog.parse(
+      """[:find ?e :where [(fulltext $ :doc/title "ring") [[_]]]]"""))
+    assert(err.getMessage.contains("at least one"), err.getMessage)
+  }
+
   test("(sample n ?x) / (rand n ?x): seeded deterministic draws") {
     import spark.implicits._
     val eav = Seq(

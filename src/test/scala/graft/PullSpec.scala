@@ -106,6 +106,22 @@ class PullSpec extends AnyFunSuite {
     assert(out("b2").isNullAt(out("b2").fieldIndex("band_label")))
   }
 
+  test("pull-many preserves input order, duplicates appear per occurrence") {
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("pullmanyord").toString)
+    store.append(cur
+      .withColumn("v_long", lit(null).cast("long"))
+      .withColumn("is_ref", col("a") === "band/label" || col("a") === "album/band")
+      .withColumn("tx", lit(1L)))
+    val rows = Pull.pullMany(store, registry,
+        "[:band/name]", Seq("b2", "b1", "b2"))
+      .collect()
+    assert(rows.map(_.getAs[String]("e")).toSeq === Seq("b2", "b1", "b2"),
+      rows.map(_.getAs[String]("e")).mkString(","))
+    assert(rows.map(_.getAs[String]("band_name")).toSeq
+      === Seq("Beta", "Alpha", "Beta"))
+  }
+
   test("attr options: :default fills missing, :as renames, :limit truncates sorted") {
     val out = Pull.pullFrom(cur, registry, Pull.parsePattern(
         """[(:band/name :as "title")

@@ -349,6 +349,19 @@ class TxFnSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       Store.tupleDatoms(rows, col("id"), "t", Seq(col("s")), Seq("string", "long"), 1L))
     assert(err.getMessage.contains("arity"), err.getMessage)
+    // encode-time guard: a string slot the space-separated text form
+    // cannot represent (embedded space / literal "nil") fails loudly
+    // instead of decoding to a wrong value later
+    val bad = Seq(("p9", "two words", 1L)).toDF("id", "s", "n")
+    val encErr = intercept[Exception](
+      Store.tupleDatoms(bad, col("id"), "t/s+n",
+        Seq(col("s"), col("n")), Seq("string", "long"), 1L).collect())
+    assert(encErr.getMessage.contains("not encodable"), encErr.getMessage)
+    val nilRow = Seq(("p9", "nil", 1L)).toDF("id", "s", "n")
+    val nilErr = intercept[Exception](
+      Store.tupleDatoms(nilRow, col("id"), "t/s+n",
+        Seq(col("s"), col("n")), Seq("string", "long"), 1L).collect())
+    assert(nilErr.getMessage.contains("not encodable"), nilErr.getMessage)
     // instant slots carry epoch MILLIS (the store-wide convention) —
     // a bare long cast would truncate to seconds
     val at = java.time.Instant.parse("2020-01-02T03:04:05.678Z")
