@@ -123,6 +123,9 @@ object SparkEntry {
     "d35_prefix_dedup"       -> (Llm.d35_prefix_dedup _),
     "d36_shard_plan"         -> (Curate.d36_shard_plan _),
     "d37_duplicate_spans"    -> (Llm.d37_duplicate_spans _),
+    "d38_curation_pipeline"  -> ((s, d) => Curate.d38_curation_pipeline(s, d)),
+    "q67_attr_preds"         -> (Relational.q67_attr_preds _),
+    "q68_tx_fn"              -> (Relational.q68_tx_fn _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -1026,6 +1029,31 @@ object SparkEntry {
     "d35_prefix_dedup" -> Llm.d35OracleSql,
     "d36_shard_plan" -> Curate.d36OracleSql,
     "d37_duplicate_spans" -> Llm.d37OracleSql,
+    "d38_curation_pipeline" -> Curate.d38OracleSql,
+    // q67: the same predicate set over the same synthesized datoms —
+    // rejects = rows failing ANY declared pred of their attr
+    "q67_attr_preds" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderpriority AS pr
+        |  FROM orders)
+        |SELECT 'order/price' AS a, COUNT(*) AS n_datoms,
+        |  CAST(SUM(CASE WHEN NOT (cents > 0 AND cents < 50000000) THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+        |FROM o
+        |UNION ALL
+        |SELECT 'order/priority', COUNT(*),
+        |  CAST(SUM(CASE WHEN pr = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM o""".stripMargin,
+    // q68: inc-balance adds 100 cents to every order divisible by 7
+    "q68_tx_fn" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT COUNT(*) AS n_entities,
+        |  CAST(SUM(cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END) AS BIGINT) AS total_cents
+        |FROM o""".stripMargin,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

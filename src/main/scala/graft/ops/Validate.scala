@@ -59,6 +59,31 @@ object Validate {
       .drop("__ensure_bad")
   }
 
+  /** `:db.attr/preds` — Datomic's per-attribute predicates: the schema
+    * declares predicate fns per attribute, and every ASSERT of that
+    * attribute must satisfy ALL of them (retractions are not
+    * validated — a datom row with `op = false` passes through
+    * unchecked, matching Datomic, which fires attr preds on adds
+    * only). `preds`: attr → (predicate name, predicate over the datom
+    * columns — TRUE = VALID, Datomic's polarity; note `annotate`
+    * above uses the opposite). A predicate evaluating to NULL counts
+    * as failed, like a Datomic pred that throws. Returns the input
+    * plus `errors: array<string>` naming the failed predicates
+    * (empty = accepted) — one codegen'd projection, zero shuffle. */
+  def attrPreds(datoms: DataFrame,
+      preds: Map[String, Seq[(String, Column)]]): DataFrame = {
+    val isAssert =
+      if (datoms.columns.contains("op")) col("op") else lit(true)
+    val checks = preds.toSeq.sortBy(_._1).flatMap { case (attr, ps) =>
+      ps.map { case (name, valid) =>
+        when(isAssert && col("a") === attr && !coalesce(valid, lit(false)),
+          lit(name)) }
+    }
+    if (checks.isEmpty)
+      datoms.withColumn("errors", array().cast("array<string>"))
+    else datoms.withColumn("errors", array_compact(array(checks: _*)))
+  }
+
   /** Fail-fast mode (the reference's halt-when): throws on the first
     * violation with per-rule counts. */
   def requireValid(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {

@@ -24,9 +24,12 @@ final case class DatomRow(e: String, a: String, v: String, v_long: Option[Long],
   * Types stay sequential — FK/upsert dependencies (importer.clj:343-348).
   */
 final class Loader(spark: SparkSession, registry: SchemaRegistry, store: Store,
-    concurrency: Int = 8) {
+    concurrency: Int = 8,
+    attrPreds: Map[String, Seq[(String, org.apache.spark.sql.Column)]] = Map.empty) {
 
-  final case class LoadStats(txes: Long, datoms: Long)
+  /** `rejected` counts datoms dropped by `:db.attr/preds` (0 when no
+    * predicates are declared). */
+  final case class LoadStats(txes: Long, datoms: Long, rejected: Long = 0L)
 
   def loadBatchFile(tpe: String, path: String): LoadStats = {
     val typeIdx = math.max(Mbrainz.importOrder.indexOf(tpe), 0)
@@ -69,10 +72,22 @@ final class Loader(spark: SparkSession, registry: SchemaRegistry, store: Store,
       }(Encoders.product[DatomRow])
         .toDF()
         .persist()
-      val nDatoms = datoms.count()
-      Retry.retrying(() => { store.append(datoms); () }, Retry.transientIo)
+      // `:db.attr/preds` enforcement point (Datomic validates attr
+      // preds on every assert at transact time): rejected datoms are
+      // counted and kept OUT of the log; the accepted set appends.
+      // Retractions pass unchecked (attrPreds' own rule) — moot here,
+      // the batcher emits asserts only.
+      val annotated =
+        if (attrPreds.isEmpty) datoms.withColumn("errors", array().cast("array<string>"))
+        else graft.ops.Validate.attrPreds(datoms, attrPreds)
+      val accepted = annotated.filter(size(col("errors")) === 0).drop("errors")
+      val nDatoms = accepted.count()
+      val nRejected =
+        if (attrPreds.isEmpty) 0L
+        else annotated.filter(size(col("errors")) > 0).count()
+      Retry.retrying(() => { store.append(accepted); () }, Retry.transientIo)
       datoms.unpersist()
-      LoadStats(txes, nDatoms)
+      LoadStats(txes, nDatoms, nRejected)
     } finally { fresh.unpersist(); () }
   }
 

@@ -31,13 +31,18 @@ object Curate {
   private val urlRe = "(?i)https?://[^\\s]+"
   private val tokenRe = "(?i)\\bcustomer\\b"
 
-  /** The scrub itself, over any (doc_id, text) frame — fixture-testable. */
-  def scrub(docs: DataFrame): DataFrame = {
-    val scrubbed = regexp_replace(
+  /** The scrub EXPRESSION — shared by `scrub`/d19/d24 and the composed
+    * pipeline (d38), so the two can't drift. */
+  def scrubExpr(text: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+        regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
         lit(urlRe), lit("<URL>")),
       lit(tokenRe), lit("<TOK>"))
+
+  /** The scrub itself, over any (doc_id, text) frame — fixture-testable. */
+  def scrub(docs: DataFrame): DataFrame = {
+    val scrubbed = scrubExpr(col("text"))
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_email"),
@@ -327,37 +332,43 @@ object Curate {
     * One codegen'd projection, ZERO shuffle — at 100 TB this is a
     * map-only scan. Metrics surface as integers (×100 / basis points
     * via integer division) so the cross-engine hash is exact. */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** The gopher metric/rule columns APPENDED to the input (all input
+    * columns survive) — the form the composed pipeline (d38) consumes,
+    * where `text` must ride along into the scrub stage. `gopherRules`
+    * keeps its original narrow projection on top of this. */
+  def withGopherRules(docs: DataFrame): DataFrame = {
     val stops = array(
       Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)
     docs
       .withColumn("__w", expr("filter(split(text, '\\\\s+'), w -> length(w) > 0)"))
-      .select(
-        col("doc_id"),
-        size(col("__w")).cast("long").as("n_words"),
-        expr("aggregate(__w, 0L, (a, w) -> a + length(w))").as("word_chars"),
-        size(expr("filter(__w, w -> regexp_like(w, '[A-Za-z]'))"))
-          .cast("long").as("n_alpha_words"),
-        size(array_intersect(expr("transform(__w, w -> lower(w))"), stops))
-          .cast("long").as("stop_hits"))
-      .select(
-        col("doc_id"), col("n_words"),
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__word_chars", expr("aggregate(__w, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_alpha_words",
+        size(expr("filter(__w, w -> regexp_like(w, '[A-Za-z]'))")).cast("long"))
+      .withColumn("stop_hits",
+        size(array_intersect(expr("transform(__w, w -> lower(w))"), stops)).cast("long"))
+      .withColumn("mean_word_len_x100",
         when(col("n_words") === 0, 0L)
-          .otherwise(expr("word_chars * 100 div n_words")).as("mean_word_len_x100"),
+          .otherwise(expr("__word_chars * 100 div n_words")))
+      .withColumn("alpha_bp",
         when(col("n_words") === 0, 0L)
-          .otherwise(expr("n_alpha_words * 10000 div n_words")).as("alpha_bp"),
-        col("stop_hits"))
-      .select(
-        col("doc_id"), col("n_words"), col("mean_word_len_x100"),
-        col("alpha_bp"), col("stop_hits"),
-        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
-        (col("mean_word_len_x100") >= 300 && col("mean_word_len_x100") <= 1000)
-          .as("r_mean_len"),
-        (col("alpha_bp") >= 8000).as("r_alpha"),
-        (col("stop_hits") >= 2).as("r_stops"))
+          .otherwise(expr("n_alpha_words * 10000 div n_words")))
+      .withColumn("r_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_len",
+        col("mean_word_len_x100") >= 300 && col("mean_word_len_x100") <= 1000)
+      .withColumn("r_alpha", col("alpha_bp") >= 8000)
+      .withColumn("r_stops", col("stop_hits") >= 2)
       .withColumn("pass",
         col("r_word_count") && col("r_mean_len") && col("r_alpha") && col("r_stops"))
+      .drop("__w", "__word_chars")
   }
+
+  def gopherRules(docs: DataFrame): DataFrame =
+    withGopherRules(docs).select(
+      col("doc_id"), col("n_words"), col("mean_word_len_x100"),
+      col("alpha_bp"), col("stop_hits"),
+      col("r_word_count"), col("r_mean_len"), col("r_alpha"), col("r_stops"),
+      col("pass"))
 
   def d33_gopher_rules(s: SparkSession, d: String): DataFrame =
     gopherRules(documents(s, d))
@@ -387,6 +398,146 @@ object Curate {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         when(coalesce(col("n_grams"), lit(0L)) === 0, 10000L)
           .otherwise(expr("coalesce(n_novel, 0) * 10000 div n_grams")).as("novelty_bp"))
+  }
+
+  // ── d38: the composed end-to-end curation pipeline ────────────────
+  /** THE pipeline — every cleaning stage fused into ONE job over
+    * `documents`, in production order:
+    *   gopher rules (d33) → PII scrub (d19) → quality gate (d10's
+    *   punctuation ratio) → exact dedup (d01) → source mix (d26) →
+    *   sequence pack (d29) → shard plan (d36).
+    * The reference's north star is transducer-style pipeline
+    * composition (`importer.clj:286-291` chains the whole batcher as
+    * one xform); this is the Spark form: each stage is a DataFrame
+    * transformation, and Catalyst fuses the map-only prefix (gopher
+    * metrics + scrub + quality ratio) into a SINGLE whole-stage-
+    * codegen scan with ZERO shuffles before dedup.
+    *
+    * Shuffle budget (PlanSpec pins the count): dedup's hash-keyed
+    * groupBy, the mix totals aggregate (tiny, broadcast back), the
+    * pack stage's range partition, and the final shard aggregate —
+    * the corpus is never joined to itself and no stage re-shuffles
+    * what a prior stage already keyed.
+    *
+    * Two calibrations against the synthetic corpus, both documented
+    * rather than silent: the stop-word rule gates at ≥1 hit (the
+    * corpus' vocabulary peaks at 1 hit from the 8-word list — d33
+    * still reports the classic ≥2 rule as annotation); and the
+    * quality gate runs BEFORE dedup (identical copies have identical
+    * scrubbed text, so gate-then-dedup keeps exactly the same set as
+    * dedup-then-gate while letting the gate fuse into the map-only
+    * scan stage). */
+  /** Stages up to (and including) the source mix — the part of d38
+    * whose physical plan is pinned by PlanSpec (the pack stage's
+    * prefix sum crosses into an RDD, hiding upstream plan structure
+    * from the final frame's executedPlan). */
+  private[graft] def d38Kept(s: SparkSession, d: String,
+      budgetTokens: Long): DataFrame = {
+    // map-only prefix: ONE codegen stage, no exchange
+    val gated = withGopherRules(documents(s, d))
+      .filter(col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
+        col("stop_hits") >= 1)
+      .withColumn("scrubbed", scrubExpr(col("text")))
+      .withColumn("clean_hash", md5(col("scrubbed")))
+      .withColumn("clean_len", length(col("scrubbed")).cast("long"))
+      .withColumn("n_punct", (length(col("scrubbed")) -
+        length(regexp_replace(col("scrubbed"), "[\\p{Punct}]", ""))).cast("long"))
+      .filter(expr("n_punct * 10000 div greatest(clean_len, 1)") <= 150)
+      .withColumn("n_tokens",
+        when(length(trim(col("scrubbed"))) === 0, 0L)
+          .otherwise(size(split(trim(col("scrubbed")), " +")).cast("long")))
+      .select(col("doc_id"), col("source"), col("clean_hash"), col("n_tokens"))
+    // exact dedup: one hash-keyed shuffle, min-doc_id canonical
+    val deduped = gated.groupBy(col("clean_hash"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_tokens")),
+        col("doc_id")).as("s"))
+      .select(col("s.*"))
+    // source mix: per-source token totals (rows = #sources) broadcast back
+    val totals = deduped.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .select(col("source"),
+        least(lit(10000L), expr(s"$budgetTokens * 10000 div src_tokens")).as("rate_bp"))
+    deduped.join(broadcast(totals), "source")
+      .filter(hashBucket(col("doc_id"), "mix", 10000) < col("rate_bp"))
+  }
+
+  def d38_curation_pipeline(s: SparkSession, d: String,
+      budgetTokens: Long = 500L): DataFrame = {
+    val packBudget = 2048L
+    val mixed = d38Kept(s, d, budgetTokens)
+    // sequence pack: distributed prefix sum in doc_id order (d29 shape)
+    val packed = graft.ops.GlobalIndex.withPrefixSum(
+        mixed.select(col("doc_id"), col("n_tokens")),
+        Seq(col("doc_id")), "n_tokens", "cum")
+      .withColumn("pack_id",
+        ((col("cum") - col("n_tokens")) / packBudget).cast("long"))
+    // shard plan: deterministic xxh64(doc_id) layout of the final set
+    val h = expr("xxhash64(doc_id)")
+    packed
+      .select(col("doc_id"), col("n_tokens"), col("pack_id"),
+        pmod(h, lit(16)).as("shard"), h.as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        min_by(col("doc_id"), col("__h")).as("first_doc"))
+  }
+
+  /** d38 oracle: the same seven stages in DuckDB SQL; the shard stage's
+    * xxh64 comes from the generated oracle (XxhOracle.d38Sql wraps the
+    * `packed` CTE below). */
+  def d38OracleSql: String = {
+    val ctes =
+      """gp AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |gm AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_intersect(list_transform(ws, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+        |  FROM gp),
+        |gk AS (
+        |  SELECT doc_id, source, text FROM gm
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND (CASE WHEN n_words = 0 THEN 0 ELSE word_chars * 100 // n_words END) BETWEEN 300 AND 1000
+        |    AND (CASE WHEN n_words = 0 THEN 0 ELSE n_alpha_words * 10000 // n_words END) >= 8000
+        |    AND stop_hits >= 1),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '(?i)https?://[^\s]+', '<URL>', 'g'),
+        |      '(?i)\bcustomer\b', '<TOK>', 'g') AS scrubbed
+        |  FROM gk),
+        |qm AS (
+        |  SELECT doc_id, source, md5(scrubbed) AS clean_hash,
+        |    CAST(length(scrubbed) AS BIGINT) AS clean_len,
+        |    CAST(length(scrubbed) - length(regexp_replace(scrubbed, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CASE WHEN length(trim(scrubbed)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(trim(scrubbed), ' +')) AS BIGINT) END AS n_tokens
+        |  FROM sc),
+        |qk AS (SELECT * FROM qm WHERE n_punct * 10000 // greatest(clean_len, 1) <= 150),
+        |dd AS (
+        |  SELECT doc_id, source, n_tokens FROM (
+        |    SELECT doc_id, source, n_tokens,
+        |      ROW_NUMBER() OVER (PARTITION BY clean_hash ORDER BY doc_id) AS rn
+        |    FROM qk) WHERE rn = 1),
+        |tot AS (
+        |  SELECT source, least(10000, 500 * 10000 // sum(n_tokens)) AS rate_bp
+        |  FROM dd GROUP BY source),
+        |mx AS (
+        |  SELECT dd.doc_id, dd.n_tokens
+        |  FROM dd JOIN tot USING (source)
+        |  WHERE ('0x' || substr(md5(dd.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000 < tot.rate_bp),
+        |packed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |  FROM mx)""".stripMargin
+    graft.queries.XxhOracle.d38Sql(ctes)
   }
 
   def d34OracleSql: String =

@@ -1238,6 +1238,76 @@ object Relational {
         sum(col("nk")).cast("long").as("nation_sum"))
   }
 
+  // ── :db.attr/preds per-attribute predicates ───────────────────────
+  /** Datomic `:db.attr/preds`: schema-declared predicates fire on
+    * every assert of their attribute. Two attrs from orders — price
+    * (cents) under `price-positive` ∧ `price-cap`, priority under
+    * `priority-not-low` — with real violations in the data (orders
+    * above the cap; 5-LOW priorities). Output: per-attr datom and
+    * rejection counts. The check itself (`ops/Validate.attrPreds`) is
+    * one codegen'd projection — a zero-shuffle scan pass at any
+    * scale; only this summary aggregates. */
+  def q67_attr_preds(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val price = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      c.cast("string").as("v"), c.as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val prio = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("order/priority").as("a"),
+      col("o_orderpriority").as("v"), lit(null).cast("long").as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val preds = Map(
+      "order/price" -> Seq(
+        "price-positive" -> (col("v_long") > 0),
+        "price-cap" -> (col("v_long") < 50000000L)),
+      "order/priority" -> Seq(
+        "priority-not-low" -> (col("v") =!= "5-LOW")))
+    graft.ops.Validate.attrPreds(price.unionByName(prio), preds)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_datoms"),
+        sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("n_rejected"))
+  }
+
+  // ── :db/fn named transaction functions ────────────────────────────
+  /** `:db/fn`: a custom `acct/inc-balance` tx function INSTALLED next
+    * to the built-ins (`db/cas`, `db.fn/retractEntity` —
+    * `store/TxFns.builtins`) and invoked as tx data: every order
+    * entity holds a balance (cents, tx 1); the function reads each
+    * argument entity's CURRENT balance from the pre-tx state and
+    * asserts balance+amount at tx 2 for orders divisible by 7. The
+    * final resolved totals prove the function saw real state (not
+    * just its args) and that non-argument entities are untouched.
+    * Plan: the fn body is one keyed join of args against the pruned
+    * balance scan — ops ≪ store, broadcast at scale. */
+  def q68_tx_fn(s: SparkSession, d: String): DataFrame = {
+    import graft.store.{Store, TxFns}
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val state = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("acct/balance").as("a"),
+      c.cast("string").as("v"), c.as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val incBalance: TxFns.TxFn = (ctx, args) => {
+      val cur = ctx.state.filter(col("a") === "acct/balance")
+        .select(col("e"), col("v_long").as("__cur"))
+      args.join(cur, Seq("e"), "left")
+        .select(col("e"), lit("acct/balance").as("a"),
+          (coalesce(col("__cur"), lit(0L)) + col("amount")).cast("string").as("v"),
+          (coalesce(col("__cur"), lit(0L)) + col("amount")).as("v_long"),
+          lit(false).as("is_ref"), lit(ctx.tx).as("tx"), lit(true).as("op"))
+    }
+    val fns = TxFns.builtins.install("acct/inc-balance", incBalance)
+    val args = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey").cast("string").as("e"), lit(100L).as("amount"))
+    val ctx = TxFns.TxCtx(state, new graft.model.SchemaRegistry(Map.empty), 2L)
+    val txDatoms = TxFns.expand(ctx, fns, Seq("acct/inc-balance" -> args))
+    Store.resolve(state.unionByName(txDatoms), Seq.empty)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("v_long")).cast("long").as("total_cents"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -186,6 +186,24 @@ object XxhOracle {
        |FROM hs GROUP BY 1""".stripMargin
   }
 
+  /** d38: the shard stage of the composed curation pipeline — the same
+    * xxh64(doc_id) mod 16 layout as [[d36Sql]], applied to the curated
+    * kept-set. `keptCtes` is a complete WITH-clause body whose final
+    * CTE is `packed(doc_id, n_tokens, pack_id)`; this wraps it with
+    * the generated hash chain and the per-shard aggregate. */
+  def d38Sql(keptCtes: String): String = {
+    val g = new Gen("w")
+    val h = g.hashLong("doc_id::HUGEINT", "42::HUGEINT")
+    val body = g.wrap("SELECT doc_id, n_tokens, pack_id FROM packed")
+    s"""WITH $keptCtes,
+       |hs AS (SELECT doc_id, n_tokens, pack_id, $h AS hu FROM $body)
+       |SELECT (hu % 16)::BIGINT AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |  CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       |  min_by(doc_id, ${signed("hu")}) AS first_doc
+       |FROM hs GROUP BY 1""".stripMargin
+  }
+
   def d03Sql: String =
     s"""WITH $minhashCte,
        |$bandsCte,

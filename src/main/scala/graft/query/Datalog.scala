@@ -70,7 +70,15 @@ object Datalog {
   /** `[(untuple ?t) [?a ?b …]]` — Datomic's tuple destructuring:
     * split a tuple-encoded value (the `[s0 s1 …]` text form shared by
     * `(tuple …)`, `:db/tupleAttrs` and `:db/tupleTypes` datoms) into
-    * per-slot bindings; `_` ignores a slot, `nil` decodes to null. */
+    * per-slot bindings; `_` ignores a slot, `nil` decodes to null.
+    *
+    * Scope limitation of TYPED decode: slot types come from
+    * `:db/tupleTypes` only when the tuple var is bound by a pattern
+    * in the SAME clause list as the untuple. A tuple var bound in an
+    * enclosing scope (rule body, or-leg, `:in` param) falls back to
+    * text decode — numeric slots then compare lexically ("9" > "10").
+    * For those shapes, compare through an explicit cast predicate or
+    * untuple inside the scope that binds the pattern. */
   final case class UntupleClause(t: Term, outs: Seq[Option[String]]) extends Clause
   /** `[(tx-ids $ t1 t2) [?tx ...]]` — Datomic's log API in query:
     * the distinct transaction ids in [t1, t2). Bounds are constants
@@ -438,6 +446,47 @@ object Datalog {
   def runAsOf(store: Store, registry: SchemaRegistry, tx: Long, q: Query,
       args: Map[String, Edn] = Map.empty): DataFrame =
     runOn(store.asOf(registry, tx), registry, q, args)
+
+  /** Datomic `d/qseq` — bounded-memory iteration over ANY query
+    * result: pages of at most `pageSize` rows, produced lazily by a
+    * sorted key-cursor (each page is one bounded Spark job: cursor
+    * filter → sort → limit, a TakeOrderedAndProject — no full-result
+    * collect, no unbounded driver state). The iteration order is the
+    * lexicographic order of the output columns (sorted by name), the
+    * deterministic analog of Datomic's index order; like Datomic's
+    * seq-of-tuples, the iteration is over the DISTINCT tuple set.
+    * Rows with null bindings are not supported (a null key cell makes
+    * the cursor comparison indeterminate) — Datalog output vars are
+    * non-null by construction except via `get-else` defaults, which
+    * bind real values. Compose with `run`/`runCurrent`/`runOn`:
+    * `qseq(Datalog.runCurrent(store, reg, q), 10000)`. */
+  def qseq(result: DataFrame, pageSize: Int): Iterator[org.apache.spark.sql.Row] =
+    qseqPages(result, pageSize).flatten
+
+  /** The page-granular form of [[qseq]] (last page may be empty). */
+  def qseqPages(result: DataFrame, pageSize: Int): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    require(pageSize > 0, s"qseq page size must be positive, got $pageSize")
+    val cols = result.columns.toSeq.sorted
+    val df = result.select(cols.map(col): _*).distinct()
+    val key = struct(cols.map(col): _*)
+    new Iterator[Seq[org.apache.spark.sql.Row]] {
+      private var lastRow: Option[org.apache.spark.sql.Row] = None
+      private var exhausted = false
+      def hasNext: Boolean = !exhausted
+      def next(): Seq[org.apache.spark.sql.Row] = {
+        if (exhausted) throw new NoSuchElementException("qseq: past last page")
+        val afterCursor = lastRow match {
+          case None => df
+          case Some(r) =>
+            df.filter(key > struct(cols.indices.map(i => lit(r.get(i))): _*))
+        }
+        val page = afterCursor.orderBy(cols.map(col): _*).limit(pageSize).collect().toSeq
+        if (page.size < pageSize) exhausted = true
+        if (page.nonEmpty) lastRow = Some(page.last)
+        page
+      }
+    }
+  }
 
   /** Dedupe-then-project: vars appearing twice in one clause become
     * equality filters; each var surfaces once as `var_<name>`. */

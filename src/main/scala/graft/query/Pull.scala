@@ -24,13 +24,23 @@ import graft.store.Store
   */
 object Pull {
 
+  /** Datomic's implicit default limit on card-many results: any
+    * cardinality-many attribute or reverse ref without an explicit
+    * `:limit` truncates to the first 1000 items of the stable value
+    * order; `(:attr :limit nil)` lifts the cap (parsed to [[NoLimit]]),
+    * `(:attr :limit n)` overrides it. */
+  val DefaultLimit = 1000
+  /** Sentinel for `:limit nil` — "return everything". */
+  val NoLimit: Int = Int.MaxValue
+
   sealed trait Spec
   /** Datomic attribute-with-options: `(:artist/name :as "Name")`,
     * `(:artist/aliases :limit 2)`, `(:artist/startYear :default 0)`.
     * `limit` slices the SORTED card-many collection (deterministic
-    * truncation; Datomic's implicit 1000-item default limit is NOT
-    * applied — pass `:limit` explicitly), `default` coalesces a
-    * missing card-one value, `as` renames the output column. */
+    * truncation); `None` means Datomic's implicit [[DefaultLimit]]
+    * applies, `Some(NoLimit)` is the parsed `:limit nil` (no cap).
+    * `default` coalesces a missing card-one value, `as` renames the
+    * output column. */
   final case class PAttr(attr: String, limit: Option[Int] = None,
     default: Option[Edn] = None, as: Option[String] = None) extends Spec
   final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec],
@@ -65,6 +75,8 @@ object Pull {
     require(opts.size % 2 == 0, s"pull attr options must be key/value pairs")
     opts.grouped(2).foldLeft((Option.empty[Int], Option.empty[Edn], Option.empty[String])) {
       case ((l, d, a), Seq(EKw("", "limit"), ELong(n))) => (Some(n.toInt), d, a)
+      // Datomic `:limit nil` — lift the implicit 1000-item default
+      case ((l, d, a), Seq(EKw("", "limit"), ENil)) => (Some(NoLimit), d, a)
       case ((l, d, a), Seq(EKw("", "default"), v)) => (l, Some(v), a)
       case ((l, d, a), Seq(EKw("", "as"), EStr(s))) => (l, d, Some(s))
       case (_, Seq(k, v)) =>
@@ -182,8 +194,13 @@ object Pull {
       case EUuid(u) => u
       case other => Edn.print(other)
     }
+    // card-many collections truncate at Datomic's implicit default
+    // unless an explicit :limit overrides it (:limit nil = NoLimit)
     def sliced(c: org.apache.spark.sql.Column, limit: Option[Int]) =
-      limit.fold(c)(n => slice(c, 1, n))
+      limit.getOrElse(DefaultLimit) match {
+        case NoLimit => c
+        case n => slice(c, 1, n)
+      }
     def step(acc: DataFrame, spec: Spec): DataFrame =
       spec match {
         case PWild => throw new IllegalStateException("unreachable: * expanded above")

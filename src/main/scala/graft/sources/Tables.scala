@@ -32,8 +32,25 @@ object Tables {
     * NTZ carries no zone and is interpreted as UTC — guarded, because
     * the NTZ→timestamp cast reads the session zone. The projection is
     * pruned away when a query never touches `ts`. */
+  /** Batch open of an events parquet path, rethrowing Spark's opaque
+    * schema-converter failure for legacy TIMESTAMP(NANOS) files read
+    * without the nanosAsLong flag ("Illegal Parquet type: INT64
+    * (TIMESTAMP(NANOS,...))") with the actionable hint. Shared with
+    * `Streams.readEvents`, which uses it as its physical-form probe. */
+  private[graft] def openEvents(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: Exception
+          if Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .take(5).exists(t => String.valueOf(t.getMessage).contains("Illegal Parquet type")) =>
+        throw new IllegalArgumentException(
+          s"$path: ts is legacy TIMESTAMP(NANOS) — set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+            "to read it as epoch-nanos longs", e)
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
+    val raw = openEvents(s, s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw // legacy nanos-as-long
       case _ =>

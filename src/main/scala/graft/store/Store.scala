@@ -55,6 +55,21 @@ final class Store(spark: SparkSession, val dir: String) {
     invalidateSnapshot()
   }
 
+  /** `:db.attr/preds`-enforced append: datoms whose attribute declares
+    * predicates must pass ALL of them (`ops/Validate.attrPreds`);
+    * passing datoms append, failing ones do NOT land and come back as
+    * error-as-data rows whose `errors` column names the failed
+    * predicates — the `ensureTx` convention. The annotated batch
+    * materializes once (localCheckpoint) so the append and the
+    * returned rejects share one evaluation; tx batches are bounded,
+    * so the checkpoint is small. */
+  def appendChecked(datoms: DataFrame,
+      preds: Map[String, Seq[(String, Column)]]): DataFrame = {
+    val annotated = graft.ops.Validate.attrPreds(datoms, preds).localCheckpoint()
+    append(annotated.filter(size(col("errors")) === 0).drop("errors"))
+    annotated.filter(size(col("errors")) > 0)
+  }
+
   /** Datomic `[:db/retract e a v]`: append retraction datoms
     * (op=false). A retraction hides the exact (e, a, v) it names —
     * retracting a stale value a later assert already superseded is a
@@ -516,10 +531,11 @@ object Store {
     * and join interchangeably. Arity is validated here (Datomic
     * rejects a tuple whose length disagrees with :db/tupleTypes);
     * per-slot cast failures surface as nil, the encoding's null.
-    * Caveats shared with composite tuples: the space-separated text
-    * form requires string slots without embedded spaces, and the
-    * literal string "nil" is indistinguishable from a null slot.
-    * Map-only — no shuffle. */
+    * Unencodable string slots (embedded space / literal "nil") fail
+    * loudly at encode time via `renderTuple`'s shared guard — the
+    * same protection now covers composite (`deriveTupleAttr`) and
+    * query-built (Datalog `(tuple …)`) tuples. Map-only — no
+    * shuffle. */
   def tupleDatoms(rows: DataFrame, e: Column, attr: String,
       slots: Seq[Column], tupleTypes: Seq[String], tx: Long): DataFrame = {
     require(tupleTypes.size >= 2, "a tuple needs at least 2 slots")
@@ -534,18 +550,7 @@ object Store {
         case "instant" => unix_millis(c.cast("timestamp"))
         case "double" | "float" => c.cast("double")
         case "boolean" => c.cast("boolean")
-        case _ =>
-          // encode-time guard: the space-separated text form cannot
-          // represent string slots with embedded spaces or the
-          // literal "nil" — without this check they would DECODE to
-          // wrong values silently; fail loudly instead (mirrors the
-          // arity require above)
-          val s = c.cast("string")
-          when(s.isNotNull && (s.contains(" ") || s === "nil"),
-            raise_error(concat(
-              lit(s"tuple $attr: string slot not encodable " +
-                "(embedded space or literal \"nil\"): "), s)))
-            .otherwise(c)
+        case _ => c // renderTuple's shared encode guard covers strings
       }
     }
     rows.select(e.as("e"), lit(attr).as("a"), renderTuple(typed).as("v"),
@@ -557,11 +562,28 @@ object Store {
     * slots. Single definition shared by `tupleDatoms`,
     * `deriveTupleAttr` and the Datalog `(tuple …)` function, so
     * query-built, asserted, and derived tuples always compare equal;
-    * `tupleSlot` is its inverse. */
+    * `tupleSlot` is its inverse.
+    *
+    * Encode-time guard, applied HERE so every producer path fails
+    * loudly: the space-separated text form cannot represent a slot
+    * whose string rendering contains a space or is the literal
+    * `"nil"` — without the check such slots would silently DECODE to
+    * wrong values. Numeric/boolean renderings never trip it; typed
+    * instants render as epoch-millis longs before reaching this
+    * (`tupleDatoms`), so only genuine string payloads can. */
   def renderTuple(slots: Seq[Column]): Column =
-    concat(lit("["),
-      concat_ws(" ", slots.map(c => coalesce(c.cast("string"), lit("nil"))): _*),
-      lit("]"))
+    concat(lit("["), concat_ws(" ", slots.map(encodeSlot): _*), lit("]"))
+
+  /** One guarded slot rendering: null → "nil"; unencodable → error. */
+  private def encodeSlot(c: Column): Column = {
+    val s = c.cast("string")
+    coalesce(
+      when(s.contains(" ") || s === "nil",
+        raise_error(concat(
+          lit("tuple slot not encodable (embedded space or literal \"nil\"): "), s)))
+        .otherwise(s),
+      lit("nil"))
+  }
 
   /** Slot extractor for the tuple text encoding: slot `i` of `v`,
     * cast per the declared type; `nil` decodes to null. The inverse

@@ -16,22 +16,37 @@ import org.apache.spark.sql.types._
 object Streams {
 
   /** events parquet schema, declared (never inferred — streaming
-    * requires it anyway). On disk `ts` is TIMESTAMP(MICROS) NTZ
-    * (2026-08-13 testdata regen); `readEvents` normalizes it to the
-    * engine-wide epoch-NANOS LongType convention (see Tables.events),
-    * so downstream streaming operators see the same shape batch
-    * consumers do. */
+    * requires it anyway). On disk `ts` has shipped in two physical
+    * forms (see Tables.events): TIMESTAMP(MICROS) NTZ since the
+    * 2026-08-13 testdata regen, and legacy TIMESTAMP(NANOS) readable
+    * only as epoch-nanos LongType under the nanosAsLong flag.
+    * `readEvents` probes the actual file form (same probe the batch
+    * reader uses) and normalizes either to the engine-wide epoch-NANOS
+    * LongType convention, so streaming and batch consumers never
+    * diverge on unit or physical form. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** The legacy physical form: ts already epoch-nanos LongType. */
+  val eventSchemaNanosLong: StructType = StructType(
+    eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
-      "events.ts is TIMESTAMP_NTZ (interpreted as UTC): set " +
-        "spark.sql.session.timeZone=UTC when building the SparkSession")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    // footer probe via the batch opener — also turns the opaque
+    // legacy-NANOS schema failure into the actionable nanosAsLong hint
+    val onDisk = graft.sources.Tables.openEvents(spark, dir).schema
+    if (onDisk("ts").dataType == LongType)
+      spark.readStream.schema(eventSchemaNanosLong).parquet(dir) // already epoch nanos
+    else {
+      require(spark.conf.get("spark.sql.session.timeZone", "") == "UTC",
+        "events.ts is TIMESTAMP_NTZ (interpreted as UTC): set " +
+          "spark.sql.session.timeZone=UTC when building the SparkSession")
+      spark.readStream.schema(eventSchema).parquet(dir)
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   /** Epoch-nanos → event-time timestamp column. */

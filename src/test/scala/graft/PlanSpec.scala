@@ -222,6 +222,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.head.contains("shard"), exchanges.head)
   }
 
+  test("d38: composed pipeline — map prefix fused, shuffles only on dedup/mix keys") {
+    // stages up to the mix: every hash exchange keys on clean_hash
+    // (dedup) or source (mix totals); the gopher+scrub+quality prefix
+    // adds NO exchange of its own, the totals side joins broadcast,
+    // and nothing goes all-pairs
+    val p = plan(graft.queries.Curate.d38Kept(spark, sf, 500L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.size <= 3, // dedup (may print twice: totals + join branch) + source
+      s"unexpected exchange count ${exchanges.size}:\n${exchanges.mkString("\n")}")
+    exchanges.foreach(e =>
+      assert(e.contains("clean_hash") || e.contains("source"),
+        s"exchange on unexpected key: $e"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"mix totals must broadcast back:\n${p.take(800)}")
+    // final stage: every hash exchange keys on the shard id (the
+    // count-distinct pack rewrite legitimately adds a second pass
+    // keyed shard+pack_id; nothing may shuffle on anything else)
+    val pf = plan(graft.queries.Curate.d38_curation_pipeline(spark, sf))
+    val fin = pf.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(fin.nonEmpty && fin.size <= 2 && fin.forall(_.contains("shard")),
+      s"final stage shuffles must key on shard:\n${fin.mkString("\n")}")
+  }
+
   test("d29: prefix-sum packing has no unpartitioned window") {
     val p = plan(graft.queries.Curate.d29_sequence_pack(spark, sf))
     assert(!(p.contains("Window") && p.contains("SinglePartition")),
