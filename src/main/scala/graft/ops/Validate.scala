@@ -69,7 +69,15 @@ object Validate {
     * above uses the opposite). A predicate evaluating to NULL counts
     * as failed, like a Datomic pred that throws. Returns the input
     * plus `errors: array<string>` naming the failed predicates
-    * (empty = accepted) — one codegen'd projection, zero shuffle. */
+    * (empty = accepted) — one codegen'd projection, zero shuffle.
+    *
+    * Grain note: Datomic ABORTS the whole transaction on an attr-pred
+    * failure; the engine's default grain is the datom (rejects
+    * quarantined error-as-data, the rest of the batch lands — the
+    * posture `quarantine` documents for 100 TB loads). For Datomic's
+    * all-or-nothing shape, group through `ensureTx` with these
+    * predicates, or gate the append on `errors` being empty
+    * everywhere (`requireValid`). */
   def attrPreds(datoms: DataFrame,
       preds: Map[String, Seq[(String, Column)]]): DataFrame = {
     val isAssert =

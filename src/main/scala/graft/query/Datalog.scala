@@ -620,7 +620,15 @@ object Datalog {
       require(fc.args.size >= 2, "(tuple …) takes at least two arguments")
       graft.store.Store.renderTuple(fc.args.map {
         case TConst(ELong(v)) => lit(v) // keep "7", not termCol's "7.0"
-        case a => termCol(a, numeric = false, registry)
+        case TConst(ENil) => lit(null).cast("string")
+        case a =>
+          // the query surface's nil sentinel: a binding holding the
+          // literal text "nil" IS a null slot (the
+          // `(get-else $ ?e :attr "nil")` idiom) — map it to SQL NULL
+          // here so renderTuple's encode guard (which rejects a REAL
+          // "nil" payload on the store paths) never fires on it
+          val c = termCol(a, numeric = false, registry)
+          when(c === "nil", lit(null).cast("string")).otherwise(c)
       })
     // `[(ground <const>) ?x]` — bind a constant (Datomic ground; most
     // useful inside or/or-join legs to tag which leg matched)

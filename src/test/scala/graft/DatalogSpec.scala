@@ -856,6 +856,28 @@ class DatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("required binding"), err.getMessage)
   }
 
+  test("qseq: page-stitched iteration equals the one-shot result (3 pages)") {
+    val q = Datalog.parse(
+      """[:find ?name ?sort
+        | :where [?e :artist/name ?name]
+        |        [?e :artist/sortName ?sort]]""".stripMargin)
+    val result = Datalog.run(store, registry, q)
+    val oneShot = result.distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(oneShot.size >= 9, s"need enough rows for 3 pages, got ${oneShot.size}")
+    val pageSize = oneShot.size / 3 + 1 // forces exactly 3 pages
+    val pages = Datalog.qseqPages(result, pageSize)
+      .filter(_.nonEmpty).toSeq
+    assert(pages.size === 3, s"expected 3 pages, got ${pages.size}")
+    assert(pages.forall(_.size <= pageSize))
+    // stitched pages = the full distinct result, in lexicographic order
+    val stitched = pages.flatten.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(stitched === oneShot)
+    // the flat iterator agrees
+    assert(Datalog.qseq(result, pageSize)
+      .map(r => (r.getString(0), r.getString(1))).toSeq === oneShot)
+  }
+
   test("recursive call under (not …) is rejected as unstratified") {
     val rules = Datalog.parseRules(
       """[[(reach ?a ?b) [?a :next ?b]]

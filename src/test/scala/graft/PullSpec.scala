@@ -269,6 +269,26 @@ class PullSpec extends AnyFunSuite {
     assert(err.getMessage.contains("cardinality-one"), err.getMessage)
   }
 
+  test("implicit 1000-item default limit on card-many; :limit nil lifts it") {
+    // a root with 1500 values on a card-many attr — past Datomic's
+    // implicit default
+    val big = (1 to 1500).map(i => ("r1", "x/many", f"v$i%04d"))
+      .toDF("e", "a", "v")
+    val reg = new SchemaRegistry(Map(ad("x/many", many = true)))
+    def vals(pattern: String): Seq[String] = {
+      val row = Pull.pullFrom(big, reg, Pull.parsePattern(pattern), roots("r1"))
+        .collect()(0)
+      row.getSeq[String](row.fieldIndex("x_many"))
+    }
+    // bare attr: truncates at 1000, first of the sorted order
+    val dflt = vals("[:x/many]")
+    assert(dflt.length === 1000 && dflt.head === "v0001" && dflt.last === "v1000")
+    // :limit nil — everything
+    assert(vals("[(:x/many :limit nil)]").length === 1500)
+    // explicit :limit still overrides
+    assert(vals("[(:x/many :limit 3)]") === Seq("v0001", "v0002", "v0003"))
+  }
+
   test("map-spec options: {(:ref :limit n) [...]} truncates hydrated children") {
     val revReg = new SchemaRegistry(Map(
       ad("band/name"), ad("album/name"), ad("album/band", ref = true)))

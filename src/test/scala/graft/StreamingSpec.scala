@@ -195,4 +195,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/out").count() == 4)
     assert(spark.read.parquet(s"$tmp/ledger").count() == 2)
   }
+
+  test("readEvents probes the physical form: nanos-as-long files stream unchanged") {
+    import spark.implicits._
+    // pre-regen testdata shape: ts already epoch-nanos LongType —
+    // the probe must pick the long schema and skip the NTZ cast
+    val dir = java.nio.file.Files.createTempDirectory("evlong").toString
+    Seq((1L, 3600L * 1000 * 1000 * 1000, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val df = Streams.readEvents(spark, dir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // the NTZ testdata path still resolves (schema probe, cast applied)
+    val real = Streams.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(real.isStreaming &&
+      real.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  }
 }

@@ -428,6 +428,156 @@ class TxFnSpec extends AnyFunSuite {
       hb2.mkString(","))
   }
 
+  test("renderTuple guard also covers composite (deriveTupleAttr) tuples") {
+    import spark.implicits._
+    // the advice gap: the encode guard used to protect tupleDatoms
+    // only; a composite tuple built from a spacey source value would
+    // silently mis-decode. Now the shared renderTuple guard fires.
+    val cur = Seq(("e1", "x/a", "one two"), ("e1", "x/b", "3")).toDF("e", "a", "v")
+    val err = intercept[Exception](
+      Store.deriveTupleAttr(cur, "x/a+b", Seq("x/a", "x/b"), 1L).collect())
+    assert(err.getMessage.contains("not encodable"), err.getMessage)
+  }
+
+  test(":db.attr/preds: per-attribute predicates accept/reject; retractions pass unchecked") {
+    import graft.ops.Validate
+    val preds = Map(
+      "acct/balance" -> Seq(
+        "non-negative" -> (col("v_long") >= 0L),
+        "below-cap" -> (col("v_long") < 1000L)),
+      "acct/owner" -> Seq(
+        "non-empty" -> (length(col("v")) > 0)))
+    val rows = datoms(
+      ("e1", "acct/balance", "500", 1L),   // ok
+      ("e2", "acct/balance", "-5", 1L),    // fails non-negative
+      ("e3", "acct/balance", "5000", 1L),  // fails below-cap
+      ("e4", "acct/owner", "", 1L),        // fails non-empty
+      ("e5", "acct/other", "anything", 1L) // attr with no preds → ok
+    ).withColumn("v_long", expr("try_cast(v AS bigint)"))
+    val out = Validate.attrPreds(rows, preds)
+      .select(col("e"), col("errors")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(out("e1").isEmpty && out("e5").isEmpty)
+    assert(out("e2") === Seq("non-negative"))
+    assert(out("e3") === Seq("below-cap"))
+    assert(out("e4") === Seq("non-empty"))
+    // null pred result counts as failed (a Datomic pred that throws)
+    val nullRow = datoms(("e6", "acct/balance", "x", 1L))
+      .withColumn("v_long", lit(null).cast("long"))
+    val e6 = Validate.attrPreds(nullRow, preds).select(col("errors")).collect()(0)
+    assert(e6.getSeq[String](0).toSet === Set("non-negative", "below-cap"))
+    // retraction of a violating value passes unchecked (preds fire on asserts)
+    val retraction = datoms(("e2", "acct/balance", "-5", 2L))
+      .withColumn("v_long", lit(-5L)).withColumn("op", lit(false))
+    assert(Validate.attrPreds(retraction, preds)
+      .select(col("errors")).collect()(0).getSeq[String](0).isEmpty)
+  }
+
+  test(":db.attr/preds: appendChecked keeps rejects out of the log, error-as-data back") {
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("preds").toString)
+    val preds = Map("acct/balance" -> Seq("non-negative" -> (col("v_long") >= 0L)))
+    val batch = datoms(
+      ("e1", "acct/balance", "10", 1L),
+      ("e2", "acct/balance", "-1", 1L))
+      .withColumn("v_long", col("v").cast("long"))
+    val rejected = st.appendChecked(batch, preds).collect()
+    assert(rejected.length === 1 &&
+      rejected(0).getString(rejected(0).fieldIndex("e")) === "e2")
+    assert(rejected(0).getSeq[String](rejected(0).fieldIndex("errors"))
+      === Seq("non-negative"))
+    val logged = st.eav.select("e").collect().map(_.getString(0)).toSet
+    assert(logged === Set("e1"), "the violating datom must not land")
+  }
+
+  test(":db/fn: custom inc-balance installs next to builtins and transacts through a store") {
+    import graft.store.TxFns
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("txfns").toString)
+    val reg = new graft.model.SchemaRegistry(Map.empty)
+    st.append(datoms(
+      ("a1", "acct/balance", "100", 1L),
+      ("a2", "acct/balance", "200", 1L))
+      .withColumn("v_long", col("v").cast("long")))
+    // the custom function: read CURRENT balance, assert balance+amount
+    val incBalance: TxFns.TxFn = (ctx, args) => {
+      val cur = ctx.state.filter(col("a") === "acct/balance")
+        .select(col("e"), col("v_long").as("__cur"))
+      args.join(cur, Seq("e"), "left")
+        .select(col("e"), lit("acct/balance").as("a"),
+          (coalesce(col("__cur"), lit(0L)) + col("amount")).cast("string").as("v"),
+          (coalesce(col("__cur"), lit(0L)) + col("amount")).as("v_long"),
+          lit(false).as("is_ref"), lit(ctx.tx).as("tx"), lit(true).as("op"))
+    }
+    val fns = TxFns.builtins.install("acct/inc-balance", incBalance)
+    assert(fns.names === Set("db/cas", "db.fn/retractEntity", "acct/inc-balance"))
+    import spark.implicits._
+    TxFns.transact(st, reg, fns,
+      Seq("acct/inc-balance" -> Seq(("a1", 50L), ("a3", 7L)).toDF("e", "amount")), tx = 2L)
+    val bal = st.current(reg).filter(col("a") === "acct/balance")
+      .select("e", "v_long").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a1 bumped from its REAL current value, a2 untouched, a3 created from 0
+    assert(bal === Map("a1" -> 150L, "a2" -> 200L, "a3" -> 7L))
+    // unknown name fails loudly
+    val ex = intercept[IllegalArgumentException](fns("nope"))
+    assert(ex.getMessage.contains("acct/inc-balance"))
+  }
+
+  test(":db/fn: builtin cas entry aborts the whole tx on a stale expected") {
+    import graft.store.TxFns
+    import spark.implicits._
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("txfnscas").toString)
+    val reg = new graft.model.SchemaRegistry(Map.empty)
+    st.append(datoms(("a1", "acct/balance", "100", 1L))
+      .withColumn("v_long", col("v").cast("long")))
+    val stale = Seq(("a1", "acct/balance", "999", "50"))
+      .toDF("e", "a", "expected", "new_v")
+      .withColumn("new_v_long", col("new_v").cast("long"))
+    intercept[IllegalStateException] {
+      TxFns.transact(st, reg, TxFns.builtins, Seq("db/cas" -> stale), tx = 2L)
+    }
+    // nothing landed: the store still resolves to the original value
+    val v = st.current(reg).filter(col("a") === "acct/balance")
+      .select("v").collect()(0).getString(0)
+    assert(v === "100")
+    // a correct expected goes through the same registry path
+    val ok = Seq(("a1", "acct/balance", "100", "50"))
+      .toDF("e", "a", "expected", "new_v")
+      .withColumn("new_v_long", col("new_v").cast("long"))
+    TxFns.transact(st, reg, TxFns.builtins, Seq("db/cas" -> ok), tx = 3L)
+    assert(st.current(reg).filter(col("a") === "acct/balance")
+      .select("v").collect()(0).getString(0) === "50")
+  }
+
+  test(":db.attr/preds: the loader path drops rejected datoms and counts them") {
+    val registry = graft.model.SchemaRegistry.load(
+      "/root/reference/subsets/entities/schema.edn")
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("loaderpreds").toString)
+    // predicate: artist names must not start with lowercase 'z' —
+    // fails for one artist in the fixture batch below
+    val preds = Map("artist/name" -> Seq(
+      "no-z-names" -> (!col("v").startsWith("z"))))
+    val loader = new graft.pipeline.Loader(spark, registry, st, attrPreds = preds)
+    loader.ensureImportSchema()
+    val line =
+      """{:batch-ident {:db/id "datomic.tx", :mbrainz.initial-import/batch-id "artists-9"}, :data [""" +
+        """{:artist/gid #uuid "77777777-7777-4777-8777-777777777777", :artist/name "Good", :artist/sortName "G"} """ +
+        """{:artist/gid #uuid "88888888-8888-4888-8888-888888888888", :artist/name "zBad", :artist/sortName "Z"}]}"""
+    val f = java.nio.file.Files.createTempFile("preds", ".edn")
+    java.nio.file.Files.write(f, line.getBytes)
+    val stats = loader.loadBatchFile("artists", f.toString)
+    assert(stats.rejected === 1L, s"one artist/name datom must be rejected: $stats")
+    val names = st.eav.filter(col("a") === "artist/name")
+      .select("v").collect().map(_.getString(0)).toSet
+    assert(names === Set("Good"), "the violating name must not land")
+    // the rejected entity's OTHER datoms still landed (per-datom preds,
+    // not per-entity — Datomic's attr preds reject the offending datom's tx;
+    // the engine's error-as-data grain is the datom, documented in Validate)
+    assert(st.eav.filter(col("a") === "artist/sortName").count() === 2)
+  }
+
   test("loader stamps one txInstant per transaction; asOfInstant reads through it") {
     val registry = graft.model.SchemaRegistry.load(
       "/root/reference/subsets/entities/schema.edn")
