@@ -648,13 +648,17 @@ object Datalog {
   private def evalClauses(srcEav: Option[String] => DataFrame, registry: SchemaRegistry,
       clauses: Seq[Clause], resolve: Term => Term,
       ruleEnv: String => DataFrame,
-      ruleReq: String => Int = _ => 0): DataFrame = {
+      ruleReq: String => Int = _ => 0,
+      observe: (Int, Clause, DataFrame) => Unit = (_, _, _) => ()): DataFrame = {
     val eav = srcEav(None)
     require(clauses.nonEmpty, "empty clause body")
-    clauses.foldLeft(Option.empty[DataFrame]) { (acc, c) =>
+    clauses.zipWithIndex.foldLeft(Option.empty[DataFrame]) { case (acc, (c, ci)) =>
       def bound = acc.getOrElse(throw new IllegalArgumentException(
         s"expression clause before any binding pattern: $c"))
-      c match {
+      def observed(df: Option[DataFrame]): Option[DataFrame] = {
+        df.foreach(observe(ci, c, _)); df
+      }
+      observed(c match {
         case pc: PredClause =>
           Some(bound.filter(predColumn(pc.copy(args = pc.args.map(resolve)), registry)))
         case fc: FnClause =>
@@ -837,7 +841,7 @@ object Datalog {
             val shared = a.columns.intersect(projected.columns).toSeq
             if (shared.nonEmpty) a.join(projected, shared) else a.crossJoin(projected)
           })
-      }
+      })
     }.get
   }
 
@@ -1012,10 +1016,36 @@ object Datalog {
     * `extraSrcs` supplies the additional databases a multi-source
     * query names in `:in` (`$2`, `$docs`, …), each an EAV-shaped
     * frame; patterns address them as `[$2 ?e :attr ?v]`. */
+  /** One row of Datomic's `:query-stats`: the size of the growing
+    * join frame AFTER clause `idx` evaluated. `rowsIn` of clause k is
+    * `rowsOut` of clause k-1 (the first clause's input is the source
+    * itself, deliberately not counted). */
+  final case class ClauseStat(idx: Int, clause: String, rowsOut: Long)
+
+  /** Datomic `query-stats` analog: run the query and ALSO report the
+    * per-top-level-clause row counts of the growing join frame — the
+    * "which clause exploded" diagnostic. Each count is one bounded
+    * Spark job over that clause's frame, so this costs one extra pass
+    * per clause: a DEBUG surface, not a production default (Spark's
+    * own metrics live in the UI; this gives the Datomic-shaped
+    * per-clause view). Nested clause bodies (rules, or-legs, not)
+    * report only their top-level result, like Datomic's per-clause
+    * grain. */
+  def runOnWithStats(eav: DataFrame, registry: SchemaRegistry, q: Query,
+      args0: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
+      maxRuleIters: Int = 100,
+      extraSrcs: Map[String, DataFrame] = Map.empty): (DataFrame, Seq[ClauseStat]) = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[ClauseStat]
+    val out = runOn(eav, registry, q, args0, rules, maxRuleIters, extraSrcs,
+      observe = (i, c, df) => stats += ClauseStat(i, c.toString, df.count()))
+    (out, stats.toSeq)
+  }
+
   def runOn(eav: DataFrame, registry: SchemaRegistry, q: Query,
       args0: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
       maxRuleIters: Int = 100,
-      extraSrcs: Map[String, DataFrame] = Map.empty): DataFrame = {
+      extraSrcs: Map[String, DataFrame] = Map.empty,
+      observe: (Int, Clause, DataFrame) => Unit = (_, _, _) => ()): DataFrame = {
     val missingSrcs = q.srcs.filterNot(extraSrcs.contains)
     require(missingSrcs.isEmpty, s"unbound :in databases: ${missingSrcs.map("$" + _)}")
     val srcEav: Option[String] => DataFrame = {
@@ -1073,7 +1103,8 @@ object Datalog {
     val joined0 = evalClauses(srcEav, registry, q.patterns, resolve,
       name => relations.getOrElse(name,
         throw new IllegalArgumentException(s"unknown rule: $name (no rule set passed?)")),
-      name => rules.get(name).map(_.head.requiredCount).getOrElse(0))
+      name => rules.get(name).map(_.head.requiredCount).getOrElse(0),
+      observe)
     val joined = q.collIn.filter(args.contains).foldLeft(joined0) { (df, n) =>
       val values = args(n) match {
         case EVec(xs) => xs

@@ -856,6 +856,26 @@ class DatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("required binding"), err.getMessage)
   }
 
+  test("query-stats: per-clause rows-out on a known query") {
+    import spark.implicits._
+    val eav = Seq(
+      ("n1", "x/name", "a"), ("n2", "x/name", "b"), ("n3", "x/name", "c"),
+      ("n1", "x/region", "r0"), ("n2", "x/region", "r0"), ("n3", "x/region", "r1"))
+      .toDF("e", "a", "v")
+    val q = Datalog.parse(
+      """[:find ?e ?n
+        | :where [?e :x/name ?n]
+        |        [?e :x/region "r0"]
+        |        [(!= ?n "a")]]""".stripMargin)
+    val (out, stats) = Datalog.runOnWithStats(eav, emptyRegistry, q, Map.empty)
+    assert(out.collect().map(_.getString(0)).toSeq === Seq("n2"))
+    // clause 0 binds all 3 names; clause 1 narrows to the 2 r0
+    // entities; clause 2's predicate drops "a"
+    assert(stats.map(s => (s.idx, s.rowsOut)) === Seq((0, 3L), (1, 2L), (2, 1L)),
+      stats.toString)
+    assert(stats(1).clause.contains("region"), stats(1).clause)
+  }
+
   test("qseq: page-stitched iteration equals the one-shot result (3 pages)") {
     val q = Datalog.parse(
       """[:find ?name ?sort
