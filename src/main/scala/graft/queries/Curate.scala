@@ -483,6 +483,27 @@ object Curate {
         min_by(col("doc_id"), col("__h")).as("first_doc"))
   }
 
+  /** The WRITE that d36/d38's shard plan gates: `n` parquet shards
+    * with DETERMINISTIC membership (pmod(xxhash64(doc_id), n)) and
+    * intra-shard order (the signed hash, tie-broken by doc_id) —
+    * `repartition(n, shard)` + `sortWithinPartitions` exactly as the
+    * plan queries document. A re-run, a resumed job, and another
+    * engine produce the same rows in the same order per shard
+    * (ShardWriteSpec proves re-run equality row-for-row); at 100 TB
+    * this is the one corpus shuffle the output stage was always going
+    * to pay, keyed on the shard id. Returns the shard directory. */
+  def writeShards(docs: DataFrame, outDir: String, nShards: Int = 16): String = {
+    val h = expr("xxhash64(doc_id)")
+    docs
+      .withColumn("shard", pmod(h, lit(nShards)))
+      .withColumn("__h", h)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col("doc_id"))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    outDir
+  }
+
   /** d38 oracle: the same seven stages in DuckDB SQL; the shard stage's
     * xxh64 comes from the generated oracle (XxhOracle.d38Sql wraps the
     * `packed` CTE below). */

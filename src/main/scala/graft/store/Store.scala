@@ -679,6 +679,29 @@ object Store {
     keep.unionByName(audit)
   }
 
+  /** Datomic `d/squuid`: a time-prefixed UUID — the top 32 bits are
+    * the epoch SECONDS, the rest random — so ids created over time
+    * sort roughly by creation moment (index locality for UUID keys,
+    * Datomic's documented motivation for squuid over random UUIDs).
+    * RFC-4122 version-4/variant-2 bits are set like
+    * `UUID.randomUUID`. Loader entity ids stay deterministic strings
+    * by design (`Datoms`); this is the API-surface helper a porting
+    * user reaches for. */
+  def squuid(): java.util.UUID = squuid(System.currentTimeMillis())
+
+  def squuid(epochMillis: Long): java.util.UUID = {
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    val msb = ((epochMillis / 1000L) << 32) | (rnd.nextLong() & 0xFFFFFFFFL)
+    val msbV = (msb & ~0x000000000000F000L) | 0x0000000000004000L // version 4
+    val lsb = (rnd.nextLong() >>> 2) | 0x8000000000000000L // variant 2
+    new java.util.UUID(msbV, lsb)
+  }
+
+  /** Datomic `d/squuid-time-millis`: the creation time encoded in a
+    * squuid (second precision). */
+  def squuidTimeMillis(u: java.util.UUID): Long =
+    (u.getMostSignificantBits >>> 32) * 1000L
+
   import org.apache.spark.sql.types._
   val schema: StructType = StructType(Seq(
     StructField("e", StringType, nullable = false),

@@ -11,6 +11,29 @@ class CurateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("writeShards: deterministic layout — re-run from a re-partitioned input is byte-order identical") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val d1 = java.nio.file.Files.createTempDirectory("shards1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Curate.writeShards(docs, d1, nShards = 8)
+    // different physical input layout — same logical corpus
+    Curate.writeShards(docs.repartition(13), d2, nShards = 8)
+    def layout(dir: String): Seq[(Int, Seq[Long])] =
+      (0 until 8).map { s =>
+        val rows = spark.read.parquet(s"$dir/shard=$s")
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        (s, rows)
+      }
+    val l1 = layout(d1); val l2 = layout(d2)
+    assert(l1 === l2, "shard membership AND intra-shard order must be re-run stable")
+    assert(l1.map(_._2.size).sum === docs.count())
+    // membership matches the plan query's rule
+    val planned = docs
+      .select(col("doc_id"), pmod(expr("xxhash64(doc_id)"), lit(8)).cast("int").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    l1.foreach { case (s, rows) => rows.foreach(id => assert(planned(id) === s)) }
+  }
+
   test("d19: scrub replaces every pattern occurrence and counts them") {
     import spark.implicits._
     val df = Seq(

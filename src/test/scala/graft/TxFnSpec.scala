@@ -428,6 +428,17 @@ class TxFnSpec extends AnyFunSuite {
       hb2.mkString(","))
   }
 
+  test("d/squuid: time-prefixed uuids sort by creation second; time round-trips") {
+    val t1 = 1700000000000L
+    val u1 = Store.squuid(t1)
+    val u2 = Store.squuid(t1 + 5000)
+    assert(Store.squuidTimeMillis(u1) === t1, "second-precision round-trip")
+    assert(Store.squuidTimeMillis(u2) === t1 + 5000)
+    assert(u1.toString < u2.toString, "later second sorts later as text")
+    assert(u1.version === 4 && u1.variant === 2, "well-formed RFC-4122")
+    assert(Store.squuid(t1) !== Store.squuid(t1), "same second still unique")
+  }
+
   test("renderTuple guard also covers composite (deriveTupleAttr) tuples") {
     import spark.implicits._
     // the advice gap: the encode guard used to protect tupleDatoms
