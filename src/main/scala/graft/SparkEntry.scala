@@ -124,6 +124,8 @@ object SparkEntry {
     "d36_shard_plan"         -> (Curate.d36_shard_plan _),
     "d37_duplicate_spans"    -> (Llm.d37_duplicate_spans _),
     "d38_curation_pipeline"  -> ((s, d) => Curate.d38_curation_pipeline(s, d)),
+    "d39_temperature_mix"    -> ((s, d) => Curate.d39_temperature_mix(s, d)),
+    "d40_containment"        -> ((s, d) => Curate.d40_containment(s, d)),
     "q67_attr_preds"         -> (Relational.q67_attr_preds _),
     "q68_tx_fn"              -> (Relational.q68_tx_fn _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -1030,6 +1032,8 @@ object SparkEntry {
     "d36_shard_plan" -> Curate.d36OracleSql,
     "d37_duplicate_spans" -> Llm.d37OracleSql,
     "d38_curation_pipeline" -> Curate.d38OracleSql,
+    "d39_temperature_mix" -> Curate.d39OracleSql,
+    "d40_containment" -> Curate.d40OracleSql,
     // q67: the same predicate set over the same synthesized datoms —
     // rejects = rows failing ANY declared pred of their attr
     "q67_attr_preds" ->

@@ -281,6 +281,124 @@ object Curate {
       |  CAST(least(i * 96 + 128, n_tokens) AS BIGINT) AS end_tok
       |FROM c CROSS JOIN UNNEST(range(0, n_chunks)) AS u(i)""".stripMargin
 
+  // ── d39: temperature-scaled language mixing ───────────────────────
+  /** Multilingual mixing with a sampling temperature (the XLM-R /
+    * mC4 recipe): group shares are re-weighted ∝ tokens^(1/T) — here
+    * T = 2, i.e. sqrt — so low-resource languages are up-weighted
+    * relative to their raw share, then each group is down-sampled to its
+    * re-weighted token budget by the d22 deterministic hash bucket.
+    *
+    * Cross-engine float discipline: sqrt of an integer-valued double
+    * is IEEE-exact in both engines, but a float SUM across groups is
+    * order-dependent — so the weight is quantized per group
+    * (floor(sqrt(t)*1000) as BIGINT) BEFORE the normalization sum,
+    * making every downstream number exact integer math.
+    *
+    * Scale shape: identical to d26 — one tiny per-group aggregate
+    * (rows = #languages) broadcast back; the corpus never shuffles. */
+  def d39_temperature_mix(s: SparkSession, d: String,
+      budgetTokens: Long = 4000L): DataFrame =
+    temperatureMix(documents(s, d), budgetTokens)
+
+  /** DataFrame-level core of d39 (any (doc_id, text, lang) frame). */
+  def temperatureMix(docs0: DataFrame, budgetTokens: Long): DataFrame = {
+    val docs = docs0
+      .withColumn("n_tokens",
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), " +")).cast("long")))
+    val weights = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .withColumn("w", floor(sqrt(col("t").cast("double")) * 1000).cast("long"))
+    // normalization sum S = Σ w over ~#languages rows: tiny, exact
+    val total = weights.agg(sum(col("w")).as("w_total"))
+    val rates = weights.crossJoin(total)
+      .select(col("lang"), col("t"),
+        least(lit(10000L),
+          expr(s"(($budgetTokens * w) div w_total) * 10000 div t")).as("rate_bp"))
+    docs.join(broadcast(rates.select(col("lang"), col("rate_bp"))), "lang")
+      .filter(hashBucket(col("doc_id"), "temp", 10000) < col("rate_bp"))
+      .select(col("doc_id"), col("lang"), col("rate_bp"), col("n_tokens"))
+  }
+
+  def d39OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS n_tokens
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tt,
+      |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000) AS BIGINT) AS w
+      |  FROM t GROUP BY lang),
+      |n AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM g),
+      |r AS (
+      |  SELECT g.lang,
+      |    least(10000, ((4000 * g.w) // n.w_total) * 10000 // g.tt) AS rate_bp
+      |  FROM g CROSS JOIN n)
+      |SELECT t.doc_id, t.lang, CAST(r.rate_bp AS BIGINT) AS rate_bp, t.n_tokens
+      |FROM t JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || ':temp'), 1, 15))::BIGINT % 10000
+      |      < r.rate_bp""".stripMargin
+
+  // ── d40: containment-based decontamination ────────────────────────
+  /** Fuzzy eval-set decontamination by gram CONTAINMENT — the metric
+    * real decontam pipelines threshold on (|doc ∩ bench| / |doc|),
+    * normalizing d21's raw hit count by document size so long
+    * documents aren't over-flagged. Same scale shape as d21: the
+    * benchmark gram set aggregates small and broadcasts; the corpus
+    * explodes once, joins on the gram key, and rolls up per doc. */
+  def d40_containment(s: SparkSession, d: String,
+      benchSource: String = "src0", thresholdBp: Long = 2000L): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val docs = documents(s, d)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(expr("ngram_set(text)")).as("gram"))
+    val bench = grams.filter(col("source") === benchSource)
+      .select(col("gram")).distinct()
+    val perDoc = grams.filter(col("source") =!= benchSource)
+      .join(broadcast(bench.withColumn("__hit", lit(1L))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contam"))
+    docs.filter(col("source") =!= benchSource).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 0L)
+          .otherwise(expr("coalesce(n_contam, 0) * 10000 div n_grams"))
+          .as("containment_bp"))
+      .withColumn("flagged", (col("containment_bp") >= thresholdBp).cast("long"))
+  }
+
+  def d40OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(ws) = 0 THEN []
+      |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    END AS grams FROM t),
+      |e AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+      |bench AS (SELECT DISTINCT gram FROM e WHERE source = 'src0'),
+      |pd AS (
+      |  SELECT e.doc_id, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+      |  FROM e LEFT JOIN bench b USING (gram)
+      |  WHERE e.source <> 'src0' GROUP BY e.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(pd.n_contam, 0) AS BIGINT) AS n_contam,
+      |  CAST(CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+      |       ELSE coalesce(pd.n_contam, 0) * 10000 // pd.n_grams END AS BIGINT) AS containment_bp,
+      |  CAST(CASE WHEN (CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+      |       ELSE coalesce(pd.n_contam, 0) * 10000 // pd.n_grams END) >= 2000
+      |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |WHERE d.source <> 'src0'""".stripMargin
+
   // ── d23: corpus stats ("data card") ───────────────────────────────
   /** Per-(source, lang) corpus statistics: doc counts, token totals,
     * and the EXACT median document length — the mixing/reporting

@@ -34,6 +34,24 @@ class CurateSpec extends AnyFunSuite {
     l1.foreach { case (s, rows) => rows.foreach(id => assert(planned(id) === s)) }
   }
 
+  test("d39: temperature mixing up-weights low-resource groups") {
+    import spark.implicits._
+    // two languages, 100:1 token imbalance — with T=2 (sqrt) the
+    // small group's keep RATE must exceed the big group's (raw
+    // proportional sampling would give both the same rate)
+    val docs = ((1 to 200).map(i => (i.toLong, ("w " * 50).trim, "big")) ++
+      (201 to 202).map(i => (i.toLong, ("w " * 50).trim, "small")))
+      .toDF("doc_id", "text", "lang")
+    val rates = Curate.temperatureMix(docs, budgetTokens = 1000L)
+      .select("lang", "rate_bp").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: t=10000, small: t=100 → w=100000 vs 10000; budgets 909 vs 90
+    // → rates 909 bp vs 9000 bp: the small group keeps a 10x rate
+    assert(rates("small") > rates("big") * 5,
+      s"sqrt temperature must up-weight the small group: $rates")
+    assert(rates("small") <= 10000L && rates("big") >= 1L)
+  }
+
   test("d19: scrub replaces every pattern occurrence and counts them") {
     import spark.implicits._
     val df = Seq(
