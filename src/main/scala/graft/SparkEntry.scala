@@ -133,6 +133,7 @@ object SparkEntry {
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
     "mm4_resize"             -> (Multimodal.mm4_resize _),
     "mm5_perceptual_hash"    -> (Multimodal.mm5_perceptual_hash _),
+    "mm6_silence_segments"   -> (Multimodal.mm6_silence_segments _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1033,6 +1034,7 @@ object SparkEntry {
     "d37_duplicate_spans" -> Llm.d37OracleSql,
     "d38_curation_pipeline" -> Curate.d38OracleSql,
     "d39_temperature_mix" -> Curate.d39OracleSql,
+    "mm6_silence_segments" -> Multimodal.mm6OracleSql,
     "d40_containment" -> Curate.d40OracleSql,
     // q67: the same predicate set over the same synthesized datoms —
     // rejects = rows failing ANY declared pred of their attr

@@ -142,6 +142,53 @@ object Multimodal {
     * the video-frame-sample plumbing without a video codec. Frame
     * count uses integer `div` (float division + int cast disagree
     * about rounding across engines). */
+  /** mm6: audio-shaped frame ENERGY + silence segmentation — the
+    * trim-leading-silence / voice-activity pass of an audio pipeline,
+    * over the opaque payload (64-byte frames standing in for PCM
+    * windows; a real codec slots into the same frame loop). Per doc:
+    * frame count, silent-frame count (energy below threshold), the
+    * first active frame (-1 = all silent — the whole clip trims
+    * away), and total energy. Integer energies (Σ (b-32)² per frame;
+    * space = 0, the text stand-in's "silence") keep the cross-engine
+    * hash exact. Scan-side expressions only — zero shuffle, one pass,
+    * same 100 TB shape as mm1/mm3. */
+  def mm6_silence_segments(s: SparkSession, d: String): DataFrame = {
+    val win = 64
+    val thr = 20000L
+    documents(s, d)
+      .select(col("doc_id"),
+        expr(s"""transform(
+            sequence(0, greatest(cast(ceil(length(text) / $win.0) as int) - 1, 0)),
+            i -> if(length(substring(text, i*$win + 1, $win)) = 0, 0L,
+              aggregate(
+                transform(sequence(1, length(substring(text, i*$win + 1, $win))),
+                  j -> cast(ascii(substring(substring(text, i*$win + 1, $win), j, 1)) - 32 as bigint)),
+                0L, (a, x) -> a + x * x)))""").as("energies"))
+      .select(col("doc_id"),
+        size(col("energies")).cast("long").as("n_frames"),
+        expr(s"cast(size(filter(energies, e -> e < $thr)) as bigint)").as("n_silent"),
+        expr(s"cast(coalesce(array_position(transform(energies, e -> e >= $thr), true) - 1, -1) as bigint)")
+          .as("first_active"),
+        expr("aggregate(energies, 0L, (a, x) -> a + x)").as("total_energy"))
+  }
+
+  def mm6OracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) AS nf, text
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |    CASE WHEN length(substr(text, CAST(i*64 + 1 AS INT), 64)) = 0 THEN 0
+      |         ELSE COALESCE(list_sum(list_transform(
+      |           string_split(substr(text, CAST(i*64 + 1 AS INT), 64), ''),
+      |           c -> CAST((ord(c) - 32) * (ord(c) - 32) AS BIGINT))), 0) END AS energy
+      |  FROM f CROSS JOIN UNNEST(range(0, nf)) AS u(i))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(CASE WHEN energy < 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+      |  CAST(coalesce(min(CASE WHEN energy >= 20000 THEN frame_idx END), -1) AS BIGINT) AS first_active,
+      |  CAST(sum(energy) AS BIGINT) AS total_energy
+      |FROM e GROUP BY doc_id""".stripMargin
+
   def mm3_frame_sample(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("payload", col("text").cast("binary"))
