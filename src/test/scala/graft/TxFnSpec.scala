@@ -534,6 +534,43 @@ class TxFnSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("acct/inc-balance"))
   }
 
+  test(":db/fn: tx functions invoked FROM tx data (transactEdn mixed vector forms)") {
+    import graft.store.TxFns
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("txedn").toString)
+    val reg = new graft.model.SchemaRegistry(Map.empty)
+    st.append(datoms(("a1", "acct/balance", "100", 1L))
+      .withColumn("v_long", col("v").cast("long")))
+    // EDN-invocable custom fn: positional string args (arg0 = entity,
+    // arg1 = amount), reads the entity's CURRENT balance from state
+    val incBalance: TxFns.TxFn = (ctx, args) => {
+      val cur = ctx.state.filter(col("a") === "acct/balance")
+        .select(col("e"), col("v_long").as("__cur"))
+      args.select(col("arg0").as("e"), col("arg1").cast("long").as("amount"))
+        .join(cur, Seq("e"), "left")
+        .select(col("e"), lit("acct/balance").as("a"),
+          (coalesce(col("__cur"), lit(0L)) + col("amount")).cast("string").as("v"),
+          (coalesce(col("__cur"), lit(0L)) + col("amount")).as("v_long"),
+          lit(false).as("is_ref"), lit(ctx.tx).as("tx"), lit(true).as("op"))
+    }
+    val fns = TxFns.builtins.install("acct/inc-balance", incBalance)
+    TxFns.transactEdn(st, reg, fns,
+      """[{:db/id "t1", :acct/owner "alice"}
+        | [:db/add "a3" :acct/balance 7]
+        | [:db/retract "a1" :acct/note "old"]
+        | [:db/cas "a1" :acct/balance 100 150]
+        | [:acct/inc-balance "a2" 5]]""".stripMargin, tx = 2L)
+    val bal = st.current(reg).filter(col("a") === "acct/balance")
+      .select("e", "v_long").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cas swapped a1 (correct expected); inc created a2 from 0; add made a3
+    assert(bal === Map("a1" -> 150L, "a2" -> 5L, "a3" -> 7L), bal.toString)
+    val owner = st.current(reg).filter(col("a") === "acct/owner")
+      .select("v").collect()(0).getString(0)
+    assert(owner === "alice", "map entity in the same tx data lands too")
+    // the orphan retraction of a never-asserted value is invisible
+    assert(st.current(reg).filter(col("a") === "acct/note").count() === 0)
+  }
+
   test(":db/fn: builtin cas entry aborts the whole tx on a stale expected") {
     import graft.store.TxFns
     import spark.implicits._
