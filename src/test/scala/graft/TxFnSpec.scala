@@ -484,6 +484,21 @@ class TxFnSpec extends AnyFunSuite {
       .select(col("errors")).collect()(0).getSeq[String](0).isEmpty)
   }
 
+  test(":db.attr/preds: tx-grain variant aborts the whole transaction (Datomic semantics)") {
+    import graft.ops.Validate
+    val preds = Map("acct/balance" -> Seq("non-negative" -> (col("v_long") >= 0L)))
+    val rows = datoms(
+      ("e1", "acct/balance", "10", 1L),  // tx 1: clean
+      ("e2", "acct/balance", "-1", 2L),  // tx 2: violates
+      ("e3", "acct/balance", "20", 2L))  // tx 2: clean row, dies with its tx
+      .withColumn("v_long", col("v").cast("long"))
+    val out = Validate.attrPredsTx(rows, col("tx"), preds)
+      .select(col("e"), col("tx_ok")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out === Map("e1" -> true, "e2" -> false, "e3" -> false),
+      s"collateral row e3 must fall with its transaction: $out")
+  }
+
   test(":db.attr/preds: appendChecked keeps rejects out of the log, error-as-data back") {
     val st = new Store(spark,
       java.nio.file.Files.createTempDirectory("preds").toString)
