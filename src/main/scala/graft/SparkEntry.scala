@@ -126,6 +126,7 @@ object SparkEntry {
     "d38_curation_pipeline"  -> ((s, d) => Curate.d38_curation_pipeline(s, d)),
     "d39_temperature_mix"    -> ((s, d) => Curate.d39_temperature_mix(s, d)),
     "d40_containment"        -> ((s, d) => Curate.d40_containment(s, d)),
+    "d41_bm25_topk"          -> (Llm.d41_bm25_topk _),
     "q67_attr_preds"         -> (Relational.q67_attr_preds _),
     "q68_tx_fn"              -> (Relational.q68_tx_fn _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -1035,6 +1036,7 @@ object SparkEntry {
     "d38_curation_pipeline" -> Curate.d38OracleSql,
     "d39_temperature_mix" -> Curate.d39OracleSql,
     "mm6_silence_segments" -> Multimodal.mm6OracleSql,
+    "d41_bm25_topk" -> Llm.d41OracleSql,
     "d40_containment" -> Curate.d40OracleSql,
     // q67: the same predicate set over the same synthesized datoms —
     // rejects = rows failing ANY declared pred of their attr

@@ -910,4 +910,79 @@ object Llm {
       .filter(col("cosine") >= 0.3)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  // ── d41: BM25 top-k retrieval ─────────────────────────────────────
+  /** Lexical retrieval scoring — BM25 (k1 = 1.2, b = 0.75) for a fixed
+    * query over the corpus, top-20 by score: the data-selection /
+    * targeted-retrieval primitive (select pretraining docs matching a
+    * domain query; retrieve near-matches of an eval prompt). Shape:
+    * per-doc term frequencies are scan-side expressions; the corpus
+    * stats the formula needs (N, avg doc length, per-term doc
+    * frequencies) are ONE single-row aggregate broadcast back — the
+    * corpus is scanned twice, shuffled never — then
+    * TakeOrderedAndProject keeps the top 20. Floats: IEEE-identical
+    * expression order on both engines, rounded to 6 dp (the d07
+    * discipline); constants are written as the same literals (2.2,
+    * 0.25…) on both sides so neither engine re-derives them. */
+  def d41_bm25_topk(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "vector")
+    val docs = documents(s, d)
+      .withColumn("toks",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i", expr(s"cast(size(filter(toks, w -> w = '$t')) as bigint)"))
+    }.drop("toks")
+    val aggs = Seq(sum(col("dl")).as("total_len")) ++
+      terms.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = withTf.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log((col("n_docs").cast("double") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    }
+    scored
+      .withColumn("score", round(perTerm.reduce(_ + _), 6))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("dl").as("doc_len"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def d41OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS toks
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(toks, w -> w = 'hash')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(toks, w -> w = 'join')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(toks, w -> w = 'vector')) AS BIGINT) AS tf2
+      |  FROM t),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM d),
+      |sc AS (
+      |  SELECT d.doc_id, d.dl,
+      |    round(
+      |      ln((CAST(s.n_docs AS DOUBLE) - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0)
+      |        * (CAST(d.tf0 AS DOUBLE) * 2.2)
+      |        / (CAST(d.tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (CAST(s.total_len AS DOUBLE) / s.n_docs)))
+      |      + ln((CAST(s.n_docs AS DOUBLE) - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0)
+      |        * (CAST(d.tf1 AS DOUBLE) * 2.2)
+      |        / (CAST(d.tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (CAST(s.total_len AS DOUBLE) / s.n_docs)))
+      |      + ln((CAST(s.n_docs AS DOUBLE) - s.df2 + 0.5) / (s.df2 + 0.5) + 1.0)
+      |        * (CAST(d.tf2 AS DOUBLE) * 2.2)
+      |        / (CAST(d.tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / (CAST(s.total_len AS DOUBLE) / s.n_docs)))
+      |    , 6) AS score
+      |  FROM d CROSS JOIN s)
+      |SELECT doc_id, dl AS doc_len, score FROM sc
+      |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 }

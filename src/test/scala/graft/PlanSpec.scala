@@ -248,6 +248,14 @@ class PlanSpec extends AnyFunSuite {
       s"final stage shuffles must key on shard:\n${fin.mkString("\n")}")
   }
 
+  test("d41: BM25 top-k plans as TakeOrderedAndProject over a broadcast stats row") {
+    val p = plan(graft.queries.Llm.d41_bm25_topk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n${p.take(600)}")
+    assert(p.contains("BroadcastExchange"),
+      s"the single-row stats must broadcast:\n${p.take(800)}")
+  }
+
   test("d40: containment joins on the gram key; bench set broadcasts") {
     val p = plan(graft.queries.Curate.d40_containment(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
