@@ -129,6 +129,11 @@ object SparkEntry {
     "d41_bm25_topk"          -> (Llm.d41_bm25_topk _),
     "q67_attr_preds"         -> (Relational.q67_attr_preds _),
     "q68_tx_fn"              -> (Relational.q68_tx_fn _),
+    "q69_seek_datoms"        -> (Relational.q69_seek_datoms _),
+    "q70_query_stats"        -> (Relational.q70_query_stats _),
+    "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
+    "d43_semdedup"           -> (Llm.d43_semdedup _),
+    "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -1062,6 +1067,37 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_entities,
         |  CAST(SUM(cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END) AS BIGINT) AS total_cents
         |FROM o""".stripMargin,
+    "d42_rrf_hybrid" -> Llm.d42OracleSql,
+    "d43_semdedup" -> Llm.d43OracleSql,
+    "d44_quality_classifier" -> graft.queries.XxhOracle.d44Sql,
+    // q69: the same two-attribute AVET union, seek from
+    // (order/cust, 1490) to the index end — the 200-row page crosses
+    // the attribute boundary into order/price
+    "q69_seek_datoms" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_custkey AS ck
+        |  FROM orders),
+        |dat AS (
+        |  SELECT 'order/price' AS a, cents AS v_long, CAST(k AS VARCHAR) AS e FROM o
+        |  UNION ALL
+        |  SELECT 'order/cust', ck, CAST(k AS VARCHAR) FROM o)
+        |SELECT a, v_long, e FROM dat
+        |WHERE a > 'order/cust' OR (a = 'order/cust' AND v_long >= 1490)
+        |ORDER BY a, v_long, e LIMIT 200""".stripMargin,
+    // q70: each clause's frame cardinality recomputed relationally
+    "q70_query_stats" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderpriority AS pr
+        |  FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS clause_idx, COUNT(*) AS rows_out FROM o
+        |UNION ALL
+        |SELECT 1, COUNT(*) FROM o WHERE cents > 20000000
+        |UNION ALL
+        |SELECT 2, COUNT(*) FROM o WHERE cents > 20000000 AND pr = '1-URGENT'""".stripMargin,
     "d27_kmeans" -> Llm.d27OracleSql,
     "d28_tfidf" -> Llm.d28OracleSql,
     "d29_sequence_pack" -> Curate.d29OracleSql,

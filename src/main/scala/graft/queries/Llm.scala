@@ -924,7 +924,13 @@ object Llm {
     * expression order on both engines, rounded to 6 dp (the d07
     * discipline); constants are written as the same literals (2.2,
     * 0.25…) on both sides so neither engine re-derives them. */
-  def d41_bm25_topk(s: SparkSession, d: String): DataFrame = {
+  def d41_bm25_topk(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d).limit(20)
+
+  /** The scored-and-ordered BM25 relation d41 and d42 both consume —
+    * callers append their own LIMIT so each plan keeps its own
+    * TakeOrderedAndProject k. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("hash", "join", "vector")
     val docs = documents(s, d)
       .withColumn("toks",
@@ -950,7 +956,6 @@ object Llm {
       .filter(col("score") > 0)
       .select(col("doc_id"), col("dl").as("doc_len"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
   }
 
   def d41OracleSql: String =
@@ -985,4 +990,163 @@ object Llm {
       |  FROM d CROSS JOIN s)
       |SELECT doc_id, dl AS doc_len, score FROM sc
       |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ── d42: reciprocal-rank fusion (hybrid lexical + dense retrieval) ─
+  /** RRF (Cormack et al. 2009): fuse the BM25 ranking (d41's scorer)
+    * with a dense cosine ranking (query = embedding 0, corpus joined
+    * on doc_id = vec_id) as Σ 1/(60 + rank) over each retriever's
+    * top-50 — the standard hybrid-retrieval step of a data-selection
+    * pipeline. Ranks are integers with an id tiebreak, so fusion is
+    * deterministic; the fused score is the same two-term expression on
+    * both engines (no cross-row float summation).
+    *
+    * Scale shape: each retriever ends in a TakeOrderedAndProject
+    * (top-50, never a global sort); ranks come from a window over the
+    * 50 SURVIVORS, so the window's single partition is bounded by k,
+    * not the corpus. Fusion is a full outer join of two ≤50-row sets —
+    * driver-free, broadcastable, constant work regardless of corpus
+    * size. */
+  def d42_rrf_hybrid(s: SparkSession, d: String): DataFrame = {
+    // lexical side: d41's BM25 scores, top-50, rank by (score desc, id)
+    val lex = bm25Scored(s, d).limit(50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    // dense side: cosine vs embedding 0 over the rest of the corpus
+    val emb = withNorm(embeddings(s, d))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"), col("norm").as("q_norm"))
+    val dense = emb.filter(col("vec_id") >= 1)
+      .join(broadcast(q))
+      .withColumn("cosine", expr("vec_dot(embedding, q_vec) / (norm * q_norm)"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(50)
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_dense")), lit(0.0)), 6))
+      .select(col("doc_id"), coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  def d42OracleSql: String = {
+    val bm25Top50 =
+      d41OracleSql.replace("LIMIT 20", "LIMIT 50")
+    s"""WITH lex0 AS ($bm25Top50),
+       |lex AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+       |  FROM lex0),
+       |n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+       |m AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm FROM n),
+       |q AS (SELECT vec AS q_vec, norm AS q_norm FROM m WHERE vec_id = 0),
+       |dense0 AS (
+       |  SELECT m.vec_id AS doc_id,
+       |    list_inner_product(m.vec, q.q_vec) / (m.norm * q.q_norm) AS cosine
+       |  FROM m CROSS JOIN q WHERE m.vec_id >= 1
+       |  ORDER BY cosine DESC, m.vec_id ASC LIMIT 50),
+       |dense AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_dense
+       |  FROM dense0)
+       |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |  CAST(coalesce(lex.r_lex, 0) AS BIGINT) AS r_lex,
+       |  CAST(coalesce(dense.r_dense, 0) AS BIGINT) AS r_dense,
+       |  round(coalesce(1.0 / (60.0 + lex.r_lex), 0.0) +
+       |        coalesce(1.0 / (60.0 + dense.r_dense), 0.0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  // ── d43: SemDeDup (cluster-scoped semantic dedup) ──────────────────
+  /** SemDeDup (Abbas et al. 2023): assign every embedding to a coarse
+    * cluster, compare pairs ONLY within a cluster, and drop any item
+    * whose cosine to a LOWER-ID cluster-mate is ≥ τ — semantic
+    * near-dup removal whose candidate volume is Σ cell², never
+    * corpus². Cells reuse d16's deterministic coarse quantizer
+    * (centroids = vec_id 8..23, broadcast; argmax is a map-side
+    * max_by), so the DuckDB oracle rebuilds identical cells. Output is
+    * one row per vector: its cell, the max cosine to a lower-id
+    * cluster-mate (-1 when none), and the keep verdict. max() over
+    * doubles is order-independent, so rounding after the aggregate is
+    * engine-stable. */
+  def d43_semdedup(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(embeddings(s, d))
+    val cent = emb.filter(col("vec_id").between(8, 23))
+      .select(col("vec_id").as("cid"), col("embedding").as("c_vec"), col("norm").as("c_norm"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"), col("norm").as("a_norm"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"), col("norm").as("b_norm"))
+    // cell-keyed self-join: shuffle ∝ cell occupancy; only the
+    // lower-id side survives as a "kept" witness
+    val dupCos = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", expr("vec_dot(a_vec, b_vec) / (a_norm * b_norm)"))
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(max(col("cos")).as("max_lower_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupCos, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(coalesce(col("max_lower_cos"), lit(-1.0)), 6).as("max_lower_cosine"),
+        (coalesce(col("max_lower_cos"), lit(-1.0)) < 0.3).as("keep"))
+  }
+
+  def d43OracleSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+       |m AS (SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS norm FROM n),
+       |cent AS (SELECT vec_id AS cid, vec AS c_vec, norm AS c_norm FROM m WHERE vec_id BETWEEN 8 AND 23),
+       |asg AS (
+       |  SELECT vec_id, cell, vec, norm FROM (
+       |    SELECT m.vec_id, cent.cid AS cell, m.vec, m.norm,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_inner_product(m.vec, cent.c_vec) / (m.norm * cent.c_norm) DESC, cent.cid ASC) AS rn
+       |    FROM m CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |dup AS (
+       |  SELECT b.vec_id, max(list_inner_product(a.vec, b.vec) / (a.norm * b.norm)) AS max_lower_cos
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  GROUP BY b.vec_id)
+       |SELECT asg.vec_id, asg.cell,
+       |  round(coalesce(dup.max_lower_cos, -1.0), 6) AS max_lower_cosine,
+       |  coalesce(dup.max_lower_cos, -1.0) < 0.3 AS keep
+       |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin
+
+  // ── d44: hashed-feature linear quality classifier ──────────────────
+  /** fastText-style classifier INFERENCE at corpus scale: each token
+    * hashes (xxhash64, seed 42 — Spark's builtin, bit-matched by the
+    * generated DuckDB XXH64) to a weight in [-1001, 1001] via
+    * `pmod(h, 2003) - 1001`; a doc's margin is the integer SUM of its
+    * token weights, its score the margin normalized by token count.
+    * Integer weights make the cross-row sum EXACT under any
+    * partitioning/agg order — the float-parity discipline d41 uses for
+    * expressions, extended to aggregation.
+    *
+    * Scale shape: zero shuffles — tokenize, hash, and sum run inside
+    * one `aggregate(...)` higher-order expression per row (classifier
+    * inference is embarrassingly parallel; a real weight table would
+    * broadcast and the lookup stays map-side). */
+  def d44_quality_classifier(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("margin", expr(
+        "aggregate(toks, 0L, (acc, w) -> acc + (pmod(xxhash64(w), 2003L) - 1001L))"))
+      .select(col("doc_id"), col("n_tokens"), col("margin"),
+        round(col("margin") / (lit(1001.0) * greatest(col("n_tokens"), lit(1L))), 6)
+          .as("score"),
+        (col("margin") > 0L).as("keep"))
 }

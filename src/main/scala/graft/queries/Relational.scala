@@ -1308,6 +1308,62 @@ object Relational {
         sum(col("v_long")).cast("long").as("total_cents"))
   }
 
+  // ── d/seek-datoms: paged index cursor from an arbitrary point ─────
+  /** Datomic `d/seek-datoms`: start at an AVET point and iterate to
+    * the index END, crossing the attribute boundary (what separates it
+    * from `d/datoms`' equality components). Store: two attributes —
+    * `order/cust` and `order/price` (cents) — seek from
+    * (`order/cust`, 1_490) takes the tail of the cust index
+    * AND continues into price (alphabetically after), proving the
+    * boundary crossing; the 200-row page bounds the plan
+    * (TakeOrderedAndProject, never a global sort). */
+  def q69_seek_datoms(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val price = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      c.cast("string").as("v"), c.as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val cust = o.select(
+      col("o_orderkey").cast("string").as("e"), lit("order/cust").as("a"),
+      col("o_custkey").cast("string").as("v"),
+      col("o_custkey").as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    graft.store.Store.seekDatoms(cust.unionByName(price), "avet",
+        "order/cust", 1490L, 200)
+      .select(col("a"), col("v_long"), col("e"))
+  }
+
+  // ── query-stats: per-clause row counts of the join frame ──────────
+  /** Datomic `:query-stats` analog over a 3-clause query (pattern →
+    * numeric predicate → second pattern): `runOnWithStats` reports the
+    * join frame's row count AFTER each top-level clause — the "which
+    * clause exploded" diagnostic. The gated output is the stats table
+    * itself; the oracle recomputes each frame's cardinality
+    * relationally, pinning the engine's intermediate semantics (not
+    * just its final answer). Stats are collected driver-side (one
+    * bounded count job per clause — a DEBUG surface, priced in the
+    * docstring of runOnWithStats). */
+  def q70_query_stats(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val eav = o.select(
+        col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+        c.cast("string").as("v"))
+      .unionByName(o.select(
+        col("o_orderkey").cast("string").as("e"), lit("order/priority").as("a"),
+        col("o_orderpriority").as("v")))
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?p
+        | :where [?e :order/price ?p]
+        |        [(> ?p 20000000)]
+        |        [?e :order/priority "1-URGENT"]]""".stripMargin)
+    val (_, stats) = graft.query.Datalog.runOnWithStats(
+      eav, new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+    import s.implicits._
+    stats.map(st => (st.idx.toLong, st.rowsOut)).toDF("clause_idx", "rows_out")
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

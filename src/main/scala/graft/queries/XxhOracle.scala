@@ -251,4 +251,34 @@ object XxhOracle {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""".stripMargin
+
+  /** d44 hashed-feature linear classifier: per-token weight
+    * `pmod(xxh64(w, 42), 2003) - 1001` (signed-BIGINT pmod on both
+    * engines), per-doc INTEGER margin sum — exact under any agg
+    * order — normalized to a score at the end. Hashes per DISTINCT
+    * token, joined back with multiplicity (a duplicate token adds its
+    * weight twice, so the join keeps the tok rows, not the distinct
+    * set). */
+  def d44Sql: String = {
+    val g = new Gen("x")
+    val hu = g.hashStr15("w")
+    val thBody = g.wrap("SELECT w FROM tuniq")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS w
+       |  FROM documents),
+       |tuniq AS (SELECT DISTINCT w FROM tok),
+       |tw AS (
+       |  SELECT w, ((${signed(hu)} % 2003 + 2003) % 2003) - 1001 AS wt
+       |  FROM $thBody),
+       |pd AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(tw.wt) AS BIGINT) AS margin
+       |  FROM tok t JOIN tw USING (w) GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(pd.margin, 0) AS BIGINT) AS margin,
+       |  round(coalesce(pd.margin, 0) / (1001.0 * greatest(coalesce(pd.n_tokens, 0), 1)), 6) AS score,
+       |  coalesce(pd.margin, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
 }

@@ -437,6 +437,33 @@ object Store {
     }
   }
 
+  /** Datomic `d/seek-datoms` — start at an index POINT and iterate to
+    * the index's end, crossing component boundaries (the semantic that
+    * separates it from `d/datoms`, whose components are equality
+    * filters: a seek from (:order/price, 5_000_000) continues past the
+    * last :order/price datom into the alphabetically-next attribute).
+    * `limit` bounds the page, so the plan is a TakeOrderedAndProject
+    * over the residual scan — the cursor read behind Datomic's lazy
+    * seek. On the attribute-partitioned log the `a >= aFrom` residual
+    * still prunes every partition before `aFrom`; within the boundary
+    * attribute the v_long bound rides parquet min/max row groups
+    * (reference: mbrainz-importer explores the store with datoms
+    * walks; seek is the paged variant, cf. SURVEY §2 store reads). */
+  def seekDatoms(eav: DataFrame, index: String, aFrom: String, vFrom: Long,
+      limit: Int): DataFrame = index match {
+    case "avet" =>
+      eav.filter(col("a") > aFrom ||
+          (col("a") === aFrom && col("v_long") >= vFrom))
+        .orderBy(col("a"), col("v_long"), col("e"))
+        .limit(limit)
+    case "aevt" =>
+      eav.filter(col("a") >= aFrom)
+        .orderBy(col("a"), col("e"), col("v"), col("tx"))
+        .limit(limit)
+    case other => throw new IllegalArgumentException(
+      s"seek-datoms supports avet|aevt (got $other); eavt/vaet seeks key on e/v first")
+  }
+
   /** VAET reverse-index scan (Datomic `d/datoms db :vaet v`): every
     * ref datom pointing AT one of the target entities — "who
     * references X", the query behind retractEntity's inbound-ref

@@ -294,4 +294,44 @@ class LlmSpec extends AnyFunSuite {
     val top1 = byDoc(1L).find(_.getLong(1) == 1L).get.getString(2)
     assert(top1 === "spork", s"got $top1")
   }
+
+  test("d42: dense-only fusion ranks the co-directional vector first") {
+    val out = Llm.d42_rrf_hybrid(spark, fixtureDir).collect()
+    // the fixture corpus lacks the BM25 query terms → lexical list is
+    // empty, every fused score is the dense term alone
+    assert(out.forall(_.getLong(1) == 0L), "no lexical ranks expected")
+    val top = out.head
+    assert(top.getLong(0) == 8L, s"vec 8 (cosine 1 with query 0) must rank first, got ${top.getLong(0)}")
+    assert(top.getLong(2) == 1L)
+    assert(math.abs(top.getDouble(3) - 1.0 / 61.0) < 1e-6,
+      "fused score of a dense-only rank-1 hit is 1/(60+1)")
+  }
+
+  test("d43: the co-directional pair dedups within its cell, lower id keeps") {
+    val rows = Llm.d43_semdedup(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(rows(0L)._1 == 8L && rows(8L)._1 == 8L, "0 and 8 share centroid 8's cell")
+    assert(!rows(8L)._3 && rows(8L)._2 == 1.0, "vec 8 has a lower-id twin (vec 0) → dropped")
+    assert(rows(0L)._3, "the lower id of the pair keeps")
+    assert(rows(9L)._3 && rows(9L)._2 == -1.0, "a cell singleton keeps with no witness")
+  }
+
+  test("d44: map-side HOF margin equals the explode+groupBy recompute") {
+    import org.apache.spark.sql.functions._
+    val out = Llm.d44_quality_classifier(spark, fixtureDir)
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    val viaShuffle = docs
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(expr("pmod(xxhash64(w), 2003L) - 1001L")).as("margin2"),
+        count(lit(1)).as("n2"))
+    val joined = out.join(viaShuffle, Seq("doc_id"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("margin") == r.getAs[Long]("margin2"), s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_tokens") == r.getAs[Long]("n2"))
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("margin") > 0))
+    }
+  }
 }

@@ -120,6 +120,23 @@ class UpsertSpec extends AnyFunSuite {
     assert(names(graft.query.Datalog.runAsOf(store, registry, 2L, q)) == Set("Old"))
   }
 
+  test("seek-datoms: AVET page crosses the attribute boundary in index order") {
+    import spark.implicits._
+    val eav = Seq(
+      ("e1", "a/x", "1", 1L), ("e2", "a/x", "2", 2L), ("e3", "a/x", "5", 5L),
+      ("e4", "b/y", "10", 10L), ("e5", "b/y", "11", 11L), ("e6", "b/y", "12", 12L))
+      .toDF("e", "a", "v", "v_long")
+      .withColumn("is_ref", lit(false)).withColumn("tx", lit(1L)).withColumn("op", lit(true))
+    val page = Store.seekDatoms(eav, "avet", "a/x", 2L, 4)
+      .select("a", "v_long", "e").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(page.toSeq == Seq(
+      ("a/x", 2L, "e2"), ("a/x", 5L, "e3"), ("b/y", 10L, "e4"), ("b/y", 11L, "e5")),
+      s"seek must take a/x's tail then continue into b/y: ${page.mkString(", ")}")
+    // the page is a TakeOrderedAndProject, not a global sort
+    val plan = Store.seekDatoms(eav, "avet", "a/x", 2L, 4).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("attribute-partitioned store prunes scans by attr") {
     val store = new Store(spark, java.nio.file.Files.createTempDirectory("prune").toString)
     val loader = new Loader(spark, registry, store)
