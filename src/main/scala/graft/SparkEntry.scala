@@ -134,6 +134,9 @@ object SparkEntry {
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
+    "d45_length_quantiles"   -> (Llm.d45_length_quantiles _),
+    "d46_fuzzy_join"         -> (Llm.d46_fuzzy_join _),
+    "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -1070,6 +1073,9 @@ object SparkEntry {
     "d42_rrf_hybrid" -> Llm.d42OracleSql,
     "d43_semdedup" -> Llm.d43OracleSql,
     "d44_quality_classifier" -> graft.queries.XxhOracle.d44Sql,
+    "d45_length_quantiles" -> Llm.d45OracleSql,
+    "d46_fuzzy_join" -> Llm.d46OracleSql,
+    "mm7_keyframes" -> Multimodal.mm7OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses
     // the attribute boundary into order/price

@@ -1149,4 +1149,84 @@ object Llm {
         round(col("margin") / (lit(1001.0) * greatest(col("n_tokens"), lit(1L))), 6)
           .as("score"),
         (col("margin") > 0L).as("keep"))
+
+  // ── d45: quantile sketch with an accuracy contract ─────────────────
+  /** Corpus length quantiles two ways: the mergeable APPROX sketch
+    * (`approx_percentile`, accuracy 10000 — the only shape that runs
+    * at 100 TB: fixed-size state, one partial-agg pass, no sort) next
+    * to the exact interpolated percentile as its verification
+    * companion. Gated like q28's HLL contract: the EXACT values are
+    * compared value-level, and the sketch is asserted against its
+    * REAL guarantee — rank error ≤ n/accuracy — by checking the
+    * returned value's rank window intersects the target rank (a value
+    * bound would be wrong: on discrete data, adjacent ranks can be
+    * arbitrarily far apart in value). Sketch internals differ across
+    * engines; the contract doesn't. */
+  def d45_length_quantiles(s: SparkSession, d: String): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val docs = documents(s, d).select(col("n_chars"))
+    val agg = docs.agg(
+      count(lit(1)).as("n_docs"),
+      expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ex"),
+      expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)").as("ap"))
+    // second pass: the sketch's guarantee is on RANK, not value — the
+    // returned value's rank window [#{x < ap}+1, #{x <= ap}] must
+    // intersect [p·n − err, p·n + err], err = n/accuracy (+1 slack for
+    // the discrete-rank rounding). Integer counts, engine-stable.
+    val aggCols = Seq(first(col("n_docs")).as("n_docs"), first(col("ex")).as("ex")) ++
+      ps.indices.flatMap(i => Seq(
+        sum((col("n_chars") <= expr(s"ap[$i]")).cast("long")).as(s"le$i"),
+        sum((col("n_chars") < expr(s"ap[$i]")).cast("long")).as(s"lt$i")))
+    val ranks = docs.crossJoin(broadcast(agg)).agg(aggCols.head, aggCols.tail: _*)
+    val okCols = ps.zipWithIndex.map { case (p, i) =>
+      val err = col("n_docs") / 10000.0 + 1.0
+      val target = lit(p) * col("n_docs")
+      (!(col(s"le$i") < target - err || col(s"lt$i") > target + err)).as(s"ok_p${(p * 100).toInt}")
+    }
+    ranks.select(
+      (col("n_docs") +:
+        round(expr("ex[0]"), 6).as("exact_p50") +:
+        round(expr("ex[1]"), 6).as("exact_p90") +:
+        round(expr("ex[2]"), 6).as("exact_p99") +: okCols): _*)
+  }
+
+  def d45OracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS exact_p50,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS exact_p90,
+      |  round(quantile_cont(n_chars, 0.99), 6) AS exact_p99,
+      |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+      |FROM documents""".stripMargin
+
+  // ── d46: blocked fuzzy join (edit-distance record linkage) ─────────
+  /** Record linkage / fuzzy entity matching: candidate pairs come from
+    * a cheap equality BLOCK (first 16 chars of the normalized key), so
+    * the join is hash-keyed and the O(len²) Levenshtein DP runs only
+    * within blocks — the classic blocking+verify shape (same
+    * candidate-then-verify discipline as d03/d04), never corpus².
+    * Key fields are CAPPED at 48 chars: edit distance on unbounded
+    * documents is quadratic per pair; linkage compares bounded
+    * name-like fields. `levenshtein` is the same DP on both engines,
+    * so distances compare exactly. */
+  def d46_fuzzy_join(s: SparkSession, d: String): DataFrame = {
+    val n = documents(s, d).select(col("doc_id"),
+      expr("substring(lower(text), 1, 48)").as("nm"),
+      expr("substring(lower(text), 1, 16)").as("blk"))
+    val a = n.select(col("blk"), col("doc_id").as("a_id"), col("nm").as("a_nm"))
+    val b = n.select(col("blk"), col("doc_id").as("b_id"), col("nm").as("b_nm"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")).cast("long"))
+      .filter(col("dist") <= 12)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  def d46OracleSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, substr(lower(text), 1, 48) AS nm, substr(lower(text), 1, 16) AS blk
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.nm, b.nm) <= 12""".stripMargin
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables._
 
 /** Multimodal column handling: media payloads are opaque `binary`
@@ -188,6 +189,64 @@ object Multimodal {
       |  CAST(coalesce(min(CASE WHEN energy >= 20000 THEN frame_idx END), -1) AS BIGINT) AS first_active,
       |  CAST(sum(energy) AS BIGINT) AS total_energy
       |FROM e GROUP BY doc_id""".stripMargin
+
+  /** mm7: keyframe selection by frame-difference energy — the
+    * scene-change detector of a video ingest pipeline, over the same
+    * opaque 64-byte frame loop as mm6. The change signal is the
+    * absolute delta of consecutive frame energies (integer, so
+    * cross-engine exact); each doc keeps its top-3 frames by
+    * (delta desc, frame_idx asc). Energies and deltas are scan-side
+    * array expressions — the only non-map step is the bounded per-doc
+    * top-3, a partial TakeOrdered per key that never sees more than
+    * frames-per-doc rows. A real decoder slots into the energy lambda
+    * unchanged. */
+  def mm7_keyframes(s: SparkSession, d: String): DataFrame = {
+    val win = 64
+    val energies =
+      s"""transform(
+         |  sequence(0, greatest(cast(ceil(length(text) / $win.0) as int) - 1, 0)),
+         |  i -> if(length(substring(text, i*$win + 1, $win)) = 0, 0L,
+         |    aggregate(
+         |      transform(sequence(1, length(substring(text, i*$win + 1, $win))),
+         |        j -> cast(ascii(substring(substring(text, i*$win + 1, $win), j, 1)) - 32 as bigint)),
+         |      0L, (a, x) -> a + x * x)))""".stripMargin
+    val deltas =
+      """if(size(energies) < 2, array(),
+        |  transform(sequence(1, size(energies) - 1),
+        |    i -> abs(energies[i] - energies[i-1])))""".stripMargin
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("delta").desc, col("frame_idx").asc)
+    documents(s, d)
+      .select(col("doc_id"), expr(energies).as("energies"))
+      .select(col("doc_id"), posexplode(expr(deltas)).as(Seq("pos", "delta")))
+      .withColumn("frame_idx", (col("pos") + 1).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("frame_idx"), col("delta"))
+  }
+
+  def mm7OracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) AS nf, text
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |    CASE WHEN length(substr(text, CAST(i*64 + 1 AS INT), 64)) = 0 THEN 0
+      |         ELSE COALESCE(list_sum(list_transform(
+      |           string_split(substr(text, CAST(i*64 + 1 AS INT), 64), ''),
+      |           c -> CAST((ord(c) - 32) * (ord(c) - 32) AS BIGINT))), 0) END AS energy
+      |  FROM f CROSS JOIN UNNEST(range(0, nf)) AS u(i)),
+      |dlt AS (
+      |  SELECT doc_id, frame_idx,
+      |    abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+      |  FROM e),
+      |r AS (
+      |  SELECT doc_id, frame_idx, delta,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY delta DESC, frame_idx ASC) AS rank
+      |  FROM dlt WHERE delta IS NOT NULL)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+      |  CAST(frame_idx AS BIGINT) AS frame_idx, CAST(delta AS BIGINT) AS delta
+      |FROM r WHERE rank <= 3""".stripMargin
 
   def mm3_frame_sample(s: SparkSession, d: String): DataFrame =
     documents(s, d)

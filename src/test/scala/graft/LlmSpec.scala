@@ -316,6 +316,41 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(9L)._3 && rows(9L)._2 == -1.0, "a cell singleton keeps with no witness")
   }
 
+  test("d45: sketch quantiles honor the accuracy contract; exact values bracket the data") {
+    val r = Llm.d45_length_quantiles(spark, fixtureDir).collect().head
+    assert(r.getAs[Long]("n_docs") == 6L)
+    val (p50, p99) = (r.getAs[Double]("exact_p50"), r.getAs[Double]("exact_p99"))
+    assert(p50 <= p99, "quantiles must be monotone")
+    assert(r.getAs[Boolean]("ok_p50") && r.getAs[Boolean]("ok_p90") && r.getAs[Boolean]("ok_p99"),
+      "approx_percentile at accuracy 10000 must satisfy its rank-error contract")
+  }
+
+  test("d46: blocking pairs the shared-prefix docs; distance separates exact from near dups") {
+    val pairs = Llm.d46_fuzzy_join(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 3L)) == 0L, "identical texts join at distance 0")
+    assert(pairs((0L, 1L)) == 1L, "spark→spork is one substitution within the key field")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "the double-spaced formatting dup blocks differently and is not a candidate")
+  }
+
+  test("mm7: keyframes are the per-doc top deltas, rank-ordered") {
+    val rows = Multimodal.mm7_keyframes(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"doc $doc ranks")
+      assert(sorted.length <= 3)
+      // deltas non-increasing in rank; ties broken by earlier frame
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._4 > lo._4 || (hi._4 == lo._4 && hi._3 < lo._3), s"doc $doc order")
+        case _ => ()
+      }
+    }
+  }
+
   test("d44: map-side HOF margin equals the explode+groupBy recompute") {
     import org.apache.spark.sql.functions._
     val out = Llm.d44_quality_classifier(spark, fixtureDir)
