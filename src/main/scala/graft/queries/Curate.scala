@@ -549,10 +549,14 @@ object Curate {
     * whose physical plan is pinned by PlanSpec (the pack stage's
     * prefix sum crosses into an RDD, hiding upstream plan structure
     * from the final frame's executedPlan). */
-  private[graft] def d38Kept(s: SparkSession, d: String,
-      budgetTokens: Long): DataFrame = {
-    // map-only prefix: ONE codegen stage, no exchange
-    val gated = withGopherRules(documents(s, d))
+  /** The curation pipeline's map-only prefix — gopher gate → PII scrub
+    * → content hash → punct gate → token count — as ONE codegen stage
+    * with no exchange. Pure Column expressions, so the same code runs
+    * over a batch scan (d38) and a document STREAM
+    * (`streaming.Streams.curateStream`): batch/stream parity is
+    * structural, not re-implemented. */
+  def curatePrefix(docs: DataFrame): DataFrame =
+    withGopherRules(docs)
       .filter(col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
         col("stop_hits") >= 1)
       .withColumn("scrubbed", scrubExpr(col("text")))
@@ -565,6 +569,10 @@ object Curate {
         when(length(trim(col("scrubbed"))) === 0, 0L)
           .otherwise(size(split(trim(col("scrubbed")), " +")).cast("long")))
       .select(col("doc_id"), col("source"), col("clean_hash"), col("n_tokens"))
+
+  private[graft] def d38Kept(s: SparkSession, d: String,
+      budgetTokens: Long): DataFrame = {
+    val gated = curatePrefix(documents(s, d))
     // exact dedup: one hash-keyed shuffle, min-doc_id canonical
     val deduped = gated.groupBy(col("clean_hash"))
       .agg(min_by(struct(col("doc_id"), col("source"), col("n_tokens")),

@@ -203,6 +203,21 @@ object Streams {
     !applied
   }
 
+  /** Streaming curation: the batch pipeline's map-only prefix
+    * (`Curate.curatePrefix` — gopher gate → PII scrub → content hash →
+    * token count, the EXACT Column expressions d38 runs) applied to a
+    * document STREAM, then exact dedup ACROSS micro-batches keyed on
+    * the 128-bit content hash. The incremental-ingest shape of a
+    * training-data pipeline: documents arrive continuously, the gate
+    * is stateless per-row, and the only state is the dedup hash set —
+    * bounded by distinct clean content (at 100 TB: key the state on
+    * the hash, never the text; add a watermark column +
+    * dropDuplicatesWithinWatermark when the crawl horizon bounds how
+    * late a duplicate can arrive, which truncates state by time). */
+  def curateStream(docs: DataFrame): DataFrame =
+    graft.queries.Curate.curatePrefix(docs)
+      .dropDuplicates("clean_hash")
+
   /** Streaming datom ingestion: each micro-batch of (e, a, v[, v_long,
     * is_ref]) rows appends atomically to the EAV store with
     * tx = txBase + batchId, so the store is queryable — `current`,

@@ -212,4 +212,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(real.isStreaming &&
       real.schema("ts").dataType == org.apache.spark.sql.types.LongType)
   }
+
+  test("streaming curation dedups across micro-batches and matches the batch prefix") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (b1, b2) = docs.splitAt(25)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = Streams.curateStream(mem.toDF.toDF("doc_id", "text", "source"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      // second micro-batch replays 10 docs from the first: the dedup
+      // state must drop them even though they're in a different batch
+      mem.addData((b2 ++ b1.take(10)).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("curate_out")
+      .select("clean_hash").collect().map(_.getString(0))
+    assert(got.nonEmpty, "some documents must survive the gate")
+    assert(got.length == got.distinct.length, "no content hash emitted twice")
+    val batchHashes = graft.queries.Curate.curatePrefix(
+        docs.toSeq.toDF("doc_id", "text", "source"))
+      .select("clean_hash").distinct().collect().map(_.getString(0)).toSet
+    assert(got.toSet == batchHashes,
+      "the stream keeps exactly the batch-distinct clean hashes")
+  }
 }
