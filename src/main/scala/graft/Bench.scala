@@ -44,7 +44,9 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory) {
       val t0 = System.nanoTime()
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, warmDir).count()
+        // noop sink, matching the timed action — count() would skip
+        // JIT-compiling the projection paths the timed run executes
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
         spark.sharedState.cacheManager.clearCache()
@@ -79,8 +81,14 @@ object Bench {
       val t0 = System.nanoTime()
       names.foreach { case (name, fn) =>
         val q0 = System.nanoTime()
+        // noop DSv2 sink, NOT count(): count() lets the optimizer
+        // prune every projection that doesn't feed a filter/agg/join,
+        // so pure map queries (mm6's frame energies, d44's classifier,
+        // q13's tempids) timed the SCAN only — the noop write forces
+        // every output column to materialize while still writing
+        // nothing (measured: mm6 0.13 s under count() vs ~0.7 s real)
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val sec = (System.nanoTime() - q0) / 1e9

@@ -131,6 +131,7 @@ object SparkEntry {
     "q68_tx_fn"              -> (Relational.q68_tx_fn _),
     "q69_seek_datoms"        -> (Relational.q69_seek_datoms _),
     "q70_query_stats"        -> (Relational.q70_query_stats _),
+    "q71_filtered_db"        -> (Relational.q71_filtered_db _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1073,6 +1074,13 @@ object SparkEntry {
     "d42_rrf_hybrid" -> Llm.d42OracleSql,
     "d43_semdedup" -> Llm.d43OracleSql,
     "d44_quality_classifier" -> graft.queries.XxhOracle.d44Sql,
+    // q71: the redaction predicate hides only the 5-LOW priority
+    // datoms; the count-per-priority over the filtered db loses that
+    // one group
+    "q71_filtered_db" ->
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+        |FROM orders WHERE o_orderpriority <> '5-LOW'
+        |GROUP BY o_orderpriority""".stripMargin,
     "d45_length_quantiles" -> Llm.d45OracleSql,
     "d46_fuzzy_join" -> Llm.d46OracleSql,
     "mm7_keyframes" -> Multimodal.mm7OracleSql,

@@ -1364,6 +1364,35 @@ object Relational {
     stats.map(st => (st.idx.toLong, st.rowsOut)).toDF("clause_idx", "rows_out")
   }
 
+  // ── d/filter: predicate-filtered database value ───────────────────
+  /** Datomic `d/filter`: a db VALUE every read sees through a datom
+    * predicate — here a redaction filter hiding `order/priority =
+    * "5-LOW"` datoms. The same Datalog query (count per priority,
+    * total price of surviving entities' price datoms) runs over the
+    * filtered value unchanged; the filtered-out priority group is
+    * simply absent, while OTHER attributes of those entities survive
+    * (the predicate is per-datom, not per-entity — Datomic's
+    * semantic). Catalyst pushes the predicate to the scan: the
+    * filtered view is free. */
+  def q71_filtered_db(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val eav = o.select(
+        col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+        c.cast("string").as("v"))
+      .unionByName(o.select(
+        col("o_orderkey").cast("string").as("e"), lit("order/priority").as("a"),
+        col("o_orderpriority").as("v")))
+    val redacted = graft.store.Store.filteredDb(eav,
+      !(col("a") === "order/priority" && col("v") === "5-LOW"))
+    val q = graft.query.Datalog.parse(
+      """[:find ?p (count ?e)
+        | :where [?e :order/priority ?p]]""".stripMargin)
+    graft.query.Datalog.runOn(
+        redacted, new graft.model.SchemaRegistry(Map.empty), q, Map.empty)
+      .select(col("p").as("priority"), col("count_e").as("n_orders"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -437,6 +437,49 @@ object Store {
     }
   }
 
+  /** Datomic schema-as-data (`:db.install/attribute`): attributes are
+    * INSTALLED by transacting their definition maps — `{:db/ident
+    * :doc/tags, :db/valueType :db.type/string, :db/cardinality
+    * :db.cardinality/many}` through `TxFns.transactEdn` becomes plain
+    * datoms under the `db/…` attributes — and the registry that drives
+    * upsert/resolution semantics is DERIVED from the db value, so
+    * schema lives in the database like Datomic's, not in a config
+    * file. Driver-side collect over the `db/…` attribute partitions
+    * only (schema is bounded metadata; the reference driver-parses its
+    * dictionary types the same way — importer.clj:271-277 transacts
+    * its import-schema first for exactly this reason). */
+  def schemaFromDb(db: DataFrame): graft.model.SchemaRegistry = {
+    import graft.model.AttrDef
+    val schemaAttrs = Seq("db/ident", "db/valueType", "db/cardinality",
+      "db/unique", "db/isComponent", "db/fulltext", "db/noHistory", "db/tupleTypes")
+    val rows = db.filter(col("a").isin(schemaAttrs: _*))
+      .select(col("e"), col("a"), col("v")).collect()
+    val defs = rows.groupBy(_.getString(0)).values.flatMap { ds =>
+      val m = ds.map(r => r.getString(1) -> r.getString(2)).toMap
+      m.get("db/ident").map { ident =>
+        AttrDef(
+          ident = ident,
+          valueType = m.get("db/valueType")
+            .map(v => v.substring(v.lastIndexOf('/') + 1)).getOrElse("string"),
+          many = m.get("db/cardinality").contains("db.cardinality/many"),
+          uniqueIdentity = m.get("db/unique").contains("db.unique/identity"),
+          uniqueValue = m.get("db/unique").contains("db.unique/value"),
+          component = m.get("db/isComponent").contains("true"),
+          fulltext = m.get("db/fulltext").contains("true"),
+          noHistory = m.get("db/noHistory").contains("true"),
+          tupleTypes = m.get("db/tupleTypes").toSeq.flatMap { txt =>
+            graft.edn.Edn.parse(txt) match {
+              case graft.edn.Edn.EVec(ts) =>
+                ts.collect { case k: graft.edn.Edn.EKw => k.name }
+              case _ => Seq.empty
+            }
+          })
+      }
+    }
+    new graft.model.SchemaRegistry(
+      defs.map(d => d.ident -> d).toMap)
+  }
+
   /** Datomic `d/seek-datoms` — start at an index POINT and iterate to
     * the index's end, crossing component boundaries (the semantic that
     * separates it from `d/datoms`, whose components are equality

@@ -282,4 +282,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!(p.contains("Window") && p.contains("SinglePartition")),
       s"d29 must not run a global window:\n${p.take(800)}")
   }
+
+  test("mm7: keyframe top-3 is fully scan-side — no exchange anywhere") {
+    val p = plan(graft.queries.Multimodal.mm7_keyframes(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"the in-row array_sort top-3 must not shuffle:\n${p.take(800)}")
+    assert(p.contains("Generate"), p.take(400))
+  }
+
+  test("d44: classifier inference has no exchange (one aggregate() per row)") {
+    val p = plan(graft.queries.Llm.d44_quality_classifier(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"hashed-feature scoring must stay map-side:\n${p.take(800)}")
+  }
+
+  test("d42: both retrievers end in bounded top-k, never a global sort") {
+    val p = plan(graft.queries.Llm.d42_rrf_hybrid(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"retriever top-50s must plan as top-k:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("d46: fuzzy join is hash-keyed on the block, never nested-loop") {
+    val p = plan(graft.queries.Llm.d46_fuzzy_join(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Levenshtein must run only within equality blocks:\n${p.take(800)}")
+  }
 }

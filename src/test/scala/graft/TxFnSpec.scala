@@ -191,6 +191,28 @@ class TxFnSpec extends AnyFunSuite {
     assert(Store.datoms(trimmed, "eavt", e = Some("e1")).count() === 1)
   }
 
+  test(":db.install/attribute: schema transacted as data drives resolution semantics") {
+    val store = new Store(spark, java.nio.file.Files.createTempDirectory("schemadb").toString)
+    val reg0 = graft.model.SchemaRegistry.fromEdn("[]")
+    // install a card-many attr and a unique-identity attr AS TX DATA
+    graft.store.TxFns.transactEdn(store, reg0, graft.store.TxFns.builtins,
+      """[{:db/ident :doc/tags, :db/valueType :db.type/string, :db/cardinality :db.cardinality/many}
+        | {:db/ident :doc/gid, :db/valueType :db.type/string, :db/unique :db.unique/identity}]""".stripMargin,
+      1L)
+    val reg = Store.schemaFromDb(store.current(reg0))
+    assert(reg.isMany("doc/tags"), "installed cardinality surfaces in the derived registry")
+    assert(reg.uniqueIdentityAttrs.contains("doc/gid"))
+    assert(!reg.isMany("doc/gid"))
+    // the derived registry changes RESOLUTION: two tags union under it,
+    // but last-wins under the pre-install default registry
+    store.append(datoms(("d1", "doc/tags", "a", 2L), ("d1", "doc/tags", "b", 3L)))
+    def tags(r: graft.model.SchemaRegistry) =
+      store.current(r).filter(col("e") === "d1" && col("a") === "doc/tags")
+        .select("v").collect().map(_.getString(0)).toSet
+    assert(tags(reg) == Set("a", "b"), "derived card-many unions values")
+    assert(tags(reg0) == Set("b"), "default registry (card-one) last-wins")
+  }
+
   test("excise: erases history AND inbound refs, leaves an audit datom") {
     import spark.implicits._
     val log = datoms(
