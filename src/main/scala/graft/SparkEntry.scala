@@ -137,6 +137,7 @@ object SparkEntry {
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
     "d45_length_quantiles"   -> (Llm.d45_length_quantiles _),
     "d46_fuzzy_join"         -> (Llm.d46_fuzzy_join _),
+    "d47_weighted_sample"    -> (Llm.d47_weighted_sample _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
@@ -1083,6 +1084,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "d45_length_quantiles" -> Llm.d45OracleSql,
     "d46_fuzzy_join" -> Llm.d46OracleSql,
+    "d47_weighted_sample" -> graft.queries.XxhOracle.d47Sql,
     "mm7_keyframes" -> Multimodal.mm7OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses

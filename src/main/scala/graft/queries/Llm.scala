@@ -1221,6 +1221,31 @@ object Llm {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  // ── d47: weighted sampling without replacement (A-Res) ─────────────
+  /** Efraimidis–Spirakis weighted reservoir sampling, DETERMINISTIC:
+    * u comes from xxh64(doc_id) folded into 2^20 buckets (never a
+    * runtime RNG — re-runs, resumed jobs and the DuckDB oracle draw
+    * the SAME sample), the key is −ln(u)/w with w = token count, and
+    * the sample is the k smallest keys. This is the
+    * quality/length-weighted corpus subsampling step of a
+    * training-data pipeline ("sample 10 B tokens preferring long
+    * docs") — at 100 TB the plan is exactly this one:
+    * TakeOrderedAndProject keeps k rows per partition then merges, no
+    * global sort, no shuffle of the corpus. Selection order compares
+    * raw doubles (the d07/d41 discipline: identical expression on
+    * both engines; output keys round to 6 dp). */
+  def d47_weighted_sample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_tokens", expr(
+        "cast(size(filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)) as bigint)"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("u",
+        (pmod(expr("xxhash64(doc_id)"), lit(1048576L)) + 1) / 1048576.0)
+      .withColumn("key", -log(col("u")) / col("n_tokens"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+      .limit(100)
+      .select(col("doc_id"), col("n_tokens"), round(col("key"), 6).as("sample_key"))
+
   def d46OracleSql: String =
     """WITH n AS (
       |  SELECT doc_id, substr(lower(text), 1, 48) AS nm, substr(lower(text), 1, 16) AS blk

@@ -252,6 +252,29 @@ object XxhOracle {
        |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""".stripMargin
 
+  /** d47 weighted sample: the same xxh64(doc_id) chain as d36, mapped
+    * to a uniform u ∈ (0, 1] over 2^20 buckets, then the
+    * Efraimidis–Spirakis key −ln(u)/w with w = token count. `ln` is
+    * the one transcendental — the d41 BM25 oracle already established
+    * ln parity between the engines; output keys round to 6 dp. */
+  def d47Sql: String = {
+    val g = new Gen("w")
+    val h = g.hashLong("doc_id::HUGEINT", "42::HUGEINT")
+    val body = g.wrap(
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin)
+    s"""WITH hs AS (
+       |  SELECT doc_id, n_tokens, ${signed(h)} AS hsg FROM $body
+       |  WHERE n_tokens > 0),
+       |k AS (
+       |  SELECT doc_id, n_tokens,
+       |    -ln((((hsg % 1048576 + 1048576) % 1048576) + 1) / 1048576.0) / n_tokens AS key
+       |  FROM hs)
+       |SELECT doc_id, n_tokens, round(key, 6) AS sample_key
+       |FROM k ORDER BY key, doc_id LIMIT 100""".stripMargin
+  }
+
   /** d44 hashed-feature linear classifier: per-token weight
     * `pmod(xxh64(w, 42), 2003) - 1001` (signed-BIGINT pmod on both
     * engines), per-doc INTEGER margin sum — exact under any agg

@@ -351,6 +351,25 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("d47: weighted sample is deterministic, ordered, and matches the key recompute") {
+    import org.apache.spark.sql.functions._
+    val a = Llm.d47_weighted_sample(spark, fixtureDir).collect()
+    val b = Llm.d47_weighted_sample(spark, fixtureDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "re-runs draw the same sample")
+    val keys = a.map(_.getDouble(2))
+    assert(keys.sorted.toSeq == keys.toSeq, "rows come back in key order")
+    // independent recompute of every key from the hash
+    val re = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .withColumn("n_tokens", expr(
+        "cast(size(filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)) as bigint)"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("key2", round(-log((pmod(expr("xxhash64(doc_id)"), lit(1048576L)) + 1) / 1048576.0)
+        / col("n_tokens"), 6))
+      .select(col("doc_id"), col("key2")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach(r => assert(r.getDouble(2) == re(r.getLong(0)), s"doc ${r.getLong(0)} key"))
+  }
+
   test("d44: map-side HOF margin equals the explode+groupBy recompute") {
     import org.apache.spark.sql.functions._
     val out = Llm.d44_quality_classifier(spark, fixtureDir)
