@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(sig) => LshBandsFromSig(sig, 8)
       case Seq(sig, b) => LshBandsFromSig(sig, b.eval(null).asInstanceOf[Number].intValue)
     })
+    inject(ext, "frame_energies", {
+      case Seq(text) => FrameEnergies(text, 64)
+      case Seq(text, w) => FrameEnergies(text, w.eval(null).asInstanceOf[Number].intValue)
+    })
   }
 }

@@ -196,6 +196,33 @@ object NGram {
   }
 }
 
+object FrameEnergy {
+  /** Per-frame Σ(b−32)² over `win`-byte frames of the payload — the
+    * mm6/mm7 energy sweep, compiled: one pass over the UTF8String's
+    * BYTES with no per-char allocation (the HOF formulation boxed a
+    * Long per char inside interpreted lambdas). Byte==char for the
+    * ASCII payloads this engine's multimodal stand-ins use — the
+    * mm6/mm7 oracles pin value equality with the SQL formulation.
+    * Empty payload → one zero-energy frame, matching
+    * `greatest(ceil(len/win)-1, 0)` frame counting. */
+  def compute(s: UTF8String, win: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val nf = math.max((len + win - 1) / win, 1)
+    val out = new Array[Any](nf)
+    var f = 0
+    while (f < nf) {
+      var e = 0L
+      var i = f * win
+      val end = math.min(i + win, len)
+      while (i < end) { val d = (bytes(i) & 0xff) - 32; e += d.toLong * d; i += 1 }
+      out(f) = e
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MinHashAgree {
   /** Count of positionally-equal signature components — the MinHash
     * Jaccard estimator's numerator. Compiled pairwise loop; the
@@ -294,6 +321,17 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+case class FrameEnergies(child: Expression, win: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    FrameEnergy.compute(input.asInstanceOf[UTF8String], win)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FrameEnergy.compute($c, $win)")
+  override protected def withNewChildInternal(newChild: Expression): FrameEnergies =
+    copy(child = newChild)
+  override def prettyName: String = "frame_energies"
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
@@ -326,6 +364,11 @@ object HashExprs {
       case Seq(sig) => LshBandsFromSig(sig, 8)
       case Seq(sig, b) => LshBandsFromSig(sig,
         b.eval(null).asInstanceOf[Number].intValue)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("frame_energies", {
+      case Seq(text) => FrameEnergies(text, 64)
+      case Seq(text, w) => FrameEnergies(text,
+        w.eval(null).asInstanceOf[Number].intValue)
     }, "scala_udf")
   }
 }

@@ -168,25 +168,18 @@ object Multimodal {
     * space = 0, the text stand-in's "silence") keep the cross-engine
     * hash exact. Scan-side expressions only — zero shuffle, one pass,
     * same 100 TB shape as mm1/mm3. */
-  /** Shared frame-energy pass for mm6/mm7: ONE char sweep builds the
-    * per-char square array, then frames aggregate SLICES of it —
-    * O(len) total, vs the substring-per-char formulation it replaced
-    * (O(len·win) byte copying inside interpreted HOFs: 2.7 s → 0.6 s
-    * at sf0.1 for the same integer energies). The frame count reads
-    * `size(__chsq)` rather than `length(text)` DELIBERATELY: with two
-    * references to `__chsq`, CollapseProject keeps the char pass in
-    * its own projection; a single reference would inline it into the
-    * frame lambda and recompute the sweep per frame. */
-  private def withFrameEnergies(docs: DataFrame, win: Int): DataFrame =
-    docs
-      .withColumn("__chsq", expr(
-        "if(length(text) = 0, array(), " +
-          "transform(split(text, ''), c -> cast((ascii(c) - 32) * (ascii(c) - 32) as bigint)))"))
-      .withColumn("energies", expr(
-        s"""transform(
-           |  sequence(0, greatest(cast(ceil(size(__chsq) / $win.0) as int) - 1, 0)),
-           |  i -> aggregate(slice(__chsq, i*$win + 1, $win), 0L, (a, x) -> a + x))""".stripMargin))
-      .drop("__chsq")
+  /** Shared frame-energy pass for mm6/mm7 — the native codegen
+    * `frame_energies` expression (graft.functions.FrameEnergy): one
+    * compiled byte sweep, no per-char boxing. History: the original
+    * substring-per-char HOF formulation cost O(len·win) byte copying
+    * (2.7 s at sf0.1); an O(len) char-array HOF variant reached
+    * 0.6 s; the compiled expression is the brief's preference-(b)
+    * endpoint for this hot path. mm6/mm7's DuckDB oracles pin value
+    * equality with the SQL formulation. */
+  private def withFrameEnergies(docs: DataFrame, win: Int): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    docs.withColumn("energies", expr(s"frame_energies(text, $win)"))
+  }
 
   def mm6_silence_segments(s: SparkSession, d: String): DataFrame = {
     val thr = 20000L

@@ -96,6 +96,27 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("frame_energies equals the SQL higher-order formulation") {
+    import spark.implicits._
+    HashExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("", "a", " " * 64, "x" * 63, "y" * 64, "z" * 65) ++
+      (1 to 30).map(_ => (0 until rnd.nextInt(300)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    val df = strs.toDF("text")
+    val got = df.select(expr("frame_energies(text, 64)")).collect()
+      .map(_.getSeq[Long](0).toList)
+    val ref = df.select(expr(
+      """transform(
+        |  sequence(0, greatest(cast(ceil(length(text) / 64.0) as int) - 1, 0)),
+        |  i -> if(length(substring(text, i*64 + 1, 64)) = 0, 0L,
+        |    aggregate(
+        |      transform(sequence(1, length(substring(text, i*64 + 1, 64))),
+        |        j -> cast(ascii(substring(substring(text, i*64 + 1, 64), j, 1)) - 32 as bigint)),
+        |      0L, (a, x) -> a + x * x)))""".stripMargin)).collect()
+      .map(_.getSeq[Long](0).toList)
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("expressions participate in codegen (no fallback)") {
     // a local Seq would constant-fold via ConvertToLocalRelation; use a
     // real parquet scan so the projection actually plans
