@@ -313,16 +313,25 @@ object Relational {
     * recomputes the exact counts and asserts the booleans true —
     * value-level verification of the CONTRACT (rsd 2% ⇒ |err| well
     * under 5%) without hanging parity on sketch bits. */
-  def q28_approx_distinct(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).agg(
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
+  def q28_approx_distinct(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    // plan choice: TWO exact countDistincts next to the HLLs in one
+    // agg make Catalyst plan an Expand (rows × 3, with the sketches
+    // dragged through every replica) — 3.5 s at sf0.1. Splitting the
+    // exact counts into per-column distinct-then-count passes keeps
+    // each shuffle column-pruned with map-side partials, and the HLL
+    // pass stays a single one-row aggregate: 0.73 s, same contract.
+    val approx = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("a_o"),
       approx_count_distinct(col("l_partkey"), 0.02).as("a_p"),
       count(lit(1)).as("n_rows"))
-    .select(col("exact_orders"), col("exact_parts"), col("n_rows"),
-      (abs(col("a_o") - col("exact_orders")) / col("exact_orders") <= 0.05).as("orders_ok"),
-      (abs(col("a_p") - col("exact_parts")) / col("exact_parts") <= 0.05).as("parts_ok"))
+    val eo = li.select("l_orderkey").distinct().agg(count(lit(1)).as("exact_orders"))
+    val ep = li.select("l_partkey").distinct().agg(count(lit(1)).as("exact_parts"))
+    approx.crossJoin(eo).crossJoin(ep)
+      .select(col("exact_orders"), col("exact_parts"), col("n_rows"),
+        (abs(col("a_o") - col("exact_orders")) / col("exact_orders") <= 0.05).as("orders_ok"),
+        (abs(col("a_p") - col("exact_parts")) / col("exact_parts") <= 0.05).as("parts_ok"))
+  }
 
   // ── Time travel: as-of views over an assert-only log ──────────────
   /** Datomic `d/as-of` re-expressed on the store's resolution core
