@@ -149,7 +149,11 @@ object Relational {
   def q13_tempid(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select(concat_ws("-", lit("t"), col("l_orderkey"), col("l_linenumber")).as("tempid"))
-      .agg(count(lit(1)).as("n_rows"), countDistinct(col("tempid")).as("n_ids"))
+      // two-level agg, not count+countDistinct in one: the mixed form
+      // plans an Expand (rows × 2 into the shuffle); grouping first
+      // combines map-side and the final agg reads one row per id
+      .groupBy(col("tempid")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast("long").as("n_rows"), count(lit(1)).as("n_ids"))
 
   // ── S3: limit with explicit total order (top-k) ───────────────────
   def q14_topk(s: SparkSession, d: String): DataFrame =
@@ -171,9 +175,11 @@ object Relational {
 
   // ── A5: loader metrics fold {txes, datoms} ────────────────────────
   def q16_metrics_fold(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).agg(
-      countDistinct(col("l_orderkey")).as("txes"),
-      count(lit(1)).as("datoms"))
+    // two-level agg (groups then totals) — same no-Expand reasoning
+    // as q13; {txes, datoms} falls out of one keyed pass
+    lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("txes"), sum(col("c")).cast("long").as("datoms"))
 
   // ── min_by / max_by (argmin-style projection inside groups) ───────
   def q17_minmax_by(s: SparkSession, d: String): DataFrame =
@@ -241,9 +247,11 @@ object Relational {
     lineitem(s, d)
       .withColumn("errors", array_compact(rowChecks))
       .withColumn("is_valid", size(col("errors")) === 0)
+      // group by (validity, order) first, then fold per validity —
+      // count+countDistinct in one agg would Expand the scan × 2
+      .groupBy(col("is_valid"), col("l_orderkey")).agg(count(lit(1)).as("c"))
       .groupBy(col("is_valid"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+      .agg(sum(col("c")).cast("long").as("n"), count(lit(1)).as("n_orders"))
 
   // ── A2 at scale: batch numbering WITHOUT the global window ────────
   // Same output as q10, built on GlobalIndex (range-partition + count
