@@ -42,5 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text) => FrameEnergies(text, 64)
       case Seq(text, w) => FrameEnergies(text, w.eval(null).asInstanceOf[Number].intValue)
     })
+    inject(ext, "bloom_agg", {
+      case Seq(child) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
+      case Seq(child, items) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
+      case Seq(child, items, bits) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
+    })
+    inject(ext, "bloom_might_contain", {
+      case Seq(bf, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+    })
   }
 }

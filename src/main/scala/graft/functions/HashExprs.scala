@@ -370,5 +370,23 @@ object HashExprs {
       case Seq(text, w) => FrameEnergies(text,
         w.eval(null).asInstanceOf[Number].intValue)
     }, "scala_udf")
+    // Spark's own runtime-filter bloom sketch, surfaced as callable
+    // functions: bloom_agg(xxhash64(key)[, items[, bits]]) builds the
+    // binary sketch, bloom_might_contain(bf, xxhash64(key)) probes it.
+    // The probe side requires a FOLDABLE sketch (literal or scalar
+    // subquery) — collect the bounded sketch and inline via lit(),
+    // exactly how InjectRuntimeFilter ships it to the probe side.
+    reg.createOrReplaceTempFunction("bloom_agg", {
+      case Seq(child) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)
+      case Seq(child, items) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items)
+      case Seq(child, items, bits) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child, items, bits)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain", {
+      case Seq(bf, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
+    }, "scala_udf")
   }
 }

@@ -149,6 +149,68 @@ object Curate {
         coalesce(col("n_contam"), lit(0L)).gt(0).cast("long").as("contaminated"))
   }
 
+  // ── d48: sketch-based decontamination (bloom membership) ──────────
+  /** d21's decontamination with the SKETCH the 100 TB job actually
+    * ships: the benchmark gram set folds into Spark's own runtime-
+    * filter bloom (one aggregation → ~50 KB binary), which is
+    * collected and inlined as a PLAN LITERAL on the probe side — no
+    * gram-set broadcast join, the probe is a codegen'd per-row
+    * expression. Bloom bits differ across engines, so the gated
+    * output is the CONTRACT (q28's discipline): exact contamination
+    * counts value-compared, plus (a) no-false-negatives — the bloom
+    * must flag every truly contaminated gram (a hard guarantee of
+    * the structure, not a probability), and (b) a false-positive-rate
+    * bound over clean docs. */
+  def d48_bloom_decontaminate(s: SparkSession, d: String,
+      benchSource: String = "src0"): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val docs = documents(s, d)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(expr("ngram_set(text)")).as("gram"))
+    val bench = grams.filter(col("source") === benchSource).select(col("gram")).distinct()
+    val bfBytes = bench
+      .agg(call_function("bloom_agg", expr("xxhash64(gram)"),
+        lit(50000L), lit(400000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpus = grams.filter(col("source") =!= benchSource)
+    val probed = corpus
+      .withColumn("hit", call_function("bloom_might_contain",
+        lit(bfBytes), expr("xxhash64(gram)")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("hit").cast("long")).as("n_flagged"), count(lit(1)).as("n_grams"))
+    val truth = corpus.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_true"))
+    probed.join(truth, Seq("doc_id"), "left")
+      .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_true") > 0, 1L).otherwise(0L)).as("n_true_contam_docs"),
+        min(col("n_flagged") >= col("n_true")).as("no_false_negatives"),
+        (sum(when(col("n_true") === 0 && col("n_flagged") > 0, 1L).otherwise(0L)) <=
+          count(lit(1)).cast("double") * 0.05).as("fp_docs_ok"))
+  }
+
+  def d48OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(ws) = 0 THEN []
+      |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    END AS grams FROM t),
+      |e AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+      |bench AS (SELECT DISTINCT gram FROM e WHERE source = 'src0'),
+      |truth AS (
+      |  SELECT doc_id, count(*) AS n_true FROM e JOIN bench USING (gram)
+      |  WHERE source <> 'src0' GROUP BY doc_id),
+      |corp AS (SELECT DISTINCT doc_id FROM e WHERE source <> 'src0')
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN coalesce(t.n_true, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_contam_docs,
+      |  TRUE AS no_false_negatives, TRUE AS fp_docs_ok
+      |FROM corp LEFT JOIN truth t USING (doc_id)""".stripMargin
+
   // ── d22: deterministic hash-stratified sampling ───────────────────
   /** Data-mixing sample: per-language keep rates applied by a
     * DETERMINISTIC hash bucket (md5 of the doc id + salt, mod 100) —

@@ -111,6 +111,19 @@ class CurateSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("d48: bloom decontamination honors no-false-negatives and agrees with exact d21") {
+    val r = Curate.d48_bloom_decontaminate(spark, sf).collect().head
+    assert(r.getAs[Boolean]("no_false_negatives"),
+      "a bloom filter can never miss a truly contaminated gram")
+    assert(r.getAs[Boolean]("fp_docs_ok"))
+    // the exact contamination count must equal d21's contaminated set
+    // restricted to docs that HAVE grams (d48's population)
+    val d21Contam = Curate.d21_decontaminate(spark, sf).collect()
+      .count(_.getLong(2) == 1L).toLong
+    assert(r.getAs[Long]("n_true_contam_docs") == d21Contam,
+      s"${r.getAs[Long]("n_true_contam_docs")} vs d21 $d21Contam")
+  }
+
   test("d22: sample is deterministic and respects per-stratum rates") {
     val a = Curate.d22_hash_sample(spark, sf).collect().map(_.getLong(0)).sorted
     val b = Curate.d22_hash_sample(spark, sf).collect().map(_.getLong(0)).sorted
