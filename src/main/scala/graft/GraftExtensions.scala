@@ -42,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(text) => FrameEnergies(text, 64)
       case Seq(text, w) => FrameEnergies(text, w.eval(null).asInstanceOf[Number].intValue)
     })
+    inject(ext, "ahash_bits", es => AHashBits(es.head, es(1), es(2)))
     inject(ext, "bloom_agg", {
       case Seq(child) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(child)

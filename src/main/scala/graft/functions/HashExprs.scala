@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -223,6 +223,33 @@ object FrameEnergy {
   }
 }
 
+object AHash {
+  /** mm5's average-hash in one compiled pass: sample an 8×8 grid of
+    * payload bytes (nearest-neighbor over a w×h frame, index capped at
+    * len−1 exactly like the SQL formulation), compare each sample to
+    * the integer mean, emit the 64-char bitstring. Byte==char for the
+    * ASCII payloads (same caveat as FrameEnergy); empty payload
+    * samples 0s. */
+  def compute(s: UTF8String, w: Long, h: Long): UTF8String = {
+    val bytes = s.getBytes
+    val len = math.max(bytes.length, 1).toLong
+    val bs = new Array[Long](64)
+    var p = 0
+    while (p < 64) {
+      val idx = math.min(((p / 8).toLong * h / 8) * w + ((p % 8).toLong * w / 8), len - 1).toInt
+      bs(p) = if (idx < bytes.length) (bytes(idx) & 0xff).toLong else 0L
+      p += 1
+    }
+    var sum = 0L; var i = 0
+    while (i < 64) { sum += bs(i); i += 1 }
+    val mean = sum / 64
+    val out = new Array[Byte](64)
+    i = 0
+    while (i < 64) { out(i) = if (bs(i) > mean) '1' else '0'; i += 1 }
+    UTF8String.fromBytes(out)
+  }
+}
+
 object MinHashAgree {
   /** Count of positionally-equal signature components — the MinHash
     * Jaccard estimator's numerator. Compiled pairwise loop; the
@@ -321,6 +348,20 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+case class AHashBits(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any, w: Any, h: Any): Any =
+    AHash.compute(t.asInstanceOf[UTF8String],
+      w.asInstanceOf[Long], h.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, h) => s"graft.functions.AHash.compute($t, $w, $h)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): AHashBits =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "ahash_bits"
+}
+
 case class FrameEnergies(child: Expression, win: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -370,6 +411,8 @@ object HashExprs {
       case Seq(text, w) => FrameEnergies(text,
         w.eval(null).asInstanceOf[Number].intValue)
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("ahash_bits",
+      es => AHashBits(es.head, es(1), es(2)), "scala_udf")
     // Spark's own runtime-filter bloom sketch, surfaced as callable
     // functions: bloom_agg(xxhash64(key)[, items[, bits]]) builds the
     // binary sketch, bloom_might_contain(bf, xxhash64(key)) probes it.

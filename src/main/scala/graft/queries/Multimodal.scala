@@ -119,30 +119,15 @@ object Multimodal {
     * volume ∝ distinct fingerprints, never payload². The pixel
     * sampler stands in for a codec exactly as in mm4. */
   def mm5_perceptual_hash(s: SparkSession, d: String): DataFrame = {
-    val target = 8
-    // one char pass builds the byte array; the 64 samples are then
-    // O(1) array lookups — substring(text, pos, 1) walks the
-    // UTF8String from the start (O(pos) per sample: 1.4 s at sf0.1
-    // for the 64-point sampler alone, ~0.3 s this way). `__pb`
-    // deliberately has two references (sampler + len) so
-    // CollapseProject keeps the char pass in its own projection.
+    // the whole aHash (8×8 nearest-neighbor sample → integer mean →
+    // bit string) is ONE compiled expression (`ahash_bits`,
+    // graft.functions.AHash) — the HOF history is in FrameEnergy's
+    // docstring; same value semantics, oracle unchanged
+    graft.functions.HashExprs.register(s)
     val hashed = documents(s, d)
       .withColumn("w", greatest(col("n_chars") % 640, lit(1L)))
       .withColumn("h", greatest(col("doc_id") % 480, lit(1L)))
-      .withColumn("__pb", expr(
-        "if(length(text) = 0, array(0L), " +
-          "transform(split(text, ''), c -> cast(ascii(c) as bigint)))"))
-      .withColumn("len", greatest(size(col("__pb")).cast("long"), lit(1L)))
-      .withColumn("bs", expr(
-        s"""transform(sequence(0, ${target * target - 1}), p ->
-           |  __pb[cast(least(
-           |    ((p div $target) * h div $target) * w + ((p % $target) * w div $target),
-           |    len - 1) as int)])""".stripMargin))
-      .drop("__pb")
-      .withColumn("mean", expr(s"aggregate(bs, 0L, (a, x) -> a + x) div ${target * target}"))
-      .select(col("doc_id"), expr(
-        "concat_ws('', transform(bs, x -> case when x > mean then '1' else '0' end))")
-        .as("phash"))
+      .select(col("doc_id"), expr("ahash_bits(text, w, h)").as("phash"))
     // cluster stats via a phash-partitioned window: ONE shuffle and a
     // single evaluation of the (interpreted higher-order) hash
     // expression — the groupBy+join-back diamond evaluated the whole
