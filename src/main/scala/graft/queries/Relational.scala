@@ -835,13 +835,14 @@ object Relational {
     * component datoms, inbound refs, untouched survivors) lands in a
     * different group, so the oracle pins the full semantics.
     *
-    * Stage budget at sf0.1 (ProbeQ49, steady state, r6): checkpoint
-    * 0.5 s + component closure 0.5 s + retraction scan 1.0 s +
-    * resolve 2.1 s ≈ 3.3 s end-to-end. The floor is resolve-bound —
-    * two keyed aggregations over the 1.5 M-datom synthesized log with
-    * string (e, a, v) keys — which is the operator under test; the
-    * fat trimmed in r6 (narrow checkpoint, no countDistinct Expand)
-    * is gone. */
+    * Stage budget at sf0.1 (r8, honest noop-sink measurement —
+    * count() had pruned the final aggregate's values): ~3.6–4.9 s
+    * isolated, ~6.4 s in-suite under memory pressure. The floor is
+    * (a) materializing the 1.5 M-datom synthesized log per run
+    * (localCheckpoint — a real store reads parquet here) and (b)
+    * resolve's two keyed aggregations with string (e, a, v) keys,
+    * which IS the operator under test; the fat trimmed in r6 (narrow
+    * checkpoint, no countDistinct Expand) is gone. */
   def q49_retract_entity(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val li = lineitem(s, d)
