@@ -52,7 +52,7 @@ final class Store(spark: SparkSession, val dir: String) {
       if (datoms.columns.contains("op")) datoms else datoms.withColumn("op", lit(true))
     withOp.select(Store.schema.fieldNames.map(col): _*)
       .write.mode(SaveMode.Append).partitionBy("a").parquet(eavPath)
-    invalidateSnapshot()
+    markSnapshotStale()
   }
 
   /** `:db.attr/preds`-enforced append: datoms whose attribute declares
@@ -153,11 +153,27 @@ final class Store(spark: SparkSession, val dir: String) {
     * but a session-level persisted view is the right default for a
     * query-heavy workload. */
   @transient private var snapshot: Option[(Set[String], DataFrame)] = None
+  // incremental-maintenance state: the snapshot's basis tx and the
+  // log's row count when it was built (metadata-only to recompute),
+  // plus a staleness flag set by appends instead of a full invalidate
+  @transient private var snapBasis: Long = 0L
+  @transient private var snapRows: Long = 0L
+  @transient private var snapStale: Boolean = false
+  /** Test observability: whether the last `current` call merged
+    * incrementally (vs serving the cache or fully re-resolving). */
+  @transient private[graft] var lastCurrentIncremental: Boolean = false
 
   private def invalidateSnapshot(): Unit = synchronized {
     snapshot.foreach(_._2.unpersist(blocking = false))
     snapshot = None
+    snapStale = false
   }
+
+  /** Appends don't discard the maintained snapshot — they mark it
+    * stale; the next `current` read merges the log TAIL into it
+    * (`Store.resolveIncremental`) instead of re-resolving history.
+    * Structural rewrites (`compact`) still fully invalidate. */
+  private def markSnapshotStale(): Unit = synchronized { snapStale = true }
 
   /** Current-state view: card-many attrs accumulate (distinct union),
     * card-one attrs resolve last-writer-wins by tx — one shuffle,
@@ -165,14 +181,45 @@ final class Store(spark: SparkSession, val dir: String) {
     * store hasn't changed since the last call. */
   def current(registry: SchemaRegistry): DataFrame = synchronized {
     val many = registry.attrs.values.filter(_.many).map(_.ident).toSet
+    def rebuild(): DataFrame = {
+      snapshot.foreach(_._2.unpersist(blocking = false))
+      val rows = eav.count() // parquet metadata count, no data pages
+      val df = Store.resolve(eav, many.toSeq.sorted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      snapshot = Some((many, df)); snapBasis = basisT; snapRows = rows
+      snapStale = false; lastCurrentIncremental = false
+      df
+    }
     snapshot match {
-      case Some((k, df)) if k == many => df
-      case _ =>
-        snapshot.foreach(_._2.unpersist(blocking = false))
-        val df = Store.resolve(eav, many.toSeq.sorted)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        snapshot = Some((many, df))
-        df
+      case Some((k, df)) if k == many && !snapStale => df
+      case Some((k, df)) if k == many =>
+        // incremental maintenance is only sound if EVERY new row is in
+        // the tx > basis tail. Appends here carry batch-scoped txs that
+        // are not globally monotone (loader types own disjoint ranges),
+        // so prove it with two cheap counts: old rows + delta rows must
+        // equal the log's current row count — any out-of-order append
+        // breaks the equation and falls back to a full re-resolve.
+        val newRows = eav.count()
+        val delta = eav.filter(col("tx") > snapBasis)
+        // second guard: a card-ONE retraction in the delta can
+        // resurface an older value the snapshot no longer carries
+        // (see resolveIncremental's soundness note) → full rebuild
+        def deltaSafe = delta.filter(!col("op") &&
+            (if (many.isEmpty) lit(true) else !col("a").isInCollection(many.toSeq)))
+          .limit(1).count() == 0
+        if (snapRows + delta.count() == newRows && deltaSafe) {
+          // eager localCheckpoint: materializes BEFORE the old snapshot
+          // is dropped AND cuts lineage, so the plan doesn't grow with
+          // every increment (cluster note: swap for reliable checkpoint,
+          // same caveat as the Datalog fixpoints)
+          val merged = Store.resolveIncremental(df, snapBasis, delta, many.toSeq.sorted)
+            .localCheckpoint()
+          df.unpersist(blocking = false)
+          snapshot = Some((many, merged)); snapBasis = basisT; snapRows = newRows
+          snapStale = false; lastCurrentIncremental = true
+          merged
+        } else rebuild()
+      case _ => rebuild()
     }
   }
 
@@ -276,6 +323,42 @@ object Store {
     val withOp =
       if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
     resolveCore(withOp, Seq.empty, manyAttrs)
+  }
+
+  /** INCREMENTAL resolution — Datomic's live-index model: merge an
+    * already-resolved snapshot with a log DELTA (datoms with
+    * tx > `basisTx`) instead of re-resolving the full history.
+    * Snapshot rows re-enter the resolution as asserts AT the basis —
+    * sound because (a) the snapshot already collapsed everything at or
+    * before the basis, and (b) every delta event is strictly later, so
+    * per-(e,a,v) latest-event and per-(e,a) latest-assert orderings
+    * against snapshot rows are decided by the basis/delta tx gap
+    * alone. Delta retractions of card-MANY values kill their snapshot
+    * rows; stale retractions (naming a value the snapshot no longer
+    * carries) land in their own empty group and are no-ops, exactly
+    * as in a full resolve.
+    *
+    * SOUNDNESS LIMIT — card-ONE retractions: full resolution lets an
+    * older unretracted value RESURFACE when the current one is
+    * retracted (the PropertySpec reference model), but the snapshot
+    * has already discarded superseded values, so a delta that retracts
+    * a card-one datom cannot be merged incrementally — `current`
+    * detects that shape and falls back to a full re-resolve. Loader
+    * workloads are assert-only, so the incremental path is the common
+    * case. Cost: shuffle ∝ |current state| + |delta| — on a
+    * history-heavy 100 TB log this is the difference between
+    * re-reading every superseded version and touching only live rows
+    * plus the tail. */
+  def resolveIncremental(snapshot: DataFrame, basisTx: Long, delta: DataFrame,
+      manyAttrs: Seq[String]): DataFrame = {
+    val snapAsLog = snapshot
+      .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
+      .withColumn("tx", lit(basisTx)).withColumn("op", lit(true))
+    val withOp =
+      if (delta.columns.contains("op")) delta else delta.withColumn("op", lit(true))
+    val deltaLog = withOp.select(
+      col("e"), col("a"), col("v"), col("v_long"), col("is_ref"), col("tx"), col("op"))
+    resolveCore(snapAsLog.unionByName(deltaLog), Seq.empty, manyAttrs)
   }
 
   /** Resolution at SEVERAL transaction horizons in ONE pass — the

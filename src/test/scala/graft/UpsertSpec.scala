@@ -120,6 +120,52 @@ class UpsertSpec extends AnyFunSuite {
     assert(names(graft.query.Datalog.runAsOf(store, registry, 2L, q)) == Set("Old"))
   }
 
+  test("current(): snapshot maintains incrementally on appends; unsafe deltas rebuild") {
+    import spark.implicits._
+    val store = new Store(spark, java.nio.file.Files.createTempDirectory("incsnap").toString)
+    def datoms(rows: (String, String, String, Long)*) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    def cur() = store.current(registry)
+      .select("e", "a", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    def full() = Store.resolve(store.eav,
+        registry.attrs.values.filter(_.many).map(_.ident).toSeq)
+      .select("e", "a", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    store.append(datoms(
+      ("b1", "release/name", "Old", 1L),
+      ("b1", "release/artists", "a1", 1L)))
+    assert(cur() === full())
+    // append-only delta (newer tx): the incremental merge must see the
+    // superseding name, the accumulated artist, and the new entity
+    store.append(datoms(
+      ("b1", "release/name", "New", 2L),
+      ("b1", "release/artists", "a2", 2L),
+      ("b2", "release/name", "Other", 2L)))
+    val c2 = cur()
+    assert(c2 === full())
+    assert(store.lastCurrentIncremental, "a monotone assert-only delta must merge, not rebuild")
+    assert(c2(("b1", "release/name", "New")) && c2(("b1", "release/artists", "a1")) &&
+      c2(("b1", "release/artists", "a2")) && c2(("b2", "release/name", "Other")))
+    // out-of-order append (tx at/below the basis): the row-count guard
+    // must force a rebuild, and the result stays correct
+    store.append(datoms(("b3", "release/name", "Early", 1L)))
+    assert(cur() === full())
+    assert(!store.lastCurrentIncremental, "an out-of-order tx must fail the count guard")
+    // card-one retraction in the delta: the safety guard must force a
+    // rebuild — full semantics RESURFACE the older unretracted value
+    // (the PropertySpec reference model), which the discarded-history
+    // snapshot could never produce incrementally
+    store.retract(datoms(("b1", "release/name", "New", 3L)))
+    val c4 = cur()
+    assert(c4 === full())
+    assert(!store.lastCurrentIncremental, "a card-one retraction must fall back to rebuild")
+    assert(c4(("b1", "release/name", "Old")),
+      "retracting the current value resurfaces the superseded one")
+  }
+
   test("seek-datoms: AVET page crosses the attribute boundary in index order") {
     import spark.implicits._
     val eav = Seq(
