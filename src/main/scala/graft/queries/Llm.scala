@@ -1150,6 +1150,28 @@ object Llm {
           .as("score"),
         (col("margin") > 0L).as("keep"))
 
+  // ── d49: leakage-safe train/val/test split ─────────────────────────
+  /** Group-aware corpus splitting — the leakage control every training
+    * pipeline needs: near-duplicate documents must never straddle the
+    * train/test boundary, or the model is evaluated on its own
+    * training data. The split GROUP is the d18 near-dup component
+    * (singletons group alone), and the assignment hashes the GROUP
+    * key (xxh64 → 10 buckets: 8 train / 1 val / 1 test), so every
+    * member of a component lands in the same split by construction.
+    * Scale shape: d18's component labels (bucketed candidates, label
+    * propagation ∝ edges) left-join the corpus once; assignment is a
+    * map-side expression. */
+  def d49_leakage_split(s: SparkSession, d: String): DataFrame = {
+    val clusters = d18_dedup_clusters(s, d)
+    val bucket = pmod(expr("xxhash64(group_key)"), lit(10L))
+    documents(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_key"),
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"))
+  }
+
   // ── d45: quantile sketch with an accuracy contract ─────────────────
   /** Corpus length quantiles two ways: the mergeable APPROX sketch
     * (`approx_percentile`, accuracy 10000 — the only shape that runs

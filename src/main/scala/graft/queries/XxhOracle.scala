@@ -275,6 +275,46 @@ object XxhOracle {
        |FROM k ORDER BY key, doc_id LIMIT 100""".stripMargin
   }
 
+  /** d49 leakage-safe split: the d18 component CTE (same text as its
+    * oracle) labels near-dup groups, singletons group by their own
+    * doc_id, and the split buckets by the generated xxh64 of the
+    * GROUP key — pmod on the signed hash, matching Spark's
+    * `pmod(xxhash64(group_key), 10)`. */
+  def d49Sql: String = {
+    val g = new Gen("w")
+    val h = g.hashLong("group_key::HUGEINT", "42::HUGEINT")
+    val body = g.wrap("SELECT doc_id, group_key FROM gk")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) = 0 THEN []
+       |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       |    END AS grams FROM t),
+       |k AS (SELECT doc_id, grams, list_aggregate(grams, 'min') AS block FROM g WHERE len(grams) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.grams, b.grams)) / greatest(len(list_distinct(a.grams || b.grams)), 1), 6) >= 0.5),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id),
+       |comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+       |gk AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |hs AS (SELECT doc_id, group_key, ((${signed(h)} % 10 + 10) % 10) AS b FROM $body)
+       |SELECT doc_id, group_key,
+       |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM hs""".stripMargin
+  }
+
   /** d44 hashed-feature linear classifier: per-token weight
     * `pmod(xxh64(w, 42), 2003) - 1001` (signed-BIGINT pmod on both
     * engines), per-doc INTEGER margin sum — exact under any agg

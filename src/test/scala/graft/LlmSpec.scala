@@ -351,6 +351,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("d49: no near-dup pair straddles the split boundary") {
+    val splits = Llm.d49_leakage_split(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(splits.size == 6, "every document gets a split")
+    assert(splits.values.map(_._2).forall(Set("train", "val", "test")))
+    // every strong near-dup pair must share its group AND its split
+    val pairs = Llm.d04_ngram_jaccard(spark, fixtureDir).collect()
+      .filter(_.getDouble(2) >= 0.5).map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the fixture has near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(splits(a)._1 == splits(b)._1, s"pair ($a,$b) must share a group")
+      assert(splits(a)._2 == splits(b)._2, s"pair ($a,$b) must share a split")
+    }
+  }
+
   test("d47: weighted sample is deterministic, ordered, and matches the key recompute") {
     import org.apache.spark.sql.functions._
     val a = Llm.d47_weighted_sample(spark, fixtureDir).collect()
