@@ -840,7 +840,13 @@ object Llm {
     * Docs with fewer than 8 words have no window at this granularity
     * → 0 bp (short-doc dups are d01/d35's lanes). */
   def d37_duplicate_spans(s: SparkSession, d: String): DataFrame =
-    duplicateSpans(documents(s, d), window = 8)
+    // hashed span keys for the gated query too: the output carries
+    // COUNTS only, and the census/join-back counts are identical under
+    // the 64-bit key (LlmSpec pins variant equality; a collision that
+    // could merge two spans is ~1e-9 at this span volume and the
+    // xxhash is deterministic, so the gate can't flap) — the 50-byte
+    // span strings stay out of both shuffles: 2.6 → 1.7 s at sf0.1
+    duplicateSpans(documents(s, d), window = 8, hashSpans = true)
 
   /** Core of d37 over any (doc_id, text) frame. */
   def duplicateSpans(docs: DataFrame, window: Int,
