@@ -173,9 +173,14 @@ object Curate {
         lit(50000L), lit(400000L)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val corpus = grams.filter(col("source") =!= benchSource)
+    // an EMPTY bench gram set yields a null sketch from bloom_agg;
+    // lit(null) into bloom_might_contain fails analysis with an opaque
+    // error, and the correct degradation is simply "no hits"
+    val hit =
+      if (bfBytes == null) lit(false)
+      else call_function("bloom_might_contain", lit(bfBytes), expr("xxhash64(gram)"))
     val probed = corpus
-      .withColumn("hit", call_function("bloom_might_contain",
-        lit(bfBytes), expr("xxhash64(gram)")))
+      .withColumn("hit", hit)
       .groupBy(col("doc_id"))
       .agg(sum(col("hit").cast("long")).as("n_flagged"), count(lit(1)).as("n_grams"))
     val truth = corpus.join(broadcast(bench), "gram")

@@ -831,12 +831,14 @@ object Llm {
     * volume ∝ corpus window count, never docs². Within-doc repeats
     * keep their multiplicity in `n_windows` (they are all duplicated
     * TEXT once the span is shared) but collapse to one census vote,
-    * so internal repetition alone never marks a span. At 100 TB set
-    * `hashSpans = true`: the shuffle/join key becomes the span's
+    * so internal repetition alone never marks a span. With
+    * `hashSpans = true` the shuffle/join key becomes the span's
     * XXH64 (d01's tradeoff — ~6× narrower shuffle rows against
-    * vanishing collision odds); the gated query keeps the string key
-    * so the oracle stays engine-neutral, and LlmSpec pins that both
-    * keys produce identical per-doc stats.
+    * vanishing collision odds); the gated d37 query passes it too,
+    * which is sound because the output carries COUNTS only and a
+    * key collision that could merge two spans is ~1e-9 at this span
+    * volume (LlmSpec pins that both key variants produce identical
+    * per-doc stats, so the oracle gate cannot flap on it).
     * Docs with fewer than 8 words have no window at this granularity
     * → 0 bp (short-doc dups are d01/d35's lanes). */
   def d37_duplicate_spans(s: SparkSession, d: String): DataFrame =

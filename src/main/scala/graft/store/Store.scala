@@ -196,26 +196,43 @@ final class Store(spark: SparkSession, val dir: String) {
         // incremental maintenance is only sound if EVERY new row is in
         // the tx > basis tail. Appends here carry batch-scoped txs that
         // are not globally monotone (loader types own disjoint ranges),
-        // so prove it with two cheap counts: old rows + delta rows must
+        // so prove it with row counts: old rows + delta rows must
         // equal the log's current row count — any out-of-order append
         // breaks the equation and falls back to a full re-resolve.
-        val newRows = eav.count()
-        val delta = eav.filter(col("tx") > snapBasis)
-        // second guard: a card-ONE retraction in the delta can
-        // resurface an older value the snapshot no longer carries
-        // (see resolveIncremental's soundness note) → full rebuild
-        def deltaSafe = delta.filter(!col("op") &&
-            (if (many.isEmpty) lit(true) else !col("a").isInCollection(many.toSeq)))
-          .limit(1).count() == 0
-        if (snapRows + delta.count() == newRows && deltaSafe) {
-          // eager localCheckpoint: materializes BEFORE the old snapshot
-          // is dropped AND cuts lineage, so the plan doesn't grow with
-          // every increment (cluster note: swap for reliable checkpoint,
-          // same caveat as the Datalog fixpoints)
-          val merged = Store.resolveIncremental(df, snapBasis, delta, many.toSeq.sorted)
-            .localCheckpoint()
+        // ONE aggregation job answers everything the merge needs
+        // (total rows, delta rows, card-one-retraction count, and the
+        // new basis tx) — a per-read prelude of several log scans would
+        // be real money on a 100 TB log.
+        val isDelta = col("tx") > snapBasis
+        val isUnsafeRetract = isDelta && !col("op") &&
+          (if (many.isEmpty) lit(true) else !col("a").isInCollection(many.toSeq))
+        val g = eav.agg(
+          count(lit(1)).as("total"),
+          sum(isDelta.cast("long")).as("delta_rows"),
+          sum(isUnsafeRetract.cast("long")).as("unsafe_rows"),
+          max(col("tx")).as("new_basis")).collect()(0)
+        val newRows = g.getLong(0)
+        val deltaRows = if (g.isNullAt(1)) 0L else g.getLong(1)
+        val unsafeRows = if (g.isNullAt(2)) 0L else g.getLong(2)
+        val newBasis = if (g.isNullAt(3)) 0L else g.getLong(3)
+        val delta = eav.filter(isDelta)
+        if (snapRows + deltaRows == newRows) {
+          // card-ONE retractions in the delta can resurface an older
+          // value the snapshot no longer carries — those (e, a) keys
+          // re-resolve from full history (hybrid), everything else
+          // merges snapshot + tail. Eager localCheckpoint:
+          // materializes BEFORE the old snapshot is dropped AND cuts
+          // lineage, so the plan doesn't grow with every increment
+          // (cluster note: swap for reliable checkpoint, same caveat
+          // as the Datalog fixpoints).
+          val merged0 =
+            if (unsafeRows == 0L)
+              Store.resolveIncremental(df, snapBasis, delta, many.toSeq.sorted)
+            else
+              Store.resolveIncrementalHybrid(df, snapBasis, delta, eav, many.toSeq.sorted)
+          val merged = merged0.localCheckpoint()
           df.unpersist(blocking = false)
-          snapshot = Some((many, merged)); snapBasis = basisT; snapRows = newRows
+          snapshot = Some((many, merged)); snapBasis = newBasis; snapRows = newRows
           snapStale = false; lastCurrentIncremental = true
           merged
         } else rebuild()
@@ -342,10 +359,12 @@ object Store {
     * older unretracted value RESURFACE when the current one is
     * retracted (the PropertySpec reference model), but the snapshot
     * has already discarded superseded values, so a delta that retracts
-    * a card-one datom cannot be merged incrementally — `current`
-    * detects that shape and falls back to a full re-resolve. Loader
-    * workloads are assert-only, so the incremental path is the common
-    * case. Cost: shuffle ∝ |current state| + |delta| — on a
+    * a card-one datom cannot be merged by THIS path — `current`
+    * detects that shape and routes it to
+    * [[resolveIncrementalHybrid]], which re-resolves only the touched
+    * (e, a) keys from full history and merges the rest incrementally.
+    * Loader workloads are assert-only, so this pure-merge path is the
+    * common case. Cost: shuffle ∝ |current state| + |delta| — on a
     * history-heavy 100 TB log this is the difference between
     * re-reading every superseded version and touching only live rows
     * plus the tail. */
@@ -359,6 +378,40 @@ object Store {
     val deltaLog = withOp.select(
       col("e"), col("a"), col("v"), col("v_long"), col("is_ref"), col("tx"), col("op"))
     resolveCore(snapAsLog.unionByName(deltaLog), Seq.empty, manyAttrs)
+  }
+
+  /** Incremental resolution WITH card-one retractions in the delta —
+    * the hybrid path closing [[resolveIncremental]]'s soundness limit.
+    * A card-ONE retraction needs the pre-snapshot runner-up value
+    * (full resolution lets an older unretracted value resurface), so
+    * the (e, a) keys it touches are carved out and re-resolved from
+    * the FULL log; everything else merges snapshot + delta as usual.
+    *
+    * Scale shape: the touched key set is bounded by the delta (tx
+    * batches, not data volume) → both anti-joins and the full-log
+    * semi-join broadcast it; the full-log scan is first pruned to the
+    * touched ATTRIBUTES' partitions (a driver-side distinct over the
+    * key set's attrs — bounded by the schema's card-one attr count),
+    * so re-resolution reads the touched attrs' history, not the log. */
+  def resolveIncrementalHybrid(snapshot: DataFrame, basisTx: Long, delta: DataFrame,
+      fullLog: DataFrame, manyAttrs: Seq[String]): DataFrame = {
+    val withOp =
+      if (delta.columns.contains("op")) delta else delta.withColumn("op", lit(true))
+    val manyCol =
+      if (manyAttrs.isEmpty) lit(false) else col("a").isInCollection(manyAttrs)
+    val touchedKeys = withOp.filter(!col("op") && !manyCol)
+      .select(col("e"), col("a")).distinct().localCheckpoint(false)
+    // attr-level pruning for the history re-read: retraction batches
+    // name few attributes, the log partitions on `a`
+    val touchedAttrs = touchedKeys.select(col("a")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val safe = resolveIncremental(
+      snapshot.join(touchedKeys, Seq("e", "a"), "left_anti"), basisTx,
+      withOp.join(touchedKeys, Seq("e", "a"), "left_anti"), manyAttrs)
+    val touched = resolve(
+      fullLog.filter(col("a").isInCollection(touchedAttrs))
+        .join(touchedKeys, Seq("e", "a"), "left_semi"), manyAttrs)
+    safe.unionByName(touched)
   }
 
   /** Resolution at SEVERAL transaction horizons in ONE pass — the
@@ -535,10 +588,18 @@ object Store {
     import graft.model.AttrDef
     val schemaAttrs = Seq("db/ident", "db/valueType", "db/cardinality",
       "db/unique", "db/isComponent", "db/fulltext", "db/noHistory", "db/tupleTypes")
+    // The canonical input is a RESOLVED current-state view (one row
+    // per (e, a)); fed a raw log with re-asserted schema datoms the
+    // survivor per (e, a) must not depend on collect order, so pick
+    // max-(tx, v) — resolve's own card-one tiebreak (tx = 0 when the
+    // input is already resolved and carries no tx column).
+    val txCol = if (db.columns.contains("tx")) col("tx") else lit(0L)
     val rows = db.filter(col("a").isin(schemaAttrs: _*))
-      .select(col("e"), col("a"), col("v")).collect()
+      .select(col("e"), col("a"), col("v"), txCol.as("tx")).collect()
     val defs = rows.groupBy(_.getString(0)).values.flatMap { ds =>
-      val m = ds.map(r => r.getString(1) -> r.getString(2)).toMap
+      val m = ds.groupBy(_.getString(1)).map { case (a, rs) =>
+        a -> rs.maxBy(r => (r.getLong(3), r.getString(2))).getString(2)
+      }
       m.get("db/ident").map { ident =>
         AttrDef(
           ident = ident,

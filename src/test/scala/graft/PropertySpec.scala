@@ -175,6 +175,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid incremental resolve equals full resolve with card-one retractions in the delta") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val genDatom: Gen[(String, String, String, Long, Boolean)] = for {
+      e <- Gen.oneOf("e1", "e2", "e3")
+      a <- Gen.oneOf("one1", "one2", "many1")
+      v <- Gen.oneOf("v1", "v2", "v3", "v4")
+      tx <- Gen.choose(1L, 5L)
+      op <- Gen.oneOf(true, false)
+    } yield (e, a, v, tx, op)
+    val genLog = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, genDatom))
+    val basis = 3L
+    // UNLIKE the safe-delta case no shape is rewritten: generated
+    // deltas carry card-one retractions, the exact pattern the plain
+    // incremental merge cannot handle (an older value must resurface
+    // from pre-snapshot history)
+    samples(genLog, 60).foreach { rows =>
+      val df = rows.toDF("e", "a", "v", "tx", "op")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+      def toSet(d: org.apache.spark.sql.DataFrame) =
+        d.select("e", "a", "v").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val full = toSet(graft.store.Store.resolve(df, Seq("many1")))
+      val snap = graft.store.Store.resolve(df.filter(col("tx") <= basis), Seq("many1"))
+      val hyb = toSet(graft.store.Store.resolveIncrementalHybrid(
+        snap, basis, df.filter(col("tx") > basis), df, Seq("many1")))
+      assert(hyb === full, s"log: $rows")
+    }
+  }
+
+  test("current() takes the incremental path on a card-one retraction and matches a full re-resolve") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.store.Store
+    import graft.model.{AttrDef, SchemaRegistry}
+    val st = new Store(spark, java.nio.file.Files.createTempDirectory("hybinc").toString)
+    val reg = new SchemaRegistry(Map(
+      "p/one" -> AttrDef("p/one", "string", many = false, uniqueIdentity = false,
+        uniqueValue = false, component = false, fulltext = false)))
+    def datoms(rows: Seq[(String, String, String, Long, Boolean)]) =
+      rows.toDF("e", "a", "v", "tx", "op")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+        .select("e", "a", "v", "v_long", "is_ref", "tx", "op")
+    // tx1 asserts v1, tx2 supersedes with v2 — snapshot keeps only v2
+    st.append(datoms(Seq(("e1", "p/one", "v1", 1L, true), ("e1", "p/one", "v2", 2L, true))))
+    st.current(reg).count() // build the maintained snapshot
+    // tx3 retracts v2: v1 must RESURFACE, and the merge must be the
+    // hybrid incremental path, not a full rebuild
+    st.retract(datoms(Seq(("e1", "p/one", "v2", 3L, true))).drop("op"))
+    val got = st.current(reg).select("e", "a", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(st.lastCurrentIncremental,
+      "card-one retraction should take the hybrid incremental path")
+    assert(got === Set(("e1", "p/one", "v1")))
+    val fullResolve = Store.resolve(st.eav, Seq.empty)
+      .select("e", "a", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === fullResolve)
+  }
+
   test("tuple encode/decode round-trips over generated slot values") {
     val spark = TestSpark.spark
     import spark.implicits._
