@@ -1083,23 +1083,80 @@ object Llm {
     * one row per vector: its cell, the max cosine to a lower-id
     * cluster-mate (-1 when none), and the keep verdict. max() over
     * doubles is order-independent, so rounding after the aggregate is
-    * engine-stable. */
-  def d43_semdedup(s: SparkSession, d: String): DataFrame = {
-    val emb = withNorm(embeddings(s, d))
-    val cent = emb.filter(col("vec_id").between(8, 23))
+    * engine-stable. Cells above `maxCellSize` sub-split before the
+    * self-join ([[semDedupKeyed]]) so a degenerate quantizer cannot
+    * go quadratic; the default cap is far above any real cell here,
+    * so the gated output matches the uncapped oracle exactly. */
+  def d43_semdedup(s: SparkSession, d: String): DataFrame =
+    semDedup(embeddings(s, d), centLo = 8, centHi = 23, tau = 0.3,
+      maxCellSize = 100000)
+
+  /** Coarse cell assignment shared by [[semDedup]] and its spec:
+    * argmax-cosine over broadcast centroids (vec_id ∈ [centLo,
+    * centHi]), map-side max_by — zero shuffle before the groupBy. */
+  private[graft] def semDedupAssign(embIn: DataFrame, centLo: Int,
+      centHi: Int): DataFrame = {
+    val emb = withNorm(embIn)
+    val cent = emb.filter(col("vec_id").between(centLo, centHi))
       .select(col("vec_id").as("cid"), col("embedding").as("c_vec"), col("norm").as("c_norm"))
-    val assigned = emb.crossJoin(broadcast(cent))
+    emb.crossJoin(broadcast(cent))
       .withColumn("ccos", expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm")))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
         first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+  }
+
+  /** The occupancy guard (d35's playbook, applied to cells): cells
+    * above `maxCellSize` SUB-SPLIT into ⌈n / maxCellSize⌉ hash
+    * sub-cells, so the self-join key population — and with it the
+    * per-key pair volume — is bounded by ~maxCellSize no matter how
+    * degenerate the quantizer (one centroid attracting most of the
+    * corpus would otherwise re-open the Σcell² quadratic path).
+    * Comparisons then happen within sub-cells only — the standard
+    * recall-for-boundedness trade every bucketed dedup here makes
+    * (LSH bands, simhash chunks); SemDeDup is itself cluster-scoped
+    * approximate, and an over-cap cell is a quantizer failure to fix
+    * upstream (re-fit centroids), not a license to go quadratic.
+    * The census is one count-by-cell broadcast back (tiny: ≤ one row
+    * per centroid); under-cap cells keep sub = 0, so with no hot
+    * cells the join keys — and the output — are IDENTICAL to the
+    * uncapped plan. Audit what was capped with [[semDedupCapReport]]. */
+  private[graft] def semDedupKeyed(assigned: DataFrame,
+      maxCellSize: Int): DataFrame = {
+    val hot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize)
+      .select(col("cell"), ceil(col("n") / lit(maxCellSize.toDouble)).cast("long").as("n_sub"))
+    assigned.join(broadcast(hot), Seq("cell"), "left")
+      .withColumn("sub",
+        when(col("n_sub").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")), col("n_sub"))))
+      .drop("n_sub")
+  }
+
+  /** Operator-side audit of the guard: the over-cap cells with their
+    * occupancy and sub-split fan-out — run it beside a capped
+    * `semDedup` to see exactly which cells were sub-split (empty ⇒
+    * the capped and uncapped outputs are identical). */
+  def semDedupCapReport(embIn: DataFrame, centLo: Int, centHi: Int,
+      maxCellSize: Int): DataFrame =
+    semDedupAssign(embIn, centLo, centHi)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxCellSize)
+      .withColumn("n_sub", ceil(col("n_members") / lit(maxCellSize.toDouble)).cast("long"))
+
+  /** Core of d43 over any (vec_id, embedding) frame; see
+    * [[d43_semdedup]] for semantics, [[semDedupKeyed]] for the
+    * occupancy cap. */
+  def semDedup(embIn: DataFrame, centLo: Int, centHi: Int, tau: Double,
+      maxCellSize: Int): DataFrame = {
+    val assigned = semDedupKeyed(semDedupAssign(embIn, centLo, centHi), maxCellSize)
+    val a = assigned.select(col("cell"), col("sub"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"), col("norm").as("a_norm"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+    val b = assigned.select(col("cell"), col("sub"), col("vec_id").as("b_id"),
       col("embedding").as("b_vec"), col("norm").as("b_norm"))
-    // cell-keyed self-join: shuffle ∝ cell occupancy; only the
-    // lower-id side survives as a "kept" witness
-    val dupCos = a.join(b, Seq("cell"))
+    // (cell, sub)-keyed self-join: shuffle ∝ capped occupancy; only
+    // the lower-id side survives as a "kept" witness
+    val dupCos = a.join(b, Seq("cell", "sub"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", expr("vec_dot(a_vec, b_vec) / (a_norm * b_norm)"))
       .groupBy(col("b_id").as("vec_id"))
@@ -1108,7 +1165,7 @@ object Llm {
       .join(dupCos, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         round(coalesce(col("max_lower_cos"), lit(-1.0)), 6).as("max_lower_cosine"),
-        (coalesce(col("max_lower_cos"), lit(-1.0)) < 0.3).as("keep"))
+        (coalesce(col("max_lower_cos"), lit(-1.0)) < lit(tau)).as("keep"))
   }
 
   def d43OracleSql: String =

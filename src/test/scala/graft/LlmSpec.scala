@@ -316,6 +316,38 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(9L)._3 && rows(9L)._2 == -1.0, "a cell singleton keeps with no witness")
   }
 
+  test("d43 cap: a degenerate mega-cell sub-splits bounded; idle cap leaves output unchanged") {
+    // single centroid (vec 7) → EVERY vector lands in one cell: the
+    // exact quantizer failure the occupancy guard exists for
+    val n = 300
+    val emb = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(8)(j => if (j == 0) 1f + i * 0.001f else 0.01f * j)))
+      .toDF("vec_id", "embedding")
+    val keyed = Llm.semDedupKeyed(Llm.semDedupAssign(emb, 7, 7), maxCellSize = 50)
+    val occ = keyed.groupBy("cell", "sub").count().collect()
+    assert(occ.map(_.getLong(2)).sum == n.toLong, "sub-split loses no members")
+    assert(occ.length == math.ceil(n / 50.0).toInt, s"⌈n/cap⌉ sub-cells, got ${occ.length}")
+    assert(occ.forall(_.getLong(2) <= 100L),
+      s"a single mega-cell must not survive the cap: ${occ.map(_.getLong(2)).mkString(",")}")
+    // the capped run still verdicts every vector
+    val out = Llm.semDedup(emb, 7, 7, tau = 0.3, maxCellSize = 50)
+    assert(out.count() == n.toLong)
+    // the audit report names the mega-cell and its fan-out
+    val rep = Llm.semDedupCapReport(emb, 7, 7, maxCellSize = 50).collect()
+    assert(rep.length == 1 && rep(0).getAs[Long]("n_members") == n.toLong
+      && rep(0).getAs[Long]("n_sub") == 6L, rep.mkString(","))
+    // fixture cells never exceed 3 members (cell 8 = {0, 1, 8}) →
+    // cap=3 is idle and the output is IDENTICAL to the
+    // effectively-uncapped default
+    val fix = graft.sources.Tables.embeddings(spark, fixtureDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(canon(Llm.semDedup(fix, 8, 23, 0.3, maxCellSize = 3))
+      === canon(Llm.semDedup(fix, 8, 23, 0.3, maxCellSize = Int.MaxValue)))
+    assert(Llm.semDedupCapReport(fix, 8, 23, 3).collect().isEmpty,
+      "no fixture cell is over-cap → empty report")
+  }
+
   test("d45: sketch quantiles honor the accuracy contract; exact values bracket the data") {
     val r = Llm.d45_length_quantiles(spark, fixtureDir).collect().head
     assert(r.getAs[Long]("n_docs") == 6L)

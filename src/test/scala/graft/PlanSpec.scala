@@ -145,6 +145,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!(third eq second) && third.count() == 3)
   }
 
+  test("d43: cell self-join is hash-keyed; only the centroid broadcast nests; census broadcasts") {
+    val p = plan(graft.queries.Llm.d43_semdedup(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "an unkeyed corpus self-join would be quadratic: " + p.take(600))
+    // nested loops may only be corpus × BROADCAST centroids (the
+    // pre-AQE plan repeats that subtree per reference); the pair join
+    // itself must be a keyed join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("d33: gopher rules are a map-only scan (zero shuffle)") {
     val p = plan(graft.queries.Curate.d33_gopher_rules(spark, sf))
     assert(!p.contains("Exchange"), s"d33 must not shuffle:\n${p.take(600)}")
