@@ -39,11 +39,18 @@ object Bench {
     // ~100x less data — without it the first heavy execution of a
     // stage runs partly interpreted and times 10-20x worse than the
     // engine's steady state (measured: q49 227s cold vs 6s warm).
+    // local-iteration filter: SPARK_GRAFT_ONLY=q57,q60 times only the
+    // matching queries (comma-separated substrings). The driver never
+    // sets it, so the recorded BENCH artifacts always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
       val t0 = System.nanoTime()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         // noop sink, matching the timed action — count() would skip
         // JIT-compiling the projection paths the timed run executes
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -73,7 +80,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = selected
     val samples = scala.collection.mutable.Map[String, List[(Double, Boolean)]]()
       .withDefaultValue(Nil)
     val passSecs = scala.collection.mutable.ListBuffer[Double]()

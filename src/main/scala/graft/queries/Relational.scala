@@ -958,13 +958,21 @@ object Relational {
       "price-cap" -> (cents(col("o_totalprice")) >= 49800000L),
       "pending-low" -> (col("o_orderstatus") === "P" && cents(col("o_totalprice")) < 600000L))
     val out = graft.ops.Validate.ensureTx(o, expr("o_orderkey div 100"), checks)
-    out.agg(
-      countDistinct(col("ensure_tx")).as("n_tx"),
-      countDistinct(when(!col("tx_ok"), col("ensure_tx"))).as("n_tx_rejected"),
-      sum(when(col("tx_ok"), 1L).otherwise(0L)).as("n_accepted"),
-      sum(when(!col("tx_ok") && size(col("errors")) === 0, 1L).otherwise(0L))
-        .as("n_collateral"),
-      sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("n_violating"))
+    // two-level aggregation instead of two countDistincts + sums in one
+    // agg: the multi-distinct form plans an Expand (×3 row blow-up of
+    // the whole annotated output); per-tx partials then one global agg
+    // keep every pass map-side-combinable
+    out.groupBy(col("ensure_tx"))
+      .agg(first(col("tx_ok")).as("tx_ok"),
+        sum(when(col("tx_ok"), 1L).otherwise(0L)).as("acc"),
+        sum(when(!col("tx_ok") && size(col("errors")) === 0, 1L).otherwise(0L)).as("coll"),
+        sum(when(size(col("errors")) > 0, 1L).otherwise(0L)).as("viol"))
+      .agg(
+        count(lit(1)).as("n_tx"),
+        sum(when(!col("tx_ok"), 1L).otherwise(0L)).as("n_tx_rejected"),
+        sum(col("acc")).as("n_accepted"),
+        sum(col("coll")).as("n_collateral"),
+        sum(col("viol")).as("n_violating"))
   }
 
   // ── VAET reverse-index scan: who references these entities? ───────

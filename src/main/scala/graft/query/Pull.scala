@@ -201,71 +201,135 @@ object Pull {
         case NoLimit => c
         case n => slice(c, 1, n)
       }
-    def step(acc: DataFrame, spec: Spec): DataFrame =
-      spec match {
-        case PWild => throw new IllegalStateException("unreachable: * expanded above")
-        case PRec(attr, reverse, depth0) =>
-          // `...` resolves to the ref graph's closure depth from THIS
-          // level's root set (the unrolling must be static for a
-          // DataFrame schema); a declared depth is taken as-is. One
-          // level = a PRef whose sub-pattern is the enclosing pattern
-          // with this recursion point decremented — the recursive
-          // pullFrom below unrolls the rest. Depth exhausted → the
-          // plain ref value (child entity id), Datomic's cycle/limit
-          // rendering.
-          val depth =
-            if (depth0 >= 0) depth0
-            else closureDepth(cur, attr, reverse, acc.select(col("e")))
-          if (depth <= 0) step(acc, PAttr(attr))
-          else {
-            val sub = expanded.map {
-              case PRec(`attr`, `reverse`, _) => PRec(attr, reverse, depth - 1)
-              case other => other
-            }
-            step(acc, PRef(attr, reverse, sub))
+    val rootsE = roots.select(col("e"))
+    // `...` resolves to the ref graph's closure depth from THIS
+    // level's root set (the unrolling must be static for a DataFrame
+    // schema); a declared depth is taken as-is. One level = a PRef
+    // whose sub-pattern is the enclosing pattern with this recursion
+    // point decremented — the recursive pullFrom unrolls the rest.
+    // Depth exhausted → the plain attr value (child entity id),
+    // Datomic's cycle/limit rendering. The root e-set is invariant
+    // through the hydration (left joins on e), so closure depth can
+    // resolve up-front against the roots.
+    def resolveRec(spec: Spec): Spec = spec match {
+      case PRec(attr, reverse, depth0) =>
+        val depth =
+          if (depth0 >= 0) depth0
+          else closureDepth(cur, attr, reverse, rootsE)
+        if (depth <= 0) PAttr(attr)
+        else {
+          val sub = expanded.map {
+            case PRec(`attr`, `reverse`, _) => PRec(attr, reverse, depth - 1)
+            case other => other
           }
-        case PAttr(attr, limit, default, as) =>
-          // :default coalesces a missing CARD-ONE value; on a card-many
-          // attr it would coalesce an array with a scalar literal and
-          // die downstream with an opaque AnalysisException — gate here
-          require(default.isEmpty || !registry.isMany(attr),
-            s"pull :default applies to cardinality-one attributes only; " +
-              s"$attr is :cardinality/many")
-          val name = as.getOrElse(colName(attr, reverse = false))
-          val vals = cur.filter(col("a") === attr).select(col("e"), col("v"))
-          val agged =
-            if (registry.isMany(attr))
+          PRef(attr, reverse, sub)
+        }
+      case s => s
+    }
+    val resolved = expanded.map(resolveRec)
+    def nameOf(spec: Spec): String = spec match {
+      case PAttr(attr, _, _, as) => as.getOrElse(colName(attr, reverse = false))
+      case PRef(attr, reverse, _, _, as) => as.getOrElse(colName(attr, reverse))
+      case other => throw new IllegalStateException(s"unresolved spec: $other")
+    }
+    // Hydrate a batch of scalar attrs onto `frame`, keyed by the
+    // entity-id column `key`. Two strategies: ≤4 all-card-one attrs
+    // hydrate as per-attr keyed joins (broadcast-able either way by
+    // AQE); wider or card-many batches hydrate via ONE attr-pruned
+    // scan + ONE conditional aggregation + ONE join (the entityTable
+    // shape) — a 60-attr `[*]` pattern used to cost 60 scans and 60
+    // shuffle-joins, which dominated pull's runtime and plan size.
+    def scalarHydrate(frame: DataFrame, key: String, scalars: Seq[PAttr]): DataFrame = {
+      // :default coalesces a missing CARD-ONE value; on a card-many
+      // attr it would coalesce an array with a scalar literal and
+      // die downstream with an opaque AnalysisException — gate here
+      scalars.foreach(p => require(p.default.isEmpty || !registry.isMany(p.attr),
+        s"pull :default applies to cardinality-one attributes only; " +
+          s"${p.attr} is :cardinality/many"))
+      val joined =
+        if (scalars.size <= 4 && scalars.forall(p => !registry.isMany(p.attr))) {
+          // few card-one attrs: per-attr keyed joins, NO aggregation —
+          // each join's build side is whichever is smaller (a small
+          // root set broadcasts against a huge store; a small pruned
+          // attr population broadcasts against a wide root set — AQE
+          // picks), where the batched agg below would commit to
+          // shuffling the attr rows unconditionally
+          scalars.foldLeft(frame) { (df, p) =>
+            val name = p.as.getOrElse(colName(p.attr, reverse = false))
+            df.join(cur.filter(col("a") === p.attr)
+              .select(col("e").as(key), col("v").as(name)), Seq(key), "left")
+          }
+        } else {
+          val aggs = scalars.map { case PAttr(attr, limit, _, as) =>
+            val name = as.getOrElse(colName(attr, reverse = false))
+            val picked = when(col("a") === attr, col("v"))
+            if (registry.isMany(attr)) {
               // sort BEFORE the limit slice: Datomic returns the first
-              // n of the stable value order, not n arbitrary elements
-              vals.groupBy("e").agg(
-                sliced(sort_array(collect_list(col("v"))), limit).as(name))
-            else vals.select(col("e"), col("v").as(name))
-          val joined = acc.join(agged, Seq("e"), "left")
-          default.fold(joined)(d =>
-            joined.withColumn(name, coalesce(col(name), lit(defText(d)))))
-        case PRef(attr, reverse, sub, limit, as) =>
-          // forward: root --attr--> child (v is the child id);
-          // reverse: child --attr--> root, hydrate the children
-          val edges =
-            if (reverse) cur.filter(col("a") === attr)
-              .select(col("v").as("e"), col("e").as("__child"))
-            else cur.filter(col("a") === attr)
-              .select(col("e"), col("v").as("__child"))
-          val children = pullFrom(cur, registry, sub,
-            edges.select(col("__child").as("e")).distinct(), wildSeen + attr)
-          val joined = edges.join(children.withColumnRenamed("e", "__child"), "__child")
-          val st = struct(children.columns.filterNot(_ == "e").map(col): _*)
-          val name = as.getOrElse(colName(attr, reverse))
-          // reverse refs and card-many forward refs collect; a card-one
-          // forward ref is a single struct
-          val agged =
-            if (reverse || registry.isMany(attr))
-              joined.groupBy("e").agg(
-                sliced(sort_array(collect_list(st)), limit).as(name))
-            else joined.groupBy("e").agg(min(st).as(name))
-          acc.join(agged, Seq("e"), "left")
+              // n of the stable value order, not n arbitrary elements.
+              // An entity reaching this group only via OTHER attrs of
+              // the batch collects an empty list — a missing attr is
+              // null, as in the unbatched form
+              val collected = sort_array(collect_list(picked))
+              when(size(collected) === 0, lit(null))
+                .otherwise(sliced(collected, limit)).as(name)
+            } else max(picked).as(name) // one value per (e, a) post-resolution
+          }
+          val agged = cur.filter(col("a").isInCollection(scalars.map(_.attr)))
+            .groupBy(col("e")).agg(aggs.head, aggs.tail: _*)
+            .withColumnRenamed("e", key)
+          frame.join(agged, Seq(key), "left")
+        }
+      scalars.foldLeft(joined) { (df, p) =>
+        p.default.fold(df) { d =>
+          val name = p.as.getOrElse(colName(p.attr, reverse = false))
+          df.withColumn(name, coalesce(col(name), lit(defText(d))))
+        }
       }
-    expanded.foldLeft(roots.select(col("e")))(step)
+    }
+    val scalars = resolved.collect { case p: PAttr => p }
+    val withScalars =
+      if (scalars.isEmpty) rootsE else scalarHydrate(rootsE, "e", scalars)
+    def refStep(acc: DataFrame, spec: PRef): DataFrame = spec match {
+      case PRef(attr, reverse, sub, limit, as) =>
+        // forward: root --attr--> child (v is the child id);
+        // reverse: child --attr--> root, hydrate the children
+        val edges =
+          if (reverse) cur.filter(col("a") === attr)
+            .select(col("v").as("e"), col("e").as("__child"))
+          else cur.filter(col("a") === attr)
+            .select(col("e"), col("v").as("__child"))
+        // an ALL-SCALAR sub-pattern (depth-exhausted recursion points
+        // are scalars too) hydrates DIRECTLY onto the edge targets —
+        // no child-root distinct, no separate root join, no recursive
+        // call: two shuffles less per ref level than the general path
+        val subMapped = sub.map {
+          case PRec(a2, _, 0) => PAttr(a2)
+          case s => s
+        }
+        val (joined, childCols) =
+          if (subMapped.nonEmpty && subMapped.forall(_.isInstanceOf[PAttr])) {
+            val ss = subMapped.collect { case p: PAttr => p }
+            (scalarHydrate(edges, "__child", ss), ss.map(nameOf))
+          } else {
+            val children = pullFrom(cur, registry, sub,
+              edges.select(col("__child").as("e")).distinct(), wildSeen + attr)
+            (edges.join(children.withColumnRenamed("e", "__child"), "__child"),
+              children.columns.filterNot(_ == "e").toSeq)
+          }
+        val st = struct(childCols.map(c => col(s"`$c`")): _*)
+        val name = as.getOrElse(colName(attr, reverse))
+        // reverse refs and card-many forward refs collect; a card-one
+        // forward ref is a single struct
+        val agged =
+          if (reverse || registry.isMany(attr))
+            joined.groupBy("e").agg(
+              sliced(sort_array(collect_list(st)), limit).as(name))
+          else joined.groupBy("e").agg(min(st).as(name))
+        acc.join(agged, Seq("e"), "left")
+    }
+    val hydrated = resolved.collect { case p: PRef => p }.foldLeft(withScalars)(refStep)
+    // restore the pattern's declared column order (scalars batched first)
+    hydrated.select(("e" +: resolved.map(nameOf)).map(c => col(s"`$c`")): _*)
   }
 
   /** Ceiling on automatic `...` unrolling. Two forces bound it:

@@ -120,7 +120,7 @@ class UpsertSpec extends AnyFunSuite {
     assert(names(graft.query.Datalog.runAsOf(store, registry, 2L, q)) == Set("Old"))
   }
 
-  test("current(): snapshot maintains incrementally on appends; unsafe deltas rebuild") {
+  test("current(): snapshot maintains incrementally on appends; out-of-order rebuilds; retractions go hybrid") {
     import spark.implicits._
     val store = new Store(spark, java.nio.file.Files.createTempDirectory("incsnap").toString)
     def datoms(rows: (String, String, String, Long)*) =
@@ -154,14 +154,16 @@ class UpsertSpec extends AnyFunSuite {
     store.append(datoms(("b3", "release/name", "Early", 1L)))
     assert(cur() === full())
     assert(!store.lastCurrentIncremental, "an out-of-order tx must fail the count guard")
-    // card-one retraction in the delta: the safety guard must force a
-    // rebuild — full semantics RESURFACE the older unretracted value
-    // (the PropertySpec reference model), which the discarded-history
-    // snapshot could never produce incrementally
+    // card-one retraction in the delta: the hybrid path re-resolves the
+    // touched (e, a) keys from full history — full semantics RESURFACE
+    // the older unretracted value (the PropertySpec reference model),
+    // which the discarded-history snapshot alone could never produce —
+    // while the rest of the store still merges incrementally
     store.retract(datoms(("b1", "release/name", "New", 3L)))
     val c4 = cur()
     assert(c4 === full())
-    assert(!store.lastCurrentIncremental, "a card-one retraction must fall back to rebuild")
+    assert(store.lastCurrentIncremental,
+      "a card-one retraction takes the hybrid incremental path, not a rebuild")
     assert(c4(("b1", "release/name", "Old")),
       "retracting the current value resurfaces the superseded one")
   }
