@@ -140,6 +140,8 @@ object SparkEntry {
     "d47_weighted_sample"    -> (Llm.d47_weighted_sample _),
     "d48_bloom_decontaminate" -> ((s, d) => Curate.d48_bloom_decontaminate(s, d)),
     "d49_leakage_split"      -> (Llm.d49_leakage_split _),
+    "d50_bpe_mix"            -> ((s, d) =>
+      Curate.d26_source_mix(s, d, budgetTokens = 4000L, tokenizer = "bpe")),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
@@ -1089,6 +1091,7 @@ object SparkEntry {
     "d47_weighted_sample" -> graft.queries.XxhOracle.d47Sql,
     "d48_bloom_decontaminate" -> Curate.d48OracleSql,
     "d49_leakage_split" -> graft.queries.XxhOracle.d49Sql,
+    "d50_bpe_mix" -> Curate.d50OracleSql,
     "mm7_keyframes" -> Multimodal.mm7OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses

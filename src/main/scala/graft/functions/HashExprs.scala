@@ -413,6 +413,7 @@ object HashExprs {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("ahash_bits",
       es => AHashBits(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_count", es => BpeCount(es.head), "scala_udf")
     // Spark's own runtime-filter bloom sketch, surfaced as callable
     // functions: bloom_agg(xxhash64(key)[, items[, bits]]) builds the
     // binary sketch, bloom_might_contain(bf, xxhash64(key)) probes it.

@@ -247,11 +247,22 @@ object Curate {
     * itself is scanned twice but never shuffled; at 100 TB the totals
     * side is kilobytes. Output: the kept documents with their
     * source's rate (basis points). */
-  def d26_source_mix(s: SparkSession, d: String, budgetTokens: Long = 800L): DataFrame = {
-    val docs = documents(s, d)
-      .withColumn("n_tokens",
-        when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), " +")).cast("long")))
+  def d26_source_mix(s: SparkSession, d: String, budgetTokens: Long = 800L,
+      tokenizer: String = "ws"): DataFrame = {
+    // the budget's unit is switchable: "ws" counts whitespace words
+    // (the gated d26 default), "bpe" counts what a BPE tokenizer
+    // would actually bill (`functions.Bpe` — the gated d50 entry);
+    // both are single-pass codegen expressions, the pipeline shape
+    // is identical
+    graft.functions.HashExprs.register(s)
+    val nTok = tokenizer match {
+      case "ws" => when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), " +")).cast("long"))
+      case "bpe" => call_function("bpe_count", col("text"))
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (want ws|bpe)")
+    }
+    val docs = documents(s, d).withColumn("n_tokens", nTok)
     val totals = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .select(col("source"),
@@ -259,6 +270,27 @@ object Curate {
     docs.join(broadcast(totals), "source")
       .filter(hashBucket(col("doc_id"), "mix", 10000) < col("rate_bp"))
       .select(col("doc_id"), col("source"), col("rate_bp"), col("n_tokens"))
+  }
+
+  /** Oracle for the BPE-budgeted mix (gated d50): d26's pipeline with
+    * `n_tokens` replayed as the `functions.Bpe` replace-chain — the
+    * state renders once in a CTE, the merge list comes from the SAME
+    * Scala table the engine compiles, so the two sides cannot drift. */
+  def d50OracleSql: String = {
+    val st = graft.functions.Bpe.oracleStateExpr("text")
+    s"""WITH b AS (
+       |  SELECT doc_id, source, $st AS st FROM documents),
+       |t AS (
+       |  SELECT doc_id, source, ${graft.functions.Bpe.oracleCountExpr("st")} AS n_tokens
+       |  FROM b),
+       |r AS (
+       |  SELECT source, least(10000, 4000 * 10000 // sum(n_tokens)) AS rate_bp
+       |  FROM t GROUP BY source)
+       |SELECT t.doc_id, t.source, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       |  CAST(t.n_tokens AS BIGINT) AS n_tokens
+       |FROM t JOIN r USING (source)
+       |WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000
+       |      < r.rate_bp""".stripMargin
   }
 
   // ── d29: sequence packing (context-window assembly) ───────────────

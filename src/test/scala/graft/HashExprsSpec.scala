@@ -117,6 +117,45 @@ class HashExprsSpec extends AnyFunSuite {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("bpe_count equals the oracle's replace-chain semantics; table is valid; greedy-known cases") {
+    import graft.functions.Bpe
+    // the oracle's EXACT semantics, independently reimplemented:
+    // java String.replace = leftmost-first non-overlapping, the same
+    // convention DuckDB's replace() and the compiled kernel use
+    def naive(text: String): Long = {
+      val s0 = text.toLowerCase
+        .replaceAll("[^a-z0-9]+", "|")
+        .replaceAll("([a-z0-9])", "<$1>")
+      val st = Bpe.Merges.foldLeft(s0) { case (acc, (x, y)) =>
+        acc.replace(s"<$x><$y>", s"<$x$y>")
+      }
+      st.count(_ == '<').toLong
+    }
+    HashExprs.register(spark)
+    val corpus = Seq(
+      "the", "thesis", "aaaa", "the things and others", "", "!!!",
+      "a 10 100 1000 10x", "The THE the", "ünïcødé and 中文 tokens",
+      "ingsingsings", "thththth", "ersatz era raters",
+      "this is a long shared document about spark engines " * 4)
+    val rows = corpus.toDF("text")
+      .select(col("text"), expr("bpe_count(text)").as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == naive(r.getString(0)),
+        s"'${r.getString(0).take(40)}' native=${r.getLong(1)} oracle=${naive(r.getString(0))}")
+    }
+    // hand-checked greedy results: "the" fully merges; "thesis" →
+    // th+es+is (rank order: th before es before is)
+    val byText = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byText("the") == 1L && byText("thesis") == 3L && byText("aaaa") == 4L)
+    assert(byText("") == 0L && byText("!!!") == 0L)
+    // BPE never exceeds the character count and never undercounts words
+    val ws = (t: String) => t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+    corpus.foreach { t =>
+      val n = byText(t)
+      assert(n <= t.length.toLong && n >= ws(t), s"'$t' -> $n")
+    }
+  }
+
   test("expressions participate in codegen (no fallback)") {
     // a local Seq would constant-fold via ConvertToLocalRelation; use a
     // real parquet scan so the projection actually plans
