@@ -218,6 +218,70 @@ object Streams {
     graft.queries.Curate.curatePrefix(docs)
       .dropDuplicates("clean_hash")
 
+  /** One transaction's report — Datomic `tx-report-queue` entry shape:
+    * the basis `t` and the transaction's datoms (full Store.schema
+    * rows). Tx batches are bounded (the loader's own batch discipline,
+    * reference batch.clj:31-40), so a report is driver-safe by the
+    * same argument Datomic's in-memory queue is. */
+  final case class TxReport(t: Long, datoms: Seq[org.apache.spark.sql.Row])
+
+  /** Datomic `d/tx-report-queue` analog — SUBSCRIBE to committed
+    * transactions: a readStream over the store's append-only log
+    * delivers every tx with `tx > basis` as one [[TxReport]], in tx
+    * order, exactly once across restarts (the file-source checkpoint
+    * remembers which log files were already delivered — restart with
+    * the same checkpoint resumes at the first unseen append).
+    *
+    * This closes the loop with [[datomStreamSink]]: that is the write
+    * side (stream → store), this is the read side (store → stream) —
+    * together they are Datomic's transactor pipeline in Spark terms.
+    *
+    * Scale: the stream's first pass discovers the existing log, but
+    * the `tx > basis` filter is a pushed parquet predicate — old row
+    * groups prune on tx min/max, so catching up on a 100 TB log reads
+    * footers, not history. Per-trigger volume is bounded with
+    * `maxFilesPerTrigger`; report assembly collects only the new txes'
+    * datoms (bounded tx batches, see [[TxReport]]). */
+  def txReportQueue(spark: SparkSession, store: graft.store.Store, basis: Long,
+      maxFilesPerTrigger: Int = 1000)(checkpoint: String)(
+      onReport: TxReport => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(graft.store.Store.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"${store.dir}/eav")
+      .filter(col("tx") > basis)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().groupBy(_.getAs[Long]("tx")).toSeq.sortBy(_._1)
+          .foreach { case (t, ds) =>
+            onReport(TxReport(t, ds.toSeq.sortBy(r =>
+              (r.getAs[String]("e"), r.getAs[String]("a"), r.getAs[String]("v")))))
+          }
+        ()
+      }
+      .start()
+
+  /** Datomic `d/sync` analog: block until the store's basis-t reaches
+    * `t`, then return it (callers then read `store.current` / `asOf`
+    * at a basis they KNOW includes their own write — the
+    * read-your-writes coordination `d/sync` exists for). Polls the
+    * log's tx max (parquet column stats — no data pages); throws on
+    * timeout like Datomic's deref. */
+  def sync(store: graft.store.Store, t: Long, timeoutMs: Long = 30000L,
+      pollMs: Long = 50L): Long = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var b = store.basisT
+    while (b < t) {
+      if (System.nanoTime() > deadline)
+        throw new java.util.concurrent.TimeoutException(
+          s"d/sync: basis $b has not reached $t within ${timeoutMs}ms")
+      Thread.sleep(pollMs)
+      b = store.basisT
+    }
+    b
+  }
+
   /** Streaming datom ingestion: each micro-batch of (e, a, v[, v_long,
     * is_ref]) rows appends atomically to the EAV store with
     * tx = txBase + batchId, so the store is queryable — `current`,

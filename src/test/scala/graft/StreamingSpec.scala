@@ -185,6 +185,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tx-report-queue: subscriber sees exactly the post-basis txes, in order, across restarts") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("txqstore").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("txqckpt").toString
+    def datoms(rows: (String, String, String, Long)*) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    // history BEFORE the subscription: must never be delivered
+    store.append(datoms(("e1", "x/a", "v1", 1L), ("e2", "x/a", "v2", 2L)))
+    val basis = store.basisT
+    assert(basis == 2L)
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[Streams.TxReport]()
+    val q = Streams.txReportQueue(spark, store, basis)(ckpt)(reports.add(_))
+    try {
+      q.processAllAvailable()
+      assert(reports.isEmpty, "nothing at-or-before the basis is delivered")
+      store.append(datoms(("e3", "x/a", "v3", 3L)))
+      store.append(datoms(("e4", "x/a", "v4", 4L), ("e4", "x/b", "v5", 4L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val seen = reports.toArray(Array.empty[Streams.TxReport])
+    assert(seen.map(_.t).toSeq == Seq(3L, 4L), s"per-tx reports in tx order: ${seen.map(_.t).mkString(",")}")
+    assert(seen(0).datoms.map(_.getAs[String]("e")) == Seq("e3"))
+    assert(seen(1).datoms.map(r => (r.getAs[String]("e"), r.getAs[String]("a"))).toSeq
+      == Seq(("e4", "x/a"), ("e4", "x/b")), "a report carries the tx's FULL datom set")
+    // restart with the same checkpoint: only appends after the stop arrive
+    store.append(datoms(("e5", "x/a", "v6", 5L)))
+    val reports2 = new java.util.concurrent.ConcurrentLinkedQueue[Streams.TxReport]()
+    val q2 = Streams.txReportQueue(spark, store, basis)(ckpt)(reports2.add(_))
+    try q2.processAllAvailable() finally q2.stop()
+    val seen2 = reports2.toArray(Array.empty[Streams.TxReport])
+    assert(seen2.map(_.t).toSeq == Seq(5L),
+      s"restart resumes at the first unseen append, no replay: ${seen2.map(_.t).mkString(",")}")
+  }
+
+  test("d/sync: blocks until the basis reaches t, times out if it never does") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("syncstore").toString)
+    def datoms(rows: (String, String, String, Long)*) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    store.append(datoms(("e1", "x/a", "v1", 7L)))
+    assert(Streams.sync(store, 7L) == 7L, "an already-reached basis returns immediately")
+    // a concurrent writer lands tx 9 while sync waits
+    val writer = new Thread(() => {
+      Thread.sleep(300)
+      store.append(datoms(("e2", "x/a", "v2", 9L)))
+    })
+    writer.start()
+    assert(Streams.sync(store, 9L, timeoutMs = 20000L) >= 9L,
+      "sync returns once the writer's tx is visible")
+    writer.join()
+    intercept[java.util.concurrent.TimeoutException] {
+      Streams.sync(store, 99L, timeoutMs = 300L)
+    }
+  }
+
   test("idempotent micro-batch sink skips replayed batch ids") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString
