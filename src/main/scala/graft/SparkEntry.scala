@@ -132,6 +132,7 @@ object SparkEntry {
     "q69_seek_datoms"        -> (Relational.q69_seek_datoms _),
     "q70_query_stats"        -> (Relational.q70_query_stats _),
     "q71_filtered_db"        -> (Relational.q71_filtered_db _),
+    "q72_pull_xform"         -> (Relational.q72_pull_xform _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1086,6 +1087,26 @@ object SparkEntry {
       """SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
         |FROM orders WHERE o_orderpriority <> '5-LOW'
         |GROUP BY o_orderpriority""".stripMargin,
+    // q72: xform applies to stored values (names upper-case), the
+    // :default fills untransformed (lowercase 'unknown'); nested
+    // prices parse-long, so the 2-smallest slice is NUMERIC order
+    "q72_pull_xform" ->
+      """WITH p AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS e,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price
+        |  FROM orders),
+        |two AS (
+        |  SELECT e, price, ROW_NUMBER() OVER (PARTITION BY e ORDER BY price) AS rn
+        |  FROM p),
+        |s AS (
+        |  SELECT e, CAST(COUNT(*) AS BIGINT) AS n2, CAST(SUM(price) AS BIGINT) AS sum_price2
+        |  FROM two WHERE rn <= 2 GROUP BY e),
+        |nm AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS e,
+        |    upper('name-' || CAST(o_custkey AS VARCHAR)) AS name
+        |  FROM orders WHERE o_custkey % 10 = 0)
+        |SELECT s.e, coalesce(nm.name, 'unknown') AS name, s.n2, s.sum_price2
+        |FROM s LEFT JOIN nm USING (e)""".stripMargin,
     "d45_length_quantiles" -> Llm.d45OracleSql,
     "d46_fuzzy_join" -> Llm.d46OracleSql,
     "d47_weighted_sample" -> graft.queries.XxhOracle.d47Sql,

@@ -1111,6 +1111,45 @@ object Relational {
         col("cust_parent.cust_parent.cust_parent").as("ggp_id"))
   }
 
+  // ── Pull :xform: whitelisted per-attribute transforms ─────────────
+  /** Datomic pull's `:xform` option — a per-attribute transform fn
+    * applied to stored values post-read, resolved by NAME from the
+    * registered whitelist (the `:db/fn` discipline: query text can
+    * only reference installed functions). Over q57's customer→orders
+    * graph: names upper-case via `str/upper-case` — while missing
+    * names fill with the UNtransformed `:default` (pinning Datomic's
+    * xform-before-default ordering, 'NAME-…' vs lowercase 'unknown') —
+    * and nested order prices parse to longs via `parse-long`, so the
+    * 2-smallest slice sorts NUMERICALLY and sums engine-side without a
+    * cast. Plan shape identical to plain pull: xform is a scan-side
+    * projection. */
+  def q72_pull_xform(s: SparkSession, d: String): DataFrame = {
+    import graft.model.{AttrDef, SchemaRegistry}
+    val o = orders(s, d)
+    val ce = concat(lit("c"), col("o_custkey").cast("string"))
+    val oe = concat(lit("o"), col("o_orderkey").cast("string"))
+    val eav = o.select(ce.as("e"), lit("cust/order").as("a"), oe.as("v"))
+      .unionByName(o.select(oe.as("e"), lit("order/price").as("a"),
+        cents(col("o_totalprice")).cast("string").as("v")))
+      .unionByName(o.filter(pmod(col("o_custkey"), lit(10)) === 0)
+        .select(ce.as("e"), lit("cust/name").as("a"),
+          concat(lit("name-"), col("o_custkey").cast("string")).as("v")).distinct())
+    def attr(n: String, many: Boolean) = n -> AttrDef(n, "string", many = many,
+      uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false)
+    val reg = new SchemaRegistry(Map(
+      attr("cust/order", many = true), attr("cust/name", many = false),
+      attr("order/price", many = false)))
+    val roots = o.select(ce.as("e")).distinct()
+    graft.query.Pull.pullFrom(eav, reg, graft.query.Pull.parsePattern(
+        """[(:cust/name :default "unknown" :xform str/upper-case)
+          | {(:cust/order :limit 2) [(:order/price :as "price" :xform parse-long)]}]""".stripMargin),
+        roots)
+      .select(col("e"), col("cust_name").as("name"),
+        size(col("cust_order")).cast("long").as("n2"),
+        expr("aggregate(transform(cust_order, x -> x.price), 0L, (acc, p) -> acc + p)")
+          .as("sum_price2"))
+  }
+
   // ── Datalog mutual recursion ──────────────────────────────────────
   /** Mutually recursive rules — `hop-a`/`hop-b` alternate over two
     * edge types (supplier→nation via :locA, nation→region via :locB),

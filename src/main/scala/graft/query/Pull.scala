@@ -35,14 +35,18 @@ object Pull {
 
   sealed trait Spec
   /** Datomic attribute-with-options: `(:artist/name :as "Name")`,
-    * `(:artist/aliases :limit 2)`, `(:artist/startYear :default 0)`.
+    * `(:artist/aliases :limit 2)`, `(:artist/startYear :default 0)`,
+    * `(:artist/name :xform str/upper-case)`.
     * `limit` slices the SORTED card-many collection (deterministic
     * truncation); `None` means Datomic's implicit [[DefaultLimit]]
     * applies, `Some(NoLimit)` is the parsed `:limit nil` (no cap).
     * `default` coalesces a missing card-one value, `as` renames the
-    * output column. */
+    * output column, `xform` names a REGISTERED transform applied to
+    * stored values post-read (per element on card-many; the default
+    * passes through untransformed, as in Datomic). */
   final case class PAttr(attr: String, limit: Option[Int] = None,
-    default: Option[Edn] = None, as: Option[String] = None) extends Spec
+    default: Option[Edn] = None, as: Option[String] = None,
+    xform: Option[String] = None) extends Spec
   final case class PRef(attr: String, reverse: Boolean, sub: Seq[Spec],
     limit: Option[Int] = None, as: Option[String] = None) extends Spec
   /** Recursive map spec — Datomic `{:person/friends 2}` (depth limit)
@@ -63,6 +67,32 @@ object Pull {
     * contents. */
   case object PWild extends Spec
 
+  /** `:xform` transform registry — the `:db/fn` discipline applied to
+    * pull: transforms run by NAME from a registered whitelist, never
+    * from arbitrary query text (a query string can only reference
+    * what the application installed). Registered fns must be
+    * null-preserving Column transforms (all builtins are); they apply
+    * to STORED values only — `:default` fills pass through untouched,
+    * as in Datomic. Seeded with the portable basics a porting user
+    * expects; `registerXform` installs custom ones. */
+  private val xforms = scala.collection.concurrent.TrieMap[String,
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+    "str/upper-case" -> (c => upper(c)),
+    "str/lower-case" -> (c => lower(c)),
+    "str/trim" -> (c => trim(c)),
+    "str/length" -> (c => length(c).cast("long")),
+    "parse-long" -> (c => c.cast("long")),
+    "parse-double" -> (c => c.cast("double")))
+
+  def registerXform(name: String,
+      fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+    xforms.put(name, fn)
+
+  private def xformFn(name: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    xforms.getOrElse(name, throw new IllegalArgumentException(
+      s"pull :xform '$name' is not registered (have: ${xforms.keys.toSeq.sorted.mkString(", ")}); " +
+        "install it with Pull.registerXform"))
+
   def parsePattern(text: String): Seq[Spec] = parsePattern(Edn.parse(text))
 
   def parsePattern(form: Edn): Seq[Spec] = form match {
@@ -70,15 +100,21 @@ object Pull {
     case other => throw new IllegalArgumentException(s"pull pattern must be a vector: $other")
   }
 
-  /** `(:attr :opt v …)` option list → (limit, default, as). */
-  private def attrOptions(opts: Seq[Edn]): (Option[Int], Option[Edn], Option[String]) = {
+  /** `(:attr :opt v …)` option list → (limit, default, as, xform). */
+  private def attrOptions(opts: Seq[Edn])
+      : (Option[Int], Option[Edn], Option[String], Option[String]) = {
     require(opts.size % 2 == 0, s"pull attr options must be key/value pairs")
-    opts.grouped(2).foldLeft((Option.empty[Int], Option.empty[Edn], Option.empty[String])) {
-      case ((l, d, a), Seq(EKw("", "limit"), ELong(n))) => (Some(n.toInt), d, a)
+    opts.grouped(2).foldLeft((Option.empty[Int], Option.empty[Edn],
+        Option.empty[String], Option.empty[String])) {
+      case ((l, d, a, x), Seq(EKw("", "limit"), ELong(n))) => (Some(n.toInt), d, a, x)
       // Datomic `:limit nil` — lift the implicit 1000-item default
-      case ((l, d, a), Seq(EKw("", "limit"), ENil)) => (Some(NoLimit), d, a)
-      case ((l, d, a), Seq(EKw("", "default"), v)) => (l, Some(v), a)
-      case ((l, d, a), Seq(EKw("", "as"), EStr(s))) => (l, d, Some(s))
+      case ((l, d, a, x), Seq(EKw("", "limit"), ENil)) => (Some(NoLimit), d, a, x)
+      case ((l, d, a, x), Seq(EKw("", "default"), v)) => (l, Some(v), a, x)
+      case ((l, d, a, x), Seq(EKw("", "as"), EStr(s))) => (l, d, Some(s), x)
+      // :xform names a function SYMBOL — resolved against the
+      // registered whitelist at plan time (the :db/fn discipline)
+      case ((l, d, a, x), Seq(EKw("", "xform"), ESym(ns, n))) =>
+        (l, d, a, Some(if (ns.isEmpty) n else s"$ns/$n"))
       case (_, Seq(k, v)) =>
         throw new IllegalArgumentException(s"bad pull attr option: ${Edn.print(k)} ${Edn.print(v)}")
     }
@@ -89,8 +125,8 @@ object Pull {
     case k: EKw => PAttr(k.qualified)
     // attribute with options: (:artist/name :as "Name" :limit 2 :default x)
     case EList((k: EKw) +: opts) =>
-      val (limit, default, as) = attrOptions(opts)
-      PAttr(k.qualified, limit, default, as)
+      val (limit, default, as, xform) = attrOptions(opts)
+      PAttr(k.qualified, limit, default, as, xform)
     case m: EMap =>
       require(m.entries.size == 1, s"pull map spec must have one entry: ${Edn.print(m)}")
       m.entries.head match {
@@ -110,7 +146,7 @@ object Pull {
           PRec(attr, reverse, -1)
         // map key with options: {(:order/line :limit 2) [...]}
         case (EList((k: EKw) +: opts), EVec(sub)) =>
-          val (limit, _, as) = attrOptions(opts)
+          val (limit, _, as, _) = attrOptions(opts)
           val reverse = k.name.startsWith("_")
           val attr = if (reverse) s"${k.ns}/${k.name.drop(1)}" else k.qualified
           PRef(attr, reverse, sub.map(specOf), limit, as)
@@ -228,7 +264,7 @@ object Pull {
     }
     val resolved = expanded.map(resolveRec)
     def nameOf(spec: Spec): String = spec match {
-      case PAttr(attr, _, _, as) => as.getOrElse(colName(attr, reverse = false))
+      case PAttr(attr, _, _, as, _) => as.getOrElse(colName(attr, reverse = false))
       case PRef(attr, reverse, _, _, as) => as.getOrElse(colName(attr, reverse))
       case other => throw new IllegalStateException(s"unresolved spec: $other")
     }
@@ -260,7 +296,7 @@ object Pull {
               .select(col("e").as(key), col("v").as(name)), Seq(key), "left")
           }
         } else {
-          val aggs = scalars.map { case PAttr(attr, limit, _, as) =>
+          val aggs = scalars.map { case PAttr(attr, limit, _, as, _) =>
             val name = as.getOrElse(colName(attr, reverse = false))
             val picked = when(col("a") === attr, col("v"))
             if (registry.isMany(attr)) {
@@ -280,10 +316,18 @@ object Pull {
           frame.join(agged, Seq(key), "left")
         }
       scalars.foldLeft(joined) { (df, p) =>
-        p.default.fold(df) { d =>
-          val name = p.as.getOrElse(colName(p.attr, reverse = false))
-          df.withColumn(name, coalesce(col(name), lit(defText(d))))
+        val name = p.as.getOrElse(colName(p.attr, reverse = false))
+        // :xform first (stored values only — null-preserving, so a
+        // missing attr stays null), then :default fills the gap with
+        // the UNtransformed literal, Datomic's ordering
+        val xformed = p.xform.fold(df) { xf =>
+          val f = xformFn(xf)
+          if (registry.isMany(p.attr))
+            df.withColumn(name, transform(col(name), f))
+          else df.withColumn(name, f(col(name)))
         }
+        p.default.fold(xformed)(d =>
+          xformed.withColumn(name, coalesce(col(name), lit(defText(d)))))
       }
     }
     val scalars = resolved.collect { case p: PAttr => p }

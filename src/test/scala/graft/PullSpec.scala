@@ -138,6 +138,41 @@ class PullSpec extends AnyFunSuite {
     assert(out("b2") === (("Beta", "indie", null)))
   }
 
+  test(":xform transforms stored values; default fills untransformed; card-many per element") {
+    val out = Pull.pullFrom(cur, registry, Pull.parsePattern(
+        """[(:band/name :xform str/upper-case)
+          | (:band/label :default "indie" :xform str/upper-case)
+          | (:band/genres :xform str/upper-case)]""".stripMargin),
+        roots("b1", "b2"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(r.fieldIndex("band_name")),
+          r.getString(r.fieldIndex("band_label")),
+          r.getSeq[String](r.fieldIndex("band_genres"))))).toMap
+    assert(out("b1")._1 == "ALPHA" && out("b2")._1 == "BETA")
+    // stored label upper-cases; the MISSING one falls back to the
+    // UNtransformed default — xform-before-default, Datomic's ordering
+    assert(out("b1")._2 == "L1" && out("b2")._2 == "indie")
+    // card-many: per element, order preserved
+    assert(out("b1")._3 == Seq("JAZZ", "ROCK") && out("b2")._3 == null)
+  }
+
+  test(":xform can change the column type; custom registered xforms resolve; unknown fails loudly") {
+    val typed = Pull.pullFrom(cur, registry,
+        Pull.parsePattern("[(:band/name :xform str/length)]"), roots("b1"))
+      .collect()(0)
+    assert(typed.getLong(typed.fieldIndex("band_name")) == 5L) // 'Alpha'
+    Pull.registerXform("test/reverse", c => reverse(c))
+    val rev = Pull.pullFrom(cur, registry,
+        Pull.parsePattern("[(:band/name :xform test/reverse)]"), roots("b1"))
+      .collect()(0)
+    assert(rev.getString(rev.fieldIndex("band_name")) == "ahplA")
+    val ex = intercept[IllegalArgumentException] {
+      Pull.pullFrom(cur, registry,
+        Pull.parsePattern("[(:band/name :xform no.such/fn)]"), roots("b1")).collect()
+    }
+    assert(ex.getMessage.contains("not registered"), ex.getMessage)
+  }
+
   test("recursion {:ref N}: re-applies the enclosing pattern, exhaustion renders plain id") {
     val chainReg = new SchemaRegistry(Map(ad("p/name"), ad("p/boss", ref = true)))
     val chain = Seq(
