@@ -1041,6 +1041,52 @@ object Datalog {
     (out, stats.toSeq)
   }
 
+  /** One row of the `io-stats` analog: [[ClauseStat]] plus what the
+    * STORAGE layer served to evaluate the clause — rows emitted by the
+    * file scans feeding it and the post-pruning byte volume of the
+    * files those scans selected. Datomic's io-stats reports
+    * storage-segment reads per query; on Spark the equivalent
+    * observable is the scan-leaf metrics. Constructed (in-memory)
+    * sources have no file scans and report 0 bytes. */
+  final case class ClauseIoStat(idx: Int, clause: String, rowsOut: Long,
+      scanRows: Long, scanBytes: Long)
+
+  /** Datomic `io-stats` analog: [[runOnWithStats]]' per-clause frame
+    * sizes, extended with storage-read metrics pulled from each
+    * clause frame's EXECUTED plan (numOutputRows / filesSize on the
+    * parquet scan leaves, after partition and row-group pruning). The
+    * count executes through our own QueryExecution so the metrics are
+    * read synchronously from the very plan that ran — no listener
+    * race. Same cost model as query-stats: one bounded job per
+    * clause, a DEBUG surface. */
+  def runOnWithIoStats(eav: DataFrame, registry: SchemaRegistry, q: Query,
+      args0: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
+      maxRuleIters: Int = 100,
+      extraSrcs: Map[String, DataFrame] = Map.empty): (DataFrame, Seq[ClauseIoStat]) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case s: QueryStageExec => leaves(s.plan)
+      case o if o.children.isEmpty => Seq(o)
+      case o => o.children.flatMap(leaves)
+    }
+    val stats = scala.collection.mutable.ArrayBuffer.empty[ClauseIoStat]
+    val out = runOn(eav, registry, q, args0, rules, maxRuleIters, extraSrcs,
+      observe = (i, c, df) => {
+        val qe = df.groupBy().count().queryExecution
+        val rowsOut = qe.executedPlan.executeCollect()(0).getLong(0)
+        val scans = leaves(qe.executedPlan).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        def metric(name: String) =
+          scans.flatMap(_.metrics.get(name)).map(_.value).sum
+        stats += ClauseIoStat(i, c.toString, rowsOut,
+          metric("numOutputRows"), metric("filesSize"))
+      })
+    (out, stats.toSeq)
+  }
+
   def runOn(eav: DataFrame, registry: SchemaRegistry, q: Query,
       args0: Map[String, Edn], rules: Map[String, Seq[RuleDef]] = Map.empty,
       maxRuleIters: Int = 100,
