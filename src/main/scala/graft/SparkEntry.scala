@@ -143,6 +143,8 @@ object SparkEntry {
     "d49_leakage_split"      -> (Llm.d49_leakage_split _),
     "d50_bpe_mix"            -> ((s, d) =>
       Curate.d26_source_mix(s, d, budgetTokens = 4000L, tokenizer = "bpe")),
+    "d51_dsir"               -> ((s, d) => Curate.d51_dsir(s, d)),
+    "d52_fertility"          -> (Curate.d52_fertility _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
@@ -1113,6 +1115,8 @@ object SparkEntry {
     "d48_bloom_decontaminate" -> Curate.d48OracleSql,
     "d49_leakage_split" -> graft.queries.XxhOracle.d49Sql,
     "d50_bpe_mix" -> Curate.d50OracleSql,
+    "d51_dsir" -> graft.queries.XxhOracle.d51Sql,
+    "d52_fertility" -> Curate.d52OracleSql,
     "mm7_keyframes" -> Multimodal.mm7OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses

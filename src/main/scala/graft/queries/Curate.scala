@@ -808,6 +808,86 @@ object Curate {
       |       ELSE coalesce(pd.n_novel, 0) * 10000 // pd.n_grams END AS BIGINT) AS novelty_bp
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  // ── d51: DSIR-shaped importance resampling ────────────────────────
+  /** Data Selection via Importance Resampling (Xie et al. 2023): score
+    * raw-corpus documents by how target-like their hashed n-gram
+    * features are, select the top-k. Features are hashed unigrams
+    * (xxhash64 → 1024 buckets); the per-bucket importance weight is
+    * the Laplace-smoothed target/raw count ratio in INTEGER basis
+    * points — `((ct+1)·10000) div (cr+1)` — instead of the paper's
+    * log-ratio: the d44/q28 float-parity discipline (a cross-engine
+    * log + float sum is order- and libm-dependent; integer weights
+    * make the per-doc sum EXACT under any partitioning). The pipeline
+    * shape is the paper's: feature hashing, a tiny weight table
+    * (≤1024 rows, broadcast), map-side scoring, bounded top-k.
+    * Target = the benchmark-ish 'src0' slice (d48's convention); raw =
+    * everything else. 100 TB shape: two bucket-keyed aggs over the
+    * token stream (1024-row results), one broadcast join, one
+    * doc-keyed agg, TakeOrderedAndProject — never a corpus shuffle. */
+  def d51_dsir(s: SparkSession, d: String, k: Int = 25,
+      targetSource: String = "src0"): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), col("source"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)")).as("w"))
+      .withColumn("b", pmod(xxhash64(col("w")), lit(1024L)))
+    val ct = toks.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cr = toks.filter(col("source") =!= targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val wts = ct.join(cr, Seq("b"), "full_outer")
+      .select(col("b"),
+        expr("((coalesce(ct, 0) + 1) * 10000) div (coalesce(cr, 0) + 1)").as("wt"))
+    toks.filter(col("source") =!= targetSource)
+      .join(broadcast(wts), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  // ── d52: tokenizer fertility per source ───────────────────────────
+  /** Tokenizer-aware budgeting diagnostics: per source, how many BPE
+    * tokens the corpus actually bills per whitespace word (fertility)
+    * and per character — the numbers that decide whether a ws-token
+    * budget under- or over-provisions a real tokenizer. Exact LONG
+    * sums per source; the two ratios are single divisions of exact
+    * longs (deterministic — no float accumulation). Map-only scan +
+    * one tiny keyed agg. */
+  def d52_fertility(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    documents(s, d).select(col("source"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), " +")).cast("long")).as("ws"),
+        call_function("bpe_count", col("text")).as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens") / greatest(col("ws_tokens"), lit(1L)), 6).as("fertility"),
+        round(col("n_chars") / greatest(col("bpe_tokens"), lit(1L)), 6).as("chars_per_token"))
+  }
+
+  def d52OracleSql: String = {
+    val st = graft.functions.Bpe.oracleStateExpr("text")
+    s"""WITH b AS (
+       |  SELECT doc_id, source, text, $st AS st FROM documents),
+       |t AS (
+       |  SELECT source,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), ' +')) END AS ws,
+       |    ${graft.functions.Bpe.oracleCountExpr("st")} AS bpe,
+       |    length(text) AS chars
+       |  FROM b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(bpe) AS BIGINT) / greatest(CAST(sum(ws) AS BIGINT), 1), 6) AS fertility,
+       |  round(CAST(sum(chars) AS BIGINT) / greatest(CAST(sum(bpe) AS BIGINT), 1), 6) AS chars_per_token
+       |FROM t GROUP BY source""".stripMargin
+  }
+
   def d33OracleSql: String =
     """WITH w AS (
       |  SELECT doc_id,

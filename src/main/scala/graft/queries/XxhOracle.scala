@@ -322,6 +322,33 @@ object XxhOracle {
     * token, joined back with multiplicity (a duplicate token adds its
     * weight twice, so the join keeps the tok rows, not the distinct
     * set). */
+  /** d51 DSIR: hashed-unigram buckets (xxh64 % 1024), integer
+    * Laplace-ratio weights, per-doc integer score, top-25. Same
+    * distinct-token hashing shape as d44. */
+  def d51Sql: String = {
+    val g = new Gen("x")
+    val hu = g.hashStr15("w")
+    val thBody = g.wrap("SELECT w FROM tuniq")
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS w
+       |  FROM documents),
+       |tuniq AS (SELECT DISTINCT w FROM tok),
+       |tb AS (SELECT w, ((${signed(hu)} % 1024 + 1024) % 1024) AS b FROM $thBody),
+       |tokb AS (SELECT t.doc_id, t.source, tb.b FROM tok t JOIN tb USING (w)),
+       |ct AS (SELECT b, count(*) AS ct FROM tokb WHERE source = 'src0' GROUP BY b),
+       |cr AS (SELECT b, count(*) AS cr FROM tokb WHERE source <> 'src0' GROUP BY b),
+       |wt AS (
+       |  SELECT coalesce(ct.b, cr.b) AS b,
+       |    ((coalesce(ct.ct, 0) + 1) * 10000) // (coalesce(cr.cr, 0) + 1) AS wt
+       |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b)
+       |SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(w.wt) AS BIGINT) AS score
+       |FROM tokb t JOIN wt w USING (b)
+       |WHERE t.source <> 'src0'
+       |GROUP BY t.doc_id, t.source
+       |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+  }
+
   def d44Sql: String = {
     val g = new Gen("x")
     val hu = g.hashStr15("w")

@@ -234,6 +234,41 @@ class CurateSpec extends AnyFunSuite {
       s"d20 must not force a join strategy:\n${analyzed.take(400)}")
   }
 
+  test("d51: DSIR ranks target-vocabulary docs above off-vocabulary ones; target never selected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString + "/t"
+    // target (src0) speaks 'alpha beta'; raw docs 1/2 are target-like,
+    // 3/4 are off-vocabulary noise
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha", "en", "src0"),
+      (1L, "alpha beta alpha beta", "en", "src1"),
+      (2L, "alpha beta noise", "en", "src1"),
+      (3L, "noise gamma delta zz yy xx", "en", "src2"),
+      (4L, "unrelated words entirely here", "en", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Curate.d51_dsir(spark, dir, k = 4).collect()
+    assert(out.length == 4 && !out.exists(_.getString(1) == "src0"),
+      "the target slice itself is never a selection candidate")
+    val scores = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.map(_.getLong(3)).toSeq == out.map(_.getLong(3)).sorted.reverse.toSeq,
+      "descending score order")
+    assert(scores(1L) > scores(3L) && scores(1L) > scores(4L),
+      s"target-like doc must outrank noise: $scores")
+    assert(scores(2L) > scores(4L), s"partially target-like beats fully off: $scores")
+  }
+
+  test("d52: fertility >= 1 per source (BPE never undercounts words), chars/token sane") {
+    val rows = graft.queries.Curate.d52_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("fertility")) >= 1.0, r.toString)
+      val cpt = r.getDouble(r.fieldIndex("chars_per_token"))
+      assert(cpt > 1.0 && cpt < 10.0, r.toString)
+    }
+  }
+
   test("d33: gopher rules — healthy prose passes, empty/numeric docs fail") {
     import spark.implicits._
     val good = "the quick brown fox and " * 20 // 100 words, 2 stops, mean 3.8
