@@ -22,7 +22,8 @@ final case class AttrDef(
     component: Boolean,
     fulltext: Boolean,
     noHistory: Boolean = false,  // :db/noHistory — superseded values not retained
-    tupleTypes: Seq[String] = Seq.empty) // :db/tupleTypes — typed hetero tuple slots
+    tupleTypes: Seq[String] = Seq.empty, // :db/tupleTypes — typed hetero tuple slots
+    tupleAttrs: Seq[String] = Seq.empty) // :db/tupleAttrs — composite tuple source attrs
 
 final class SchemaRegistry(val attrs: Map[String, AttrDef]) extends Serializable {
   def apply(attr: String): AttrDef = attrs.getOrElse(attr, SchemaRegistry.default(attr))
@@ -72,6 +73,10 @@ object SchemaRegistry {
         noHistory = m.getKw("db/noHistory").contains(EBool(true)),
         tupleTypes = m.getKw("db/tupleTypes") match {
           case Some(EVec(ts)) => ts.collect { case k: EKw => k.name }
+          case _ => Seq.empty
+        },
+        tupleAttrs = m.getKw("db/tupleAttrs") match {
+          case Some(EVec(ts)) => ts.collect { case k: EKw => k.qualified }
           case _ => Seq.empty
         })
     }

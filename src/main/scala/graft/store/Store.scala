@@ -70,6 +70,69 @@ final class Store(spark: SparkSession, val dir: String) {
     annotated.filter(size(col("errors")) > 0)
   }
 
+  /** Transactor-maintained composite tuples — Datomic auto-maintains
+    * `:db/tupleAttrs` attributes whenever any source attr of an
+    * entity changes; this is that write path. Appends `datoms`, then
+    * for every registry attribute declaring `tupleAttrs`:
+    *  - entities TOUCHED by a source-attr datom get their tuple
+    *    re-derived from post-append current state (missing slots
+    *    render nil) and asserted at the batch's max tx;
+    *  - touched entities left with NO visible source values get their
+    *    existing tuple datoms retracted (Datomic retracts the
+    *    composite when its sources go away).
+    * Scale shape: the touched set is bounded by the tx batch; every
+    * resolve here is attr-pruned AND semi-joined to it, so
+    * maintenance cost follows the batch, not the store. */
+  def appendWithTupleAttrs(datoms: DataFrame, registry: SchemaRegistry): Unit = {
+    val composites = registry.attrs.values.filter(_.tupleAttrs.nonEmpty).toSeq.sortBy(_.ident)
+    if (composites.isEmpty) { append(datoms); return }
+    val withOp =
+      if (datoms.columns.contains("op")) datoms else datoms.withColumn("op", lit(true))
+    val batch = withOp.localCheckpoint()
+    append(batch)
+    val txRow = batch.agg(max(col("tx"))).collect()(0)
+    val tx = if (txRow.isNullAt(0)) 0L else txRow.getLong(0)
+    composites.foreach { cd =>
+      val touched = batch.filter(col("a").isInCollection(cd.tupleAttrs))
+        .select(col("e")).distinct().localCheckpoint(false)
+      if (touched.count() > 0) {
+        val srcState = Store.resolve(
+          eav.filter(col("a").isInCollection(cd.tupleAttrs))
+            .join(touched, Seq("e"), "left_semi"), Seq.empty)
+          .localCheckpoint(false)
+        val derived = Store.deriveTupleAttr(srcState, cd.ident, cd.tupleAttrs, tx)
+        append(derived)
+        // sources fully gone → retract the orphaned composite. Every
+        // ASSERTED tuple value retracts, not just the resolved current
+        // one: resolution resurfaces older unretracted values (the
+        // PropertySpec reference model), so "clear the attr" means
+        // retracting its assert history
+        val dead = touched.join(srcState.select(col("e")).distinct(), Seq("e"), "left_anti")
+        val stale = eav.filter(col("a") === cd.ident && col("op"))
+          .join(dead, Seq("e"), "left_semi")
+          .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")).distinct()
+          .withColumn("tx", lit(tx)).withColumn("op", lit(false))
+        if (stale.limit(1).count() > 0) append(stale)
+      }
+    }
+  }
+
+  /** Datomic `d/entid` — resolve an ident (or any unique-identity
+    * value via (attr, v)) to its entity id. Driver-side bounded
+    * lookup over the attribute's pruned partition. */
+  def entid(registry: SchemaRegistry, ident: String): Option[String] =
+    entidBy(registry, "db/ident", ident)
+
+  def entidBy(registry: SchemaRegistry, attr: String, v: String): Option[String] =
+    current(registry).filter(col("a") === attr && col("v") === v)
+      .select(col("e")).limit(1).collect().headOption.map(_.getString(0))
+
+  /** Datomic `d/ident` — the `:db/ident` of an entity id (None when
+    * the entity carries no ident). */
+  def identOf(registry: SchemaRegistry, e: String): Option[String] =
+    current(registry).filter(col("a") === "db/ident" && col("e") === e)
+      .select(col("v")).limit(1).collect().headOption.map(_.getString(0))
+
   /** Datomic `[:db/retract e a v]`: append retraction datoms
     * (op=false). A retraction hides the exact (e, a, v) it names —
     * retracting a stale value a later assert already superseded is a
@@ -587,7 +650,8 @@ object Store {
   def schemaFromDb(db: DataFrame): graft.model.SchemaRegistry = {
     import graft.model.AttrDef
     val schemaAttrs = Seq("db/ident", "db/valueType", "db/cardinality",
-      "db/unique", "db/isComponent", "db/fulltext", "db/noHistory", "db/tupleTypes")
+      "db/unique", "db/isComponent", "db/fulltext", "db/noHistory",
+      "db/tupleTypes", "db/tupleAttrs")
     // The canonical input is a RESOLVED current-state view (one row
     // per (e, a)); fed a raw log with re-asserted schema datoms the
     // survivor per (e, a) must not depend on collect order, so pick
@@ -615,6 +679,13 @@ object Store {
             graft.edn.Edn.parse(txt) match {
               case graft.edn.Edn.EVec(ts) =>
                 ts.collect { case k: graft.edn.Edn.EKw => k.name }
+              case _ => Seq.empty
+            }
+          },
+          tupleAttrs = m.get("db/tupleAttrs").toSeq.flatMap { txt =>
+            graft.edn.Edn.parse(txt) match {
+              case graft.edn.Edn.EVec(ts) =>
+                ts.collect { case k: graft.edn.Edn.EKw => k.qualified }
               case _ => Seq.empty
             }
           })

@@ -341,6 +341,60 @@ class TxFnSpec extends AnyFunSuite {
     assert(st.basisT === 7L)
   }
 
+  test(":db/tupleAttrs auto-maintenance: derive on touch, supersede on change, retract when sources go") {
+    import graft.model.{AttrDef, SchemaRegistry}
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("tupmaint").toString)
+    val reg = new SchemaRegistry(Map(
+      "order/cust" -> AttrDef("order/cust", "string", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false),
+      "order/date" -> AttrDef("order/date", "string", many = false,
+        uniqueIdentity = false, uniqueValue = false, component = false, fulltext = false),
+      "order/cust+date" -> AttrDef("order/cust+date", "tuple", many = false,
+        uniqueIdentity = true, uniqueValue = false, component = false, fulltext = false,
+        tupleAttrs = Seq("order/cust", "order/date"))))
+    def tupleOf(e: String): Seq[String] =
+      st.current(reg).filter(col("a") === "order/cust+date" && col("e") === e)
+        .select("v").collect().map(_.getString(0)).toSeq
+    // tx1: both sources land → composite derived automatically
+    st.appendWithTupleAttrs(datoms(
+      ("o1", "order/cust", "c9", 1L), ("o1", "order/date", "d1", 1L)), reg)
+    assert(tupleOf("o1") == Seq("[c9 d1]"))
+    // tx2: one source changes → the composite supersedes (transactor
+    // behavior: touching ANY source re-derives)
+    st.appendWithTupleAttrs(datoms(("o1", "order/date", "d2", 2L)), reg)
+    assert(tupleOf("o1") == Seq("[c9 d2]"))
+    // an untouched entity is never visited
+    st.appendWithTupleAttrs(datoms(("o2", "order/cust", "c5", 3L)), reg)
+    assert(tupleOf("o1") == Seq("[c9 d2]") && tupleOf("o2") == Seq("[c5 nil]"))
+    // tx4: retract EVERY asserted source value of o1 (the engine's
+    // documented resolution resurfaces older unretracted values —
+    // PropertySpec's reference model — so clearing an attr means
+    // retracting its history, as the loader's retraction path does)
+    // → the composite retracts too
+    st.appendWithTupleAttrs(
+      datoms(("o1", "order/cust", "c9", 4L), ("o1", "order/date", "d1", 4L),
+        ("o1", "order/date", "d2", 4L))
+        .withColumn("op", lit(false)), reg)
+    assert(tupleOf("o1").isEmpty, "orphaned composite must be retracted")
+    assert(tupleOf("o2") == Seq("[c5 nil]"), "other entities untouched")
+  }
+
+  test("entid/ident: unique-value <-> entity-id resolution both ways") {
+    val st = new Store(spark,
+      java.nio.file.Files.createTempDirectory("entid").toString)
+    val reg = new graft.model.SchemaRegistry(Map.empty)
+    st.append(datoms(
+      ("e7", "db/ident", "artist.type/person", 1L),
+      ("e8", "db/ident", "artist.type/group", 1L),
+      ("e9", "x/name", "plain", 1L)))
+    assert(st.entid(reg, "artist.type/person").contains("e7"))
+    assert(st.entid(reg, "no.such/ident").isEmpty)
+    assert(st.identOf(reg, "e8").contains("artist.type/group"))
+    assert(st.identOf(reg, "e9").isEmpty, "an entity without :db/ident has no ident")
+    assert(st.entidBy(reg, "x/name", "plain").contains("e9"))
+  }
+
   test("typed tuples: round-trip through the text encoding, nil slots, arity gate") {
     import spark.implicits._
     val rows = Seq(
