@@ -262,6 +262,30 @@ object Streams {
       }
       .start()
 
+  /** LIVE db-stats — the first consumer every tx-report subscriber
+    * builds: a continuously-maintained per-attribute datom count over
+    * the store, expressed as a plain streaming aggregation over the
+    * log (no custom state code — Structured Streaming's complete-mode
+    * aggregate IS the maintained view). `net_datoms` nets retractions
+    * against asserts, `n_datoms` counts log rows. Registered as temp
+    * view `viewName`, so `spark.table(viewName)` reads the CURRENT
+    * stats at any moment while loads stream in. Memory sink = local
+    * live view; a cluster deployment points the same aggregation at a
+    * real sink. State is one row per attribute — bounded by schema
+    * size, not log length. */
+  def liveDbStats(spark: SparkSession, store: graft.store.Store, viewName: String)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(graft.store.Store.schema)
+      .parquet(s"${store.dir}/eav")
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_datoms"),
+        sum(when(col("op"), 1L).otherwise(-1L)).as("net_datoms"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName(viewName)
+      .start()
+
   /** Datomic `d/sync` analog: block until the store's basis-t reaches
     * `t`, then return it (callers then read `store.current` / `asOf`
     * at a basis they KNOW includes their own write — the

@@ -222,6 +222,31 @@ class StreamingSpec extends AnyFunSuite {
       s"restart resumes at the first unseen append, no replay: ${seen2.map(_.t).mkString(",")}")
   }
 
+  test("live db-stats view updates as transactions land; retractions net out") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("livestore").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("liveckpt").toString
+    def datoms(rows: (String, String, String, Long, Boolean)*) =
+      rows.toDF("e", "a", "v", "tx", "op")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    store.append(datoms(("e1", "x/a", "v1", 1L, true), ("e2", "x/b", "v2", 1L, true)))
+    val q = Streams.liveDbStats(spark, store, "live_stats")(ckpt)
+    try {
+      q.processAllAvailable()
+      def stats() = spark.table("live_stats").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(stats() == Map("x/a" -> ((1L, 1L)), "x/b" -> ((1L, 1L))))
+      // a later tx asserts one more x/a and retracts the x/b value:
+      // the VIEW updates in place — n_datoms counts rows, net nets ops
+      store.append(datoms(("e3", "x/a", "v3", 2L, true), ("e2", "x/b", "v2", 2L, false)))
+      q.processAllAvailable()
+      assert(stats() == Map("x/a" -> ((2L, 2L)), "x/b" -> ((2L, 0L))),
+        s"live view must reflect the new tx: ${stats()}")
+    } finally q.stop()
+  }
+
   test("d/sync: blocks until the basis reaches t, times out if it never does") {
     import spark.implicits._
     val store = new graft.store.Store(spark,
