@@ -133,6 +133,7 @@ object SparkEntry {
     "q70_query_stats"        -> (Relational.q70_query_stats _),
     "q71_filtered_db"        -> (Relational.q71_filtered_db _),
     "q72_pull_xform"         -> (Relational.q72_pull_xform _),
+    "q73_tuple_maintenance"  -> (Relational.q73_tuple_maintenance _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1109,6 +1110,19 @@ object SparkEntry {
         |  FROM orders WHERE o_custkey % 10 = 0)
         |SELECT s.e, coalesce(nm.name, 'unknown') AS name, s.n2, s.sum_price2
         |FROM s LEFT JOIN nm USING (e)""".stripMargin,
+    // q73: per order not retracted (%100), the composite's day slot is
+    // the base epoch day, +30 for updated (%10) orders
+    "q73_tuple_maintenance" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS base_day,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + CASE WHEN o_orderkey % 10 = 0 THEN 30 ELSE 0 END AS tday
+        |  FROM orders WHERE o_orderkey % 100 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tuples,
+        |  CAST(sum(CASE WHEN tday <> base_day THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted,
+        |  CAST(sum(tday) AS BIGINT) AS total_day
+        |FROM t""".stripMargin,
     "d45_length_quantiles" -> Llm.d45OracleSql,
     "d46_fuzzy_join" -> Llm.d46OracleSql,
     "d47_weighted_sample" -> graft.queries.XxhOracle.d47Sql,

@@ -1150,6 +1150,56 @@ object Relational {
           .as("sum_price2"))
   }
 
+  // ── :db/tupleAttrs transactor maintenance, end-to-end ─────────────
+  /** The composite-tuple WRITE path (Datomic's transactor maintains
+    * `:db/tupleAttrs` whenever a source attr changes), composed
+    * statelessly over three synthesized transactions:
+    *  tx1 asserts cust + day for every order → composites derive;
+    *  tx2 shifts every 10th order's day by +30 → those composites
+    *      supersede (touch ANY source → re-derive);
+    *  tx3 retracts every 100th order's full source history → their
+    *      composites retract (orphan cleanup).
+    * Output pins all three behaviors: retracted orders contribute no
+    * tuple, shifted orders' tuples disagree with the base day, and
+    * `total_day` sums the day SLOT decoded back out of the tuple
+    * text (round-trip through the shared encoding). Day values are
+    * epoch days (no date-format parity risk). Each maintenance pass
+    * resolves only attr-pruned, touched-entity state — batch-bounded
+    * work, the appendWithTupleAttrs shape. */
+  def q73_tuple_maintenance(s: SparkSession, d: String): DataFrame = {
+    import graft.store.Store
+    val o = orders(s, d)
+    val oe = concat(lit("o"), col("o_orderkey").cast("string"))
+    val day = unix_date(col("o_orderdate").cast("date")).cast("long")
+    def dat(a: String, v: Column, tx: Long, op: Boolean, src: DataFrame) =
+      src.select(oe.as("e"), lit(a).as("a"), v.cast("string").as("v"),
+        lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
+        lit(tx).as("tx"), lit(op).as("op"))
+    val T = "order/cust+day"
+    val srcs = Seq("order/cust", "order/day")
+    val b1 = dat("order/cust", concat(lit("c"), col("o_custkey").cast("string")), 1L, op = true, o)
+      .unionByName(dat("order/day", day, 1L, op = true, o))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+    val b2 = dat("order/day", day + 30, 2L, op = true, upd)
+    val ret = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+    val b3 = dat("order/cust", concat(lit("c"), col("o_custkey").cast("string")), 3L, op = false, ret)
+      .unionByName(dat("order/day", day, 3L, op = false, ret))
+      .unionByName(dat("order/day", day + 30, 3L, op = false, ret))
+    val log1 = b1.localCheckpoint()
+    val m1 = Store.tupleMaintenanceTx(log1, b1, T, srcs, 1L)
+    val log2 = log1.unionByName(m1).unionByName(b2).localCheckpoint()
+    val m2 = Store.tupleMaintenanceTx(log2, b2, T, srcs, 2L)
+    val log3 = log2.unionByName(m2).unionByName(b3).localCheckpoint()
+    val m3 = Store.tupleMaintenanceTx(log3, b3, T, srcs, 3L)
+    val cur = Store.resolve(log3.unionByName(m3), Seq.empty)
+      .filter(col("a") === T)
+      .select(col("e"), Store.tupleSlot(col("v"), 1, "long").as("tday"))
+    cur.join(o.select(oe.as("e"), day.as("base_day")), Seq("e"))
+      .agg(count(lit(1)).as("n_tuples"),
+        sum(when(col("tday") =!= col("base_day"), 1L).otherwise(0L)).as("n_shifted"),
+        sum(col("tday")).cast("long").as("total_day"))
+  }
+
   // ── Datalog mutual recursion ──────────────────────────────────────
   /** Mutually recursive rules — `hop-a`/`hop-b` alternate over two
     * edge types (supplier→nation via :locA, nation→region via :locB),

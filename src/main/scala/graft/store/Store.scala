@@ -93,27 +93,8 @@ final class Store(spark: SparkSession, val dir: String) {
     val txRow = batch.agg(max(col("tx"))).collect()(0)
     val tx = if (txRow.isNullAt(0)) 0L else txRow.getLong(0)
     composites.foreach { cd =>
-      val touched = batch.filter(col("a").isInCollection(cd.tupleAttrs))
-        .select(col("e")).distinct().localCheckpoint(false)
-      if (touched.count() > 0) {
-        val srcState = Store.resolve(
-          eav.filter(col("a").isInCollection(cd.tupleAttrs))
-            .join(touched, Seq("e"), "left_semi"), Seq.empty)
-          .localCheckpoint(false)
-        val derived = Store.deriveTupleAttr(srcState, cd.ident, cd.tupleAttrs, tx)
-        append(derived)
-        // sources fully gone → retract the orphaned composite. Every
-        // ASSERTED tuple value retracts, not just the resolved current
-        // one: resolution resurfaces older unretracted values (the
-        // PropertySpec reference model), so "clear the attr" means
-        // retracting its assert history
-        val dead = touched.join(srcState.select(col("e")).distinct(), Seq("e"), "left_anti")
-        val stale = eav.filter(col("a") === cd.ident && col("op"))
-          .join(dead, Seq("e"), "left_semi")
-          .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")).distinct()
-          .withColumn("tx", lit(tx)).withColumn("op", lit(false))
-        if (stale.limit(1).count() > 0) append(stale)
-      }
+      val m = Store.tupleMaintenanceTx(eav, batch, cd.ident, cd.tupleAttrs, tx)
+      if (m.limit(1).count() > 0) append(m)
     }
   }
 
@@ -781,6 +762,38 @@ object Store {
     val aligned =
       if (txData.columns.contains("op")) txData else txData.withColumn("op", lit(true))
     resolve(state.unionByName(aligned, allowMissingColumns = true), manyAttrs)
+  }
+
+  /** The maintenance datoms ONE batch implies for ONE composite — the
+    * static core behind the instance `appendWithTupleAttrs` (and the
+    * q73 harness query, which composes it statelessly over
+    * synthesized logs). `logAfter` is the log INCLUDING the batch:
+    *  - touched entities (any source-attr datom in the batch) get
+    *    their composite re-derived from current source state;
+    *  - touched entities with NO visible source values left get every
+    *    ASSERTED composite value retracted — not just the resolved
+    *    current one, because resolution resurfaces older unretracted
+    *    values (the PropertySpec reference model), so "clear the
+    *    attr" means retracting its assert history.
+    * Both resolves are attr-pruned and semi-joined to the touched
+    * set; cost follows the batch, not the log. */
+  def tupleMaintenanceTx(logAfter: DataFrame, batch: DataFrame, tupleAttr: String,
+      srcAttrs: Seq[String], tx: Long): DataFrame = {
+    val withOp =
+      if (batch.columns.contains("op")) batch else batch.withColumn("op", lit(true))
+    val touched = withOp.filter(col("a").isInCollection(srcAttrs))
+      .select(col("e")).distinct()
+    val srcState = resolve(
+      logAfter.filter(col("a").isInCollection(srcAttrs))
+        .join(touched, Seq("e"), "left_semi"), Seq.empty)
+      .localCheckpoint(false)
+    val derived = deriveTupleAttr(srcState, tupleAttr, srcAttrs, tx)
+    val dead = touched.join(srcState.select(col("e")).distinct(), Seq("e"), "left_anti")
+    val stale = logAfter.filter(col("a") === tupleAttr && col("op"))
+      .join(dead, Seq("e"), "left_semi")
+      .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")).distinct()
+      .withColumn("tx", lit(tx)).withColumn("op", lit(false))
+    derived.unionByName(stale)
   }
 
   /** `:db/tupleAttrs` — Datomic's composite tuples: a derived attribute
