@@ -1110,15 +1110,18 @@ object SparkEntry {
         |  FROM orders WHERE o_custkey % 10 = 0)
         |SELECT s.e, coalesce(nm.name, 'unknown') AS name, s.n2, s.sum_price2
         |FROM s LEFT JOIN nm USING (e)""".stripMargin,
-    // q73: per order not retracted (%100), the composite's day slot is
-    // the base epoch day, +30 for updated (%10) orders
+    // q73: composites exist for loaded (%3) or tx2-touched (%10)
+    // orders, minus retracted (%100); the day slot is the base epoch
+    // day, +30 for updated (%10) orders
     "q73_tuple_maintenance" ->
       """WITH t AS (
         |  SELECT o_orderkey AS k,
         |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS base_day,
         |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |      + CASE WHEN o_orderkey % 10 = 0 THEN 30 ELSE 0 END AS tday
-        |  FROM orders WHERE o_orderkey % 100 <> 0)
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 = 0 OR o_orderkey % 10 = 0)
+        |    AND o_orderkey % 100 <> 0)
         |SELECT CAST(count(*) AS BIGINT) AS n_tuples,
         |  CAST(sum(CASE WHEN tday <> base_day THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted,
         |  CAST(sum(tday) AS BIGINT) AS total_day

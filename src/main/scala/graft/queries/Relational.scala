@@ -1159,13 +1159,18 @@ object Relational {
     *      supersede (touch ANY source → re-derive);
     *  tx3 retracts every 100th order's full source history → their
     *      composites retract (orphan cleanup).
-    * Output pins all three behaviors: retracted orders contribute no
-    * tuple, shifted orders' tuples disagree with the base day, and
-    * `total_day` sums the day SLOT decoded back out of the tuple
-    * text (round-trip through the shared encoding). Day values are
-    * epoch days (no date-format parity risk). Each maintenance pass
-    * resolves only attr-pruned, touched-entity state — batch-bounded
-    * work, the appendWithTupleAttrs shape. */
+    * tx1 loads every 3rd order only, so some tx2-touched entities
+    * have a day but no cust — their composites carry a nil slot,
+    * pinning partial-source derivation too. Output pins all the
+    * behaviors: retracted orders contribute no tuple, shifted
+    * orders' tuples disagree with the base day, and `total_day` sums
+    * the day SLOT decoded back out of the tuple text (round-trip
+    * through the shared encoding). Day values are epoch days (no
+    * date-format parity risk). Stage budget: three sequential
+    * maintenance rounds — each resolves only attr-pruned,
+    * touched-entity state (batch-bounded, the appendWithTupleAttrs
+    * shape) — plus the final resolve; the cost IS the transactional
+    * write machinery under test, ~linear in batch sizes. */
   def q73_tuple_maintenance(s: SparkSession, d: String): DataFrame = {
     import graft.store.Store
     val o = orders(s, d)
@@ -1177,15 +1182,20 @@ object Relational {
         lit(tx).as("tx"), lit(op).as("op"))
     val T = "order/cust+day"
     val srcs = Seq("order/cust", "order/day")
-    val b1 = dat("order/cust", concat(lit("c"), col("o_custkey").cast("string")), 1L, op = true, o)
-      .unionByName(dat("order/day", day, 1L, op = true, o))
+    val loaded = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+    val b1 = dat("order/cust", concat(lit("c"), col("o_custkey").cast("string")), 1L, op = true, loaded)
+      .unionByName(dat("order/day", day, 1L, op = true, loaded))
     val upd = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
     val b2 = dat("order/day", day + 30, 2L, op = true, upd)
     val ret = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
     val b3 = dat("order/cust", concat(lit("c"), col("o_custkey").cast("string")), 3L, op = false, ret)
       .unionByName(dat("order/day", day, 3L, op = false, ret))
       .unionByName(dat("order/day", day + 30, 3L, op = false, ret))
-    val log1 = b1.localCheckpoint()
+    // b1 is a projection of the orders scan — recompute beats
+    // materializing 300k rows; log2/log3 DO checkpoint (each embeds
+    // the previous maintenance output, which must not re-execute in
+    // every downstream resolve)
+    val log1 = b1
     val m1 = Store.tupleMaintenanceTx(log1, b1, T, srcs, 1L)
     val log2 = log1.unionByName(m1).unionByName(b2).localCheckpoint()
     val m2 = Store.tupleMaintenanceTx(log2, b2, T, srcs, 2L)
