@@ -134,6 +134,7 @@ object SparkEntry {
     "q71_filtered_db"        -> (Relational.q71_filtered_db _),
     "q72_pull_xform"         -> (Relational.q72_pull_xform _),
     "q73_tuple_maintenance"  -> (Relational.q73_tuple_maintenance _),
+    "q74_nohistory"          -> (Relational.q74_nohistory _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1126,6 +1127,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN tday <> base_day THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted,
         |  CAST(sum(tday) AS BIGINT) AS total_day
         |FROM t""".stripMargin,
+    // q74: expected OUTCOME per value class — heartbeat h2 survives
+    // iff superseded-and-not-retracted (%2 and not %10), h1 is the
+    // visible value everywhere else (incl. the %10 resurface); price
+    // history passes through whole
+    "q74_nohistory" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'order/price' AS a, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(0 AS BIGINT) AS n_h1, CAST(0 AS BIGINT) AS n_h2
+        |FROM base
+        |UNION ALL
+        |SELECT 'order/heartbeat', CAST(count(*) AS BIGINT),
+        |  CAST(0 AS BIGINT),
+        |  CAST(sum(CASE WHEN k % 2 <> 0 OR k % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN k % 2 = 0 AND k % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM base""".stripMargin,
     "d45_length_quantiles" -> Llm.d45OracleSql,
     "d46_fuzzy_join" -> Llm.d46OracleSql,
     "d47_weighted_sample" -> graft.queries.XxhOracle.d47Sql,

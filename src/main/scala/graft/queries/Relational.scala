@@ -1210,6 +1210,41 @@ object Relational {
         sum(col("tday")).cast("long").as("total_day"))
   }
 
+  // ── :db/noHistory trimming, end-to-end ────────────────────────────
+  /** Datomic's churn valve gated against the oracle: heartbeats are a
+    * noHistory attribute asserted at tx1 (`h1`, every order),
+    * superseded at tx2 (`h2`, every 2nd) and retracted at tx3 (every
+    * 10th — whose `h1` then RESURFACES as the visible value, the
+    * engine's documented resolution). `dropNoHistory` must reduce the
+    * heartbeat rows to exactly the one visible datom per entity —
+    * superseded values, retracted values, and retraction markers all
+    * gone — while `order/price` history passes through untouched.
+    * The oracle states the expected OUTCOME per value class (h2
+    * survives iff superseded-and-not-retracted), so any trim slip —
+    * a marker kept, a superseded value kept, a resurface missed —
+    * breaks counts. Trim shuffles key on the noHistory attr's datoms
+    * only; the price rows never re-shuffle. */
+  def q74_nohistory(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val oe = col("o_orderkey").cast("string")
+    val c = cents(col("o_totalprice"))
+    def dat(a: String, v: Column, vl: Column, tx: Long, op: Boolean, src: DataFrame) =
+      src.select(oe.as("e"), lit(a).as("a"), v.cast("string").as("v"),
+        vl.as("v_long"), lit(false).as("is_ref"), lit(tx).as("tx"), lit(op).as("op"))
+    val log = dat("order/price", c, c, 1L, op = true, o)
+      .unionByName(dat("order/heartbeat", lit("h1"), lit(null).cast("long"), 1L, op = true, o))
+      .unionByName(dat("order/heartbeat", lit("h2"), lit(null).cast("long"), 2L, op = true,
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)))
+      .unionByName(dat("order/heartbeat", lit("h2"), lit(null).cast("long"), 3L, op = false,
+        o.filter(pmod(col("o_orderkey"), lit(10)) === 0)))
+    graft.store.Store.dropNoHistory(log, Seq("order/heartbeat"), Seq.empty)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_cents"),
+        sum(when(col("v") === "h1", 1L).otherwise(0L)).as("n_h1"),
+        sum(when(col("v") === "h2", 1L).otherwise(0L)).as("n_h2"))
+  }
+
   // ── Datalog mutual recursion ──────────────────────────────────────
   /** Mutually recursive rules — `hop-a`/`hop-b` alternate over two
     * edge types (supplier→nation via :locA, nation→region via :locB),
