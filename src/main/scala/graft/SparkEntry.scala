@@ -135,6 +135,7 @@ object SparkEntry {
     "q72_pull_xform"         -> (Relational.q72_pull_xform _),
     "q73_tuple_maintenance"  -> (Relational.q73_tuple_maintenance _),
     "q74_nohistory"          -> (Relational.q74_nohistory _),
+    "q75_incremental_hybrid" -> (Relational.q75_incremental_hybrid _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1146,6 +1147,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN k % 2 <> 0 OR k % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(sum(CASE WHEN k % 2 = 0 AND k % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
         |FROM base""".stripMargin,
+    // q75: expected final state computed directly — price per order:
+    // %20 resurfaces the base (its 2x was retracted), %5-not-%20 takes
+    // the tx3 3x, %4 keeps its 2x, else base; tags: t1 always, t2 iff
+    // %3 and not %6, t3 iff %7
+    "q75_incremental_hybrid" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |price AS (
+        |  SELECT k, CASE WHEN k % 20 = 0 THEN c
+        |                 WHEN k % 5 = 0 THEN c * 3
+        |                 WHEN k % 4 = 0 THEN c * 2
+        |                 ELSE c END AS v FROM base),
+        |tags AS (
+        |  SELECT k, 't1' AS t FROM base
+        |  UNION ALL SELECT k, 't2' FROM base WHERE k % 3 = 0 AND k % 6 <> 0
+        |  UNION ALL SELECT k, 't3' FROM base WHERE k % 7 = 0)
+        |SELECT 'order/price' AS a, CAST(count(*) AS BIGINT) AS n_datoms,
+        |  CAST(sum(v) AS BIGINT) AS total_cents,
+        |  CAST(0 AS BIGINT) AS n_t1, CAST(0 AS BIGINT) AS n_t2, CAST(0 AS BIGINT) AS n_t3
+        |FROM price
+        |UNION ALL
+        |SELECT 'order/tag', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(sum(CASE WHEN t = 't1' THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN t = 't2' THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN t = 't3' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM tags""".stripMargin,
     "d45_length_quantiles" -> Llm.d45OracleSql,
     "d46_fuzzy_join" -> Llm.d46OracleSql,
     "d47_weighted_sample" -> graft.queries.XxhOracle.d47Sql,

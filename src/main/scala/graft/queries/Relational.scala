@@ -1245,6 +1245,53 @@ object Relational {
         sum(when(col("v") === "h2", 1L).otherwise(0L)).as("n_h2"))
   }
 
+  // ── Hybrid incremental resolve, end-to-end ────────────────────────
+  /** The live-index maintenance path gated against the oracle: a
+    * snapshot resolved at basis tx2 merges a tx3 delta carrying the
+    * FULL mix of shapes — card-one re-asserts, card-one RETRACTIONS
+    * (the hybrid carve-out: their older value must resurface from
+    * pre-snapshot history the snapshot no longer carries), card-many
+    * retractions and asserts — via `resolveIncrementalHybrid`, and
+    * the result must equal full resolution computed independently by
+    * DuckDB. Population design keeps every shape disjoint where it
+    * matters (the re-assert set excludes the retraction set, so
+    * resurfacing is actually observable). Output: per-attr datom
+    * count, price total, and per-tag-value counts. */
+  def q75_incremental_hybrid(s: SparkSession, d: String): DataFrame = {
+    import graft.store.Store
+    val o = orders(s, d)
+    val oe = col("o_orderkey").cast("string")
+    val c = cents(col("o_totalprice"))
+    val k = col("o_orderkey")
+    def dat(a: String, v: Column, vl: Column, tx: Long, op: Boolean, src: DataFrame) =
+      src.select(oe.as("e"), lit(a).as("a"), v.cast("string").as("v"),
+        vl.as("v_long"), lit(false).as("is_ref"), lit(tx).as("tx"), lit(op).as("op"))
+    val hist = dat("order/price", c, c, 1L, op = true, o)
+      .unionByName(dat("order/price", c * 2, c * 2, 2L, op = true,
+        o.filter(pmod(k, lit(4)) === 0)))
+      .unionByName(dat("order/tag", lit("t1"), lit(null).cast("long"), 1L, op = true, o))
+      .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 2L, op = true,
+        o.filter(pmod(k, lit(3)) === 0)))
+    val delta = dat("order/price", c * 3, c * 3, 3L, op = true,
+        o.filter(pmod(k, lit(5)) === 0 && pmod(k, lit(20)) =!= 0))
+      .unionByName(dat("order/price", c * 2, c * 2, 3L, op = false,
+        o.filter(pmod(k, lit(20)) === 0))) // card-one retraction → hybrid
+      .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 3L, op = false,
+        o.filter(pmod(k, lit(6)) === 0)))
+      .unionByName(dat("order/tag", lit("t3"), lit(null).cast("long"), 3L, op = true,
+        o.filter(pmod(k, lit(7)) === 0)))
+    val many = Seq("order/tag")
+    val snapshot = Store.resolve(hist, many).localCheckpoint()
+    val full = hist.unionByName(delta)
+    Store.resolveIncrementalHybrid(snapshot, 2L, delta, full, many)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_datoms"),
+        coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_cents"),
+        sum(when(col("v") === "t1", 1L).otherwise(0L)).as("n_t1"),
+        sum(when(col("v") === "t2", 1L).otherwise(0L)).as("n_t2"),
+        sum(when(col("v") === "t3", 1L).otherwise(0L)).as("n_t3"))
+  }
+
   // ── Datalog mutual recursion ──────────────────────────────────────
   /** Mutually recursive rules — `hop-a`/`hop-b` alternate over two
     * edge types (supplier→nation via :locA, nation→region via :locB),
