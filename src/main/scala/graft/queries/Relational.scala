@@ -837,12 +837,16 @@ object Relational {
     *
     * Stage budget at sf0.1 (r8, honest noop-sink measurement —
     * count() had pruned the final aggregate's values): ~3.6–4.9 s
-    * isolated, ~6.4 s in-suite under memory pressure. The floor is
-    * (a) materializing the 1.5 M-datom synthesized log per run
-    * (localCheckpoint — a real store reads parquet here) and (b)
-    * resolve's two keyed aggregations with string (e, a, v) keys,
-    * which IS the operator under test; the fat trimmed in r6 (narrow
-    * checkpoint, no countDistinct Expand) is gone. */
+    * isolated, ~6.4 s in-suite under memory pressure. At sf1 (r10,
+    * 15 M-datom log): ~34 s median / ~32 s best, down from 42.6 s in
+    * r9 via (a) pinning `broadcast(dead)` in retractEntityTx — the
+    * state scan is now ONE pass with two map-side hash probes instead
+    * of two SortMergeJoin shuffles of state — and (b) the stats split
+    * below, which stops re-shuffling card-one resolved rows. Probe
+    * breakdown of the remainder: ~5 s narrow checkpoint (a real store
+    * reads parquet here), ~8 s retract closure+scan, ~21 s resolve's
+    * two keyed aggregations with string (e, a, v) keys — which IS the
+    * operator under test. */
   def q49_retract_entity(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val li = lineitem(s, d)
@@ -883,12 +887,25 @@ object Relational {
       .select(concat(lit("o"), col("o_orderkey").cast("string")).as("e"))
     val retractions = graft.store.Store.retractEntityTx(
       log, targets, componentAttrs = Seq("order/line"), tx = 2L)
-    // per-attr stats WITHOUT countDistinct: a distinct aggregate next
-    // to plain ones plans an Expand (rows × 2, shuffled on (a, e, gid)
-    // with the long entity ids) — the two-phase groupBy keeps partial
-    // aggregation on both hops and shuffles each (a, e) pair once
-    graft.store.Store.resolve(log.unionByName(retractions),
-        manyAttrs = Seq("order/line", "cust/order"))
+    val manyAttrs = Seq("order/line", "cust/order")
+    val resolved = graft.store.Store.resolve(log.unionByName(retractions),
+      manyAttrs = manyAttrs)
+    val isMany = col("a").isInCollection(manyAttrs)
+    // Per-attr stats exploiting resolve's POSTCONDITION instead of
+    // re-shuffling everything: card-ONE output is unique per (e, a)
+    // by construction (resolve's second agg groups on exactly that
+    // key), so its entity count IS its row count — a map-side-partial
+    // aggregate over 2 groups, zero wide shuffle. Only the card-MANY
+    // rows (unique per (e, a, v)) still need the (a, e) hop to count
+    // entities without a countDistinct Expand. The old shape shuffled
+    // ALL resolved rows on (a, e) with the long entity-id strings;
+    // this halves the post-resolve shuffle volume.
+    val oneStats = resolved.filter(!isMany)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_datoms"),
+        count(lit(1)).as("n_entities"),
+        coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_v"))
+    val manyStats = resolved.filter(isMany)
       .groupBy(col("a"), col("e"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("v_long")), lit(0L)).as("sv"))
@@ -896,6 +913,7 @@ object Relational {
       .agg(sum(col("n")).cast("long").as("n_datoms"),
         count(lit(1)).as("n_entities"),
         sum(col("sv")).cast("long").as("total_v"))
+    oneStats.unionByName(manyStats)
   }
 
   // ── d/with: speculative transaction ───────────────────────────────

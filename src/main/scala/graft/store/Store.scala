@@ -907,23 +907,43 @@ object Store {
     * by the schema's component depth, not by data size — and each
     * round is a semi-join of the component edge set against the new
     * frontier. Append the result to the log; `resolve` then hides the
-    * retracted values at horizons ≥ `tx`. */
+    * retracted values at horizons ≥ `tx`.
+    *
+    * The dead set is bounded by the RETRACTION REQUEST (targets plus
+    * their component closure), not by corpus size, so the dead-datom
+    * scan pins `broadcast(dead)` whenever the closure-loop row counts
+    * (already computed to answer the emptiness check) stay under
+    * `broadcastDeadMaxRows` — one pass over state, two map-side hash
+    * probes, ZERO shuffles of state. Without the pin, size estimation
+    * over the localCheckpointed frontiers crossed the broadcast
+    * threshold at sf1 and planned two SortMergeJoins, i.e. two full
+    * shuffles of the multi-M-row state (the 42.6 s q49 line item in
+    * BENCH_sf1 r9). Oversized requests fall back to shuffle joins,
+    * which stay correct at any scale. */
   def retractEntityTx(state: DataFrame, targets: DataFrame,
-      componentAttrs: Seq[String], tx: Long): DataFrame = {
-    val t0 = targets.select(col("e")).distinct()
+      componentAttrs: Seq[String], tx: Long,
+      broadcastDeadMaxRows: Long = 5000000L): DataFrame = {
     // Each closure frontier is materialized ONCE (lazy localCheckpoint
-    // forced by the count that also answers the emptiness check); the
-    // accumulated dead set stays a lazy union of those materialized
-    // frontiers — re-checkpointing the growing union every round would
-    // copy the whole set O(depth) times. No component attrs → no
-    // materialization at all (the target set is read twice below, both
-    // as build sides of hash joins).
-    var frontiers = List(if (componentAttrs.isEmpty) t0
-      else { val c = t0.localCheckpoint(false); c.count(); c })
+    // forced by the count that also answers the emptiness check and
+    // feeds the broadcast-size guard); the accumulated dead set stays
+    // a lazy union of those materialized frontiers — re-checkpointing
+    // the growing union every round would copy the whole set O(depth)
+    // times.
+    val t0 = targets.select(col("e")).distinct().localCheckpoint(false)
+    var deadRows = t0.count()
+    var frontiers = List(t0)
     if (componentAttrs.nonEmpty) {
+      // Materialize the component edge set ONCE: the closure loop
+      // re-reads it every round, and deriving it lazily re-scanned the
+      // FULL state per round (depth+1 scans of a multi-M-row log when
+      // the state is an unpartitioned checkpoint, as in the harness
+      // queries). A production store prunes this filter to the
+      // componentAttrs' attribute partitions (VAET-style), so the
+      // materialized set is ∝ component edges, never ∝ state.
       val compEdges = state
         .filter(col("a").isInCollection(componentAttrs) && col("is_ref"))
         .select(col("e").as("src"), col("v").as("dst"))
+        .localCheckpoint(false)
       var growing = true
       while (growing) {
         val dead = frontiers.reduce(_ unionByName _)
@@ -931,17 +951,19 @@ object Store {
           .join(frontiers.head, compEdges("src") === frontiers.head("e"), "left_semi")
           .select(col("dst").as("e")).distinct()
           .join(dead, Seq("e"), "left_anti").localCheckpoint(false)
-        if (next.count() == 0L) growing = false else frontiers ::= next
+        val n = next.count()
+        if (n == 0L) growing = false else { deadRows += n; frontiers ::= next }
       }
     }
-    val dead = frontiers.reduce(_ unionByName _)
+    val deadUnion = frontiers.reduce(_ unionByName _)
+    val dead =
+      if (deadRows <= broadcastDeadMaxRows) broadcast(deadUnion) else deadUnion
     // One scan of state: mark entity hits and inbound-ref hits via two
-    // joins against the (small, distinct-keyed) dead set — AQE
-    // broadcasts both — then dedupe on the (e, a, v) KEY over a narrow
-    // projection. v_long/is_ref are functionally determined by
-    // (e, a, v) and tx/op are rewritten here, so a row-level distinct
-    // over full-width rows (the old shape) shuffled the long entity-id
-    // strings twice for nothing.
+    // map-side probes of the same broadcast dead set, then dedupe on
+    // the (e, a, v) KEY over a narrow projection. v_long/is_ref are
+    // functionally determined by (e, a, v) and tx/op are rewritten
+    // here, so a row-level distinct over full-width rows (the old
+    // shape) shuffled the long entity-id strings twice for nothing.
     state
       .join(dead.select(col("e").as("__dead_e")),
         col("e") === col("__dead_e"), "left")
