@@ -148,6 +148,7 @@ object SparkEntry {
       Curate.d26_source_mix(s, d, budgetTokens = 4000L, tokenizer = "bpe")),
     "d51_dsir"               -> ((s, d) => Curate.d51_dsir(s, d)),
     "d52_fertility"          -> (Curate.d52_fertility _),
+    "d53_bpe_train"          -> ((s, d) => Curate.d53_bpe_train(s, d)),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
@@ -1183,6 +1184,8 @@ object SparkEntry {
     "d50_bpe_mix" -> Curate.d50OracleSql,
     "d51_dsir" -> graft.queries.XxhOracle.d51Sql,
     "d52_fertility" -> Curate.d52OracleSql,
+    "d53_bpe_train" -> graft.ops.BpeTrain.oracleSql(
+      graft.ops.BpeTrain.DefaultRounds, graft.ops.BpeTrain.DefaultVocabCap),
     "mm7_keyframes" -> Multimodal.mm7OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses

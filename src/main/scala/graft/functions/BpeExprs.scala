@@ -66,21 +66,48 @@ object Bpe {
     "1" -> "0") // 10
 
   // table validity — the precondition of the rank-order equivalence
-  {
+  validateTable(Merges)
+
+  private val mergesArr: Array[(String, String, String)] =
+    Merges.map { case (x, y) => (x, y, x + y) }.toArray
+
+  /** The validity invariant behind the rank-order equivalence, as a
+    * reusable check: every merge's two components must be base chars
+    * or outputs of strictly-earlier merges. LEARNED tables (BpeTrain)
+    * satisfy it by construction — each round's best pair is made of
+    * symbols present in the current states — but [[BpeCountLearned]]
+    * re-asserts it at expression build, so an invalid hand-given spec
+    * fails loudly instead of silently diverging from priority BPE. */
+  def validateTable(merges: Seq[(String, String)]): Unit = {
     val have = scala.collection.mutable.Set[String]() ++
       (('a' to 'z') ++ ('0' to '9')).map(_.toString)
-    Merges.foreach { case (x, y) =>
+    merges.foreach { case (x, y) =>
       require(have(x) && have(y),
         s"invalid BPE merge table: ($x, $y) uses a symbol no earlier merge produced")
       have += (x + y)
     }
   }
 
-  private val mergesArr: Array[(String, String, String)] =
-    Merges.map { case (x, y) => (x, y, x + y) }.toArray
+  /** Parse the compact merge-table spec `"x y,x y,…"` (rank order)
+    * used by `bpe_count_learned`'s second argument. */
+  def parseMergeSpec(spec: String): Array[(String, String, String)] = {
+    val merges = spec.split(',').filter(_.nonEmpty).toSeq.map { m =>
+      val parts = m.split(' ')
+      require(parts.length == 2, s"bad merge spec entry: '$m' (want 'x y')")
+      (parts(0), parts(1))
+    }
+    validateTable(merges)
+    merges.map { case (x, y) => (x, y, x + y) }.toArray
+  }
 
   /** BPE token count of `s` under [[Merges]] — one compiled pass. */
-  def countTokens(s: UTF8String): Long = {
+  def countTokens(s: UTF8String): Long = countTokensWith(s, mergesArr)
+
+  /** BPE token count under an arbitrary (validated) merge table —
+    * the learned-table lane: BpeTrain's output feeds this through
+    * `bpe_count_learned`, same mechanics as the static table. */
+  def countTokensWith(s: UTF8String,
+      merges: Array[(String, String, String)]): Long = {
     val t = s.toLowerCase.toString
     val n = t.length
     var count = 0L
@@ -91,7 +118,7 @@ object Bpe {
       if (i < n && ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
         word.add(String.valueOf(c))
       else if (!word.isEmpty) {
-        count += mergeWord(word)
+        count += mergeWord(word, merges)
         word.clear()
       }
       i += 1
@@ -102,10 +129,11 @@ object Bpe {
   /** Apply the merges in rank order, leftmost-first non-overlapping
     * (after a merge the scan resumes AFTER the merged symbol — the
     * replace() convention the oracle uses). Returns the symbol count. */
-  private def mergeWord(word: java.util.ArrayList[String]): Int = {
+  private def mergeWord(word: java.util.ArrayList[String],
+      merges: Array[(String, String, String)]): Int = {
     var mi = 0
-    while (mi < mergesArr.length) {
-      val m = mergesArr(mi)
+    while (mi < merges.length) {
+      val m = merges(mi)
       var i = 0
       while (i < word.size - 1) {
         if (word.get(i) == m._1 && word.get(i + 1) == m._2) {
@@ -124,10 +152,15 @@ object Bpe {
     * literal `replace()` in rank order, and the token count is the
     * number of `<` delimiters. Returns (stateExpr, countExprOf) so the
     * caller can CTE the state once instead of inlining it twice. */
-  def oracleStateExpr(textCol: String): String = {
+  def oracleStateExpr(textCol: String): String =
+    oracleStateExpr(textCol, Merges)
+
+  /** Same replay under an arbitrary merge table (the learned-table
+    * lane's oracle — BpeTrain feeds its learned merges here). */
+  def oracleStateExpr(textCol: String, merges: Seq[(String, String)]): String = {
     val base = "regexp_replace(regexp_replace(lower(" + textCol +
       "), '[^a-z0-9]+', '|', 'g'), '([a-z0-9])', '<\\1>', 'g')"
-    Merges.foldLeft(base) { case (acc, (x, y)) =>
+    merges.foldLeft(base) { case (acc, (x, y)) =>
       s"replace($acc, '<$x><$y>', '<$x$y>')"
     }
   }
@@ -149,4 +182,26 @@ case class BpeCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): BpeCount =
     copy(child = newChild)
   override def prettyName: String = "bpe_count"
+}
+
+/** `bpe_count_learned(text, 'x y,x y,…')` — [[BpeCount]] under an
+  * arbitrary rank-ordered merge table given as a foldable spec string
+  * (the registration parses it ONCE at plan build; codegen carries the
+  * parsed table as a reference object, so the hot loop is identical to
+  * the static-table path — no per-row parsing, no UDF boxing). This is
+  * how a LEARNED table (BpeTrain) is applied to a corpus: train on the
+  * vocab, render the merges as a spec literal, tokenize at scan speed. */
+case class BpeCountLearned(child: Expression,
+    merges: Array[(String, String, String)]) extends UnaryExpression {
+  Bpe.validateTable(merges.toSeq.map { case (x, y, _) => (x, y) })
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Bpe.countTokensWith(input.asInstanceOf[UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, "scala.Tuple3[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.countTokensWith($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeCountLearned =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_count_learned"
 }

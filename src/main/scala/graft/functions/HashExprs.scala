@@ -414,6 +414,10 @@ object HashExprs {
     reg.createOrReplaceTempFunction("ahash_bits",
       es => AHashBits(es.head, es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_count", es => BpeCount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_count_learned", {
+      case Seq(text, spec) => BpeCountLearned(text, Bpe.parseMergeSpec(
+        spec.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+    }, "scala_udf")
     // Spark's own runtime-filter bloom sketch, surfaced as callable
     // functions: bloom_agg(xxhash64(key)[, items[, bits]]) builds the
     // binary sketch, bloom_might_contain(bf, xxhash64(key)) probes it.

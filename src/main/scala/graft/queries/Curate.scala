@@ -888,6 +888,33 @@ object Curate {
        |FROM t GROUP BY source""".stripMargin
   }
 
+  // ── d53: BPE tokenizer training ───────────────────────────────────
+  /** Learn a BPE merge table from the corpus (iterated pair counting,
+    * Sennrich et al. 2016 — see [[graft.ops.BpeTrain]] for the
+    * distributed shape and the cross-engine exactness argument), then
+    * apply the learned table back to the full corpus through the
+    * codegen `bpe_count_learned` expression — the complete
+    * train-then-tokenize round trip, gated end-to-end: the DuckDB
+    * oracle replays all training rounds as unrolled CTEs and the
+    * final tokenization as a replace chain on the round winners, so
+    * rank, pair, count AND the corpus token total must all match
+    * bit-for-bit. Output: one row per learned merge (rank order) with
+    * the corpus total under the final table on every row. */
+  def d53_bpe_train(s: SparkSession, d: String,
+      rounds: Int = graft.ops.BpeTrain.DefaultRounds,
+      vocabCap: Int = graft.ops.BpeTrain.DefaultVocabCap): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val docs = documents(s, d)
+    val learned = graft.ops.BpeTrain.learnMerges(docs, "text", rounds, vocabCap)
+    val spec = graft.ops.BpeTrain.mergeSpec(learned)
+    val tot = docs.agg(
+      sum(call_function("bpe_count_learned", col("text"), lit(spec)))
+        .cast("long").as("corpus_tokens"))
+    s.createDataFrame(learned)
+      .select(col("rank"), col("pair"), col("merged"), col("cnt"))
+      .crossJoin(tot)
+  }
+
   def d33OracleSql: String =
     """WITH w AS (
       |  SELECT doc_id,
