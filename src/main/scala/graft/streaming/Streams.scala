@@ -220,17 +220,45 @@ object Streams {
 
   /** One transaction's report — Datomic `tx-report-queue` entry shape:
     * the basis `t` and the transaction's datoms (full Store.schema
-    * rows). Tx batches are bounded (the loader's own batch discipline,
-    * reference batch.clj:31-40), so a report is driver-safe by the
-    * same argument Datomic's in-memory queue is. */
-  final case class TxReport(t: Long, datoms: Seq[org.apache.spark.sql.Row])
+    * rows). A transaction larger than the queue's `maxDatomsPerReport`
+    * is delivered as an ANOMALY report instead — `datoms` empty,
+    * `anomaly` describing the overrun — so one pathological
+    * multi-million-datom tx degrades to a pointer ("read tx N from the
+    * log yourself") instead of materializing on the driver. */
+  final case class TxReport(t: Long, datoms: Seq[org.apache.spark.sql.Row],
+      anomaly: Option[String] = None)
+
+  /** Handle on a running tx-report subscription. `close()` stops the
+    * stream and then delivers the BOUNDARY transaction's report (the
+    * max tx seen, whose completeness a later tx could no longer
+    * prove — quiescence at close is the proof). */
+  final class TxReportQueue(val query: org.apache.spark.sql.streaming.StreamingQuery,
+      flush: () => Unit) {
+    def processAllAvailable(): Unit = query.processAllAvailable()
+    def close(): Unit = {
+      query.stop(); query.awaitTermination(); flush()
+    }
+  }
 
   /** Datomic `d/tx-report-queue` analog — SUBSCRIBE to committed
     * transactions: a readStream over the store's append-only log
-    * delivers every tx with `tx > basis` as one [[TxReport]], in tx
+    * delivers every tx with `tx > basis` as ONE [[TxReport]], in tx
     * order, exactly once across restarts (the file-source checkpoint
-    * remembers which log files were already delivered — restart with
-    * the same checkpoint resumes at the first unseen append).
+    * remembers which log files were already delivered).
+    *
+    * COMPLETENESS: one `Store.append` commits a tx as MANY part files
+    * (partitionBy("a") × input partitions), and a micro-batch boundary
+    * (or a listing racing a concurrent commit) can split them across
+    * triggers — so a tx's report is emitted only once a LATER tx
+    * appears in the stream, which under the store's single-writer
+    * append discipline proves every file of the earlier tx was already
+    * listed. The max-tx group of each batch is HELD BACK in a stash
+    * persisted under the checkpoint (`graft-tx-holdback/<batchId>`,
+    * re-read by batchId on replay, so a crashed trigger resumes with
+    * the same holdback instead of losing the partial tx); `close()`
+    * flushes the final boundary tx. Consumers see at-least-once
+    * per-trigger-failure semantics like any foreachBatch side effect —
+    * dedupe by `t` if the callback is not idempotent.
     *
     * This closes the loop with [[datomStreamSink]]: that is the write
     * side (stream → store), this is the read side (store → stream) —
@@ -240,27 +268,105 @@ object Streams {
     * the `tx > basis` filter is a pushed parquet predicate — old row
     * groups prune on tx min/max, so catching up on a 100 TB log reads
     * footers, not history. Per-trigger volume is bounded with
-    * `maxFilesPerTrigger`; report assembly collects only the new txes'
-    * datoms (bounded tx batches, see [[TxReport]]). */
+    * `maxFilesPerTrigger`; per-tx driver exposure is bounded by
+    * `maxDatomsPerReport` (report assembly counts each tx
+    * DISTRIBUTED-side first and only collects under-cap txes — an
+    * over-cap tx never reaches the driver, see [[TxReport]]). */
   def txReportQueue(spark: SparkSession, store: graft.store.Store, basis: Long,
-      maxFilesPerTrigger: Int = 1000)(checkpoint: String)(
-      onReport: TxReport => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(graft.store.Store.schema)
+      maxFilesPerTrigger: Int = 1000, maxDatomsPerReport: Long = 1000000L)(
+      checkpoint: String)(onReport: TxReport => Unit): TxReportQueue = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val stashRoot = Paths.get(checkpoint, "graft-tx-holdback")
+    def stashIds(): Seq[Long] =
+      if (!Files.isDirectory(stashRoot)) Seq.empty
+      else Files.list(stashRoot).iterator().asScala
+        .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
+        .toSeq.sorted
+    def readMeta(id: Long): Option[(Long, Long)] = { // (tx, cnt)
+      val m = stashRoot.resolve(s"$id/meta")
+      if (!Files.exists(m)) None else {
+        val parts = new String(Files.readAllBytes(m), "UTF-8").trim.split(" ")
+        Some((parts(0).toLong, parts(1).toLong))
+      }
+    }
+    def readRows(id: Long): Seq[org.apache.spark.sql.Row] = {
+      val p = stashRoot.resolve(s"$id/rows.parquet")
+      if (!Files.exists(p)) Seq.empty
+      else spark.read.schema(graft.store.Store.schema).parquet(p.toString).collect().toSeq
+    }
+    def deleteStash(id: Long): Unit = {
+      val d = stashRoot.resolve(s"$id")
+      if (Files.exists(d))
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    def emit(t: Long, cnt: Long, rows: Seq[org.apache.spark.sql.Row]): Unit =
+      if (cnt > maxDatomsPerReport)
+        onReport(TxReport(t, Seq.empty, Some(
+          s"tx $t has $cnt datoms, over maxDatomsPerReport=$maxDatomsPerReport; " +
+            s"read it from the store log (tx = $t) instead")))
+      else onReport(TxReport(t, rows.sortBy(r =>
+        (r.getAs[String]("e"), r.getAs[String]("a"), r.getAs[String]("v")))))
+    val q = spark.readStream.schema(graft.store.Store.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"${store.dir}/eav")
       .filter(col("tx") > basis)
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.collect().groupBy(_.getAs[Long]("tx")).toSeq.sortBy(_._1)
-          .foreach { case (t, ds) =>
-            onReport(TxReport(t, ds.toSeq.sortBy(r =>
-              (r.getAs[String]("e"), r.getAs[String]("a"), r.getAs[String]("v")))))
+      .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // the file source surfaces the partition column (`a`) LAST —
+        // re-project to Store.schema order so collected rows line up
+        // positionally with the stash parquet and createDataFrame
+        val batch = rawBatch.select(
+          graft.store.Store.schema.fieldNames.toSeq.map(col): _*)
+        val prevId = stashIds().filter(_ < batchId).lastOption
+        val holdback = prevId.flatMap(readMeta)
+        val counts = batch.groupBy(col("tx")).count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val totals = holdback.foldLeft(counts) { case (m, (htx, hcnt)) =>
+          m.updated(htx, m.getOrElse(htx, 0L) + hcnt)
+        }
+        if (totals.nonEmpty) {
+          val boundary = totals.keys.max
+          val completes = totals.keys.filter(_ < boundary).toSeq.sorted
+          val underCap = completes.filter(totals(_) <= maxDatomsPerReport)
+          val collected =
+            (if (underCap.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+             else batch.filter(col("tx").isin(underCap: _*)).collect().toSeq) ++
+              holdback.toSeq.collect {
+                case (htx, _) if htx < boundary => prevId.map(readRows).getOrElse(Seq.empty)
+              }.flatten
+          val byTx = collected.groupBy(_.getAs[Long]("tx"))
+          completes.foreach(t => emit(t, totals(t), byTx.getOrElse(t, Seq.empty)))
+          // stash the boundary tx for the next trigger (overwrite on replay)
+          deleteStash(batchId)
+          Files.createDirectories(stashRoot.resolve(s"$batchId"))
+          val bCnt = totals(boundary)
+          if (bCnt <= maxDatomsPerReport) {
+            val bRows = batch.filter(col("tx") === boundary).collect().toSeq ++
+              holdback.toSeq.collect {
+                case (htx, _) if htx == boundary => prevId.map(readRows).getOrElse(Seq.empty)
+              }.flatten
+            spark.createDataFrame(bRows.asJava, graft.store.Store.schema)
+              .repartition(1).write.mode("overwrite")
+              .parquet(stashRoot.resolve(s"$batchId/rows.parquet").toString)
           }
+          Files.write(stashRoot.resolve(s"$batchId/meta"),
+            s"$boundary $bCnt".getBytes("UTF-8"))
+          // keep the consumed stash for replay of THIS batch; drop older
+          stashIds().filter(id => id < prevId.getOrElse(batchId)).foreach(deleteStash)
+        }
         ()
       }
       .start()
+    new TxReportQueue(q, () => {
+      stashIds().lastOption.foreach { id =>
+        readMeta(id).foreach { case (t, cnt) => emit(t, cnt, readRows(id)) }
+      }
+      stashIds().foreach(deleteStash)
+    })
+  }
 
   /** LIVE db-stats — the first consumer every tx-report subscriber
     * builds: a continuously-maintained per-attribute datom count over

@@ -206,7 +206,12 @@ class StreamingSpec extends AnyFunSuite {
       store.append(datoms(("e3", "x/a", "v3", 3L)))
       store.append(datoms(("e4", "x/a", "v4", 4L), ("e4", "x/b", "v5", 4L)))
       q.processAllAvailable()
-    } finally q.stop()
+      // tx 3's completeness is proven by tx 4's presence; tx 4 is the
+      // boundary — held until close
+      val inFlight = reports.toArray(Array.empty[Streams.TxReport])
+      assert(inFlight.map(_.t).toSeq == Seq(3L),
+        s"boundary tx held back until proven complete: ${inFlight.map(_.t).mkString(",")}")
+    } finally q.close()
     val seen = reports.toArray(Array.empty[Streams.TxReport])
     assert(seen.map(_.t).toSeq == Seq(3L, 4L), s"per-tx reports in tx order: ${seen.map(_.t).mkString(",")}")
     assert(seen(0).datoms.map(_.getAs[String]("e")) == Seq("e3"))
@@ -216,10 +221,61 @@ class StreamingSpec extends AnyFunSuite {
     store.append(datoms(("e5", "x/a", "v6", 5L)))
     val reports2 = new java.util.concurrent.ConcurrentLinkedQueue[Streams.TxReport]()
     val q2 = Streams.txReportQueue(spark, store, basis)(ckpt)(reports2.add(_))
-    try q2.processAllAvailable() finally q2.stop()
+    try q2.processAllAvailable() finally q2.close()
     val seen2 = reports2.toArray(Array.empty[Streams.TxReport])
     assert(seen2.map(_.t).toSeq == Seq(5L),
       s"restart resumes at the first unseen append, no replay: ${seen2.map(_.t).mkString(",")}")
+  }
+
+  test("tx-report-queue: a tx split across micro-batches is still ONE complete report") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("txfragstore").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("txfragckpt").toString
+    def datoms(rows: (String, String, String, Long)*) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    // two attrs → partitionBy("a") writes ≥ 2 part files for tx 1;
+    // maxFilesPerTrigger=1 forces them into DIFFERENT micro-batches —
+    // the exact fragmentation the holdback exists for
+    store.append(datoms(("e1", "x/a", "v1", 1L), ("e1", "x/b", "v2", 1L)))
+    store.append(datoms(("e2", "x/a", "v3", 2L)))
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[Streams.TxReport]()
+    val q = Streams.txReportQueue(spark, store, basis = 0L,
+      maxFilesPerTrigger = 1)(ckpt)(reports.add(_))
+    try q.processAllAvailable() finally q.close()
+    val seen = reports.toArray(Array.empty[Streams.TxReport])
+    assert(seen.map(_.t).toSeq == Seq(1L, 2L),
+      s"one report per tx, in order: ${seen.map(_.t).mkString(",")}")
+    assert(seen(0).datoms.map(r => (r.getAs[String]("a"), r.getAs[String]("v"))).toSeq
+      == Seq(("x/a", "v1"), ("x/b", "v2")),
+      "the fragmented tx's report carries BOTH files' datoms")
+  }
+
+  test("tx-report-queue: an over-cap tx degrades to an anomaly report, stream survives") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("txcapstore").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("txcapckpt").toString
+    def datoms(rows: (String, String, String, Long)*) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    store.append(datoms(("e1", "x/a", "v1", 1L), ("e2", "x/a", "v2", 1L),
+      ("e3", "x/a", "v3", 1L)))               // 3 datoms: over the cap of 2
+    store.append(datoms(("e4", "x/a", "v4", 2L))) // under cap
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[Streams.TxReport]()
+    val q = Streams.txReportQueue(spark, store, basis = 0L,
+      maxDatomsPerReport = 2L)(ckpt)(reports.add(_))
+    try q.processAllAvailable() finally q.close()
+    val seen = reports.toArray(Array.empty[Streams.TxReport])
+    assert(seen.map(_.t).toSeq == Seq(1L, 2L))
+    assert(seen(0).datoms.isEmpty && seen(0).anomaly.exists(_.contains("maxDatomsPerReport")),
+      s"over-cap tx is an anomaly pointer, not a driver OOM: ${seen(0)}")
+    assert(seen(1).anomaly.isEmpty &&
+      seen(1).datoms.map(_.getAs[String]("e")) == Seq("e4"),
+      "the stream keeps delivering normal reports after the anomaly")
   }
 
   test("live db-stats view updates as transactions land; retractions net out") {
