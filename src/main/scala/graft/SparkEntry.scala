@@ -136,6 +136,7 @@ object SparkEntry {
     "q73_tuple_maintenance"  -> (Relational.q73_tuple_maintenance _),
     "q74_nohistory"          -> (Relational.q74_nohistory _),
     "q75_incremental_hybrid" -> (Relational.q75_incremental_hybrid _),
+    "q76_query_page"         -> (Relational.q76_query_page _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1152,6 +1153,14 @@ object SparkEntry {
     // %20 resurfaces the base (its 2x was retracted), %5-not-%20 takes
     // the tx3 3x, %4 keeps its 2x, else base; tags: t1 always, t2 iff
     // %3 and not %6, t3 iff %7
+    "q76_query_page" ->
+      """SELECT CAST(e AS BIGINT) AS order_key, CAST(cust AS BIGINT) AS cust_key,
+        |  prio AS priority
+        |FROM (
+        |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS e,
+        |    CAST(o_custkey AS VARCHAR) AS cust, o_orderpriority AS prio
+        |  FROM orders
+        |  ORDER BY cust, e, prio LIMIT 50 OFFSET 100)""".stripMargin,
     "q75_incremental_hybrid" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,

@@ -1310,6 +1310,31 @@ object Relational {
         sum(when(col("v") === "t3", 1L).otherwise(0L)).as("n_t3"))
   }
 
+  // ── Query-map :offset/:limit one-shot page ────────────────────────
+  /** Datomic client query-map pagination — `d/q {:query … :offset 100
+    * :limit 50}`: the Datalog result paged in ONE bounded job
+    * (`Datalog.page` — distinct tuple set, deterministic qseq order,
+    * TakeOrderedAndProject(offset, limit): top-(offset+limit) per
+    * partition then a driver merge — no full sort, no full collect,
+    * the same plan shape at any corpus size). The oracle replays the
+    * identical ORDER BY/LIMIT/OFFSET over the string-typed EAV
+    * projection, so the page boundary itself is gated. */
+  def q76_query_page(s: SparkSession, d: String): DataFrame = {
+    val eav = orders(s, d).select(col("o_orderkey").cast("string").as("e"),
+      expr("stack(2, 'o_custkey', cast(o_custkey as string), " +
+        "'o_priority', o_orderpriority)").as(Seq("a", "v")))
+    val q = graft.query.Datalog.parse(
+      """[:find ?e ?cust ?prio
+        | :where [?e :o_custkey ?cust]
+        |        [?e :o_priority ?prio]]""".stripMargin)
+    graft.query.Datalog.page(
+        graft.query.Datalog.runOn(eav,
+          new graft.model.SchemaRegistry(Map.empty), q, Map.empty),
+        offset = 100, limit = 50)
+      .select(col("e").cast("long").as("order_key"),
+        col("cust").cast("long").as("cust_key"), col("prio").as("priority"))
+  }
+
   // ── Datalog mutual recursion ──────────────────────────────────────
   /** Mutually recursive rules — `hop-a`/`hop-b` alternate over two
     * edge types (supplier→nation via :locA, nation→region via :locB),

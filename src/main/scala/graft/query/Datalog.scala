@@ -488,6 +488,65 @@ object Datalog {
     }
   }
 
+  /** Datomic client query-map `:offset`/`:limit` — ONE deterministic
+    * result page, the one-shot complement of [[qseq]]'s cursor
+    * iteration: rows ordered lexicographically over the output columns
+    * sorted by name (the qseq order, the deterministic analog of
+    * Datomic's index order) over the DISTINCT tuple set, skipping
+    * `offset` rows and returning at most `limit` (−1 = unbounded, like
+    * the client's `:limit -1`). Plans as a single
+    * TakeOrderedAndProject(offset, limit) job — top-(offset+limit)
+    * per partition, merged on the driver; no full-result sort, no
+    * full-result collect. */
+  def page(result: DataFrame, offset: Int, limit: Int): DataFrame = {
+    require(offset >= 0, s"negative :offset $offset")
+    val key = result.columns.toSeq.sorted
+    val ordered = result.distinct().orderBy(key.map(col): _*)
+    val off = if (offset > 0) ordered.offset(offset) else ordered
+    if (limit >= 0) off.limit(limit) else off
+  }
+
+  /** Datomic client `:timeout` — materialize the query result under a
+    * wall-clock guard: the page runs as its own job group and the
+    * whole group is CANCELLED (tasks interrupted) when the deadline
+    * passes, throwing `TimeoutException` like the client's aborted
+    * query. On success the returned frame is the REALIZED result
+    * (the client api returns realized collections too, which is why
+    * `:timeout` composes with `:limit`/`:offset` bounding the page —
+    * guard unbounded results with qseq instead). */
+  def withTimeout(result: DataFrame, timeoutMs: Long): DataFrame = {
+    if (timeoutMs <= 0) return result
+    val sc = result.sparkSession.sparkContext
+    val group = s"datalog-timeout-${java.util.UUID.randomUUID()}"
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = {
+          // job-group membership is thread-local: set it on the thread
+          // that triggers the jobs, so cancelGroup hits exactly them
+          sc.setJobGroup(group, s"datalog :timeout ${timeoutMs}ms",
+            interruptOnCancel = true)
+          try result.localCheckpoint(true) finally sc.clearJobGroup()
+        }
+      })
+      try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          sc.cancelJobGroup(group)
+          throw new java.util.concurrent.TimeoutException(
+            s"Datalog query exceeded :timeout ${timeoutMs}ms (jobs cancelled)")
+      }
+    } finally pool.shutdown()
+  }
+
+  /** The client QUERY-MAP form — `d/q {:query … :args … :offset …
+    * :limit … :timeout …}` over the current db: one-shot pagination
+    * plus the wall-clock guard, composed over [[runCurrent]]. */
+  def runMap(store: Store, registry: SchemaRegistry, q: Query,
+      args: Map[String, Edn] = Map.empty, offset: Int = 0, limit: Int = -1,
+      timeoutMs: Long = -1L): DataFrame =
+    withTimeout(page(runCurrent(store, registry, q, args), offset, limit), timeoutMs)
+
   /** Dedupe-then-project: vars appearing twice in one clause become
     * equality filters; each var surfaces once as `var_<name>`. */
   private def project(df0: DataFrame, binds: Seq[(String, String)]): DataFrame = {

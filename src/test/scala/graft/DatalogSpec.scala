@@ -928,6 +928,53 @@ class DatalogSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq === oneShot)
   }
 
+  test("query-map :offset/:limit: one deterministic page, consistent with qseq order") {
+    val q = Datalog.parse(
+      """[:find ?name ?sort
+        | :where [?e :artist/name ?name]
+        |        [?e :artist/sortName ?sort]]""".stripMargin)
+    val result = Datalog.run(store, registry, q)
+    val all = result.distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(all.size >= 5)
+    // offset+limit slices the same total order qseq iterates
+    val page = Datalog.page(result, offset = 2, limit = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(page === all.slice(2, 4), s"page mismatch: $page vs ${all.slice(2, 4)}")
+    // :limit -1 = everything after the offset
+    val tail = Datalog.page(result, offset = all.size - 1, limit = -1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tail === all.takeRight(1))
+    // runMap composes the same page over the current db
+    val viaMap = Datalog.runMap(store, registry, q, offset = 2, limit = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val allCur = Datalog.runCurrent(store, registry, q).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(viaMap === allCur.slice(2, 4))
+    // the page plans as one bounded TakeOrderedAndProject job
+    val plan = Datalog.page(result, 2, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    intercept[IllegalArgumentException](Datalog.page(result, -1, 10))
+  }
+
+  test("query-map :timeout: generous deadline returns the realized page; tight one cancels") {
+    import org.apache.spark.sql.functions._
+    val q = Datalog.parse("[:find ?name :where [?e :artist/name ?name]]")
+    val paged = Datalog.page(Datalog.run(store, registry, q), 0, 5)
+    val ok = Datalog.withTimeout(paged, timeoutMs = 120000L)
+    assert(ok.count() == 5)
+    // a frame whose evaluation sleeps per partition: the 50 ms deadline
+    // cannot be met, the job group is cancelled, TimeoutException thrown
+    import spark.implicits._
+    val slow = spark.range(0, 8, 1, 8).as[Long]
+      .map { i => Thread.sleep(2000L); i }.toDF("x")
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.TimeoutException](
+      Datalog.withTimeout(slow, timeoutMs = 50L))
+    assert((System.nanoTime() - t0) / 1e6 < 10000,
+      "cancellation must not wait for the slow job to finish")
+  }
+
   test("recursive call under (not …) is rejected as unstratified") {
     val rules = Datalog.parseRules(
       """[[(reach ?a ?b) [?a :next ?b]]
