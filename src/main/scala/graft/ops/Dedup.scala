@@ -74,26 +74,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** IVF ANN: assign every corpus vector to its nearest centroid
-    * (broadcast centroid table + map-side argmax), probe each query's
-    * `nprobe` nearest cells, rank top-k inside the probed cells. The
-    * centroid DataFrame needs (cid, embedding); at scale it comes
-    * from k-means over a sample — everything downstream is agnostic
-    * to how centroids were produced. */
-  def annIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+  private def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
+    df.withColumn(normName, expr(s"sqrt(vec_dot($vecCol, $vecCol))"))
+
+  /** Shared IVF tail: probe each query's `nprobe` nearest cells, rank
+    * top-k inside the probed cells. `assigned` = (vec_id, cell,
+    * embedding, norm). Queries are a bounded set → the probe table
+    * broadcasts; candidate volume is Σ(occupancy of probed cells). */
+  private def ivfRank(assigned: DataFrame, queries: DataFrame, cent: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    graft.functions.HashExprs.register(corpus.sparkSession)
-    def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
-      df.withColumn(normName, expr(s"sqrt(vec_dot($vecCol, $vecCol))"))
-    val cent = withNorm(centroids, "embedding", "c_norm")
-      .select(col("cid"), col("embedding").as("c_vec"), col("c_norm"))
     def ccos = expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm"))
-    val assigned = withNorm(corpus, "embedding", "norm")
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", ccos)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
-        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     val probes = withNorm(queries, "embedding", "norm")
       .crossJoin(broadcast(cent))
@@ -109,6 +99,82 @@ object Dedup {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF ANN: assign every corpus vector to its nearest centroid
+    * (broadcast centroid table + map-side argmax), probe each query's
+    * `nprobe` nearest cells, rank top-k inside the probed cells. The
+    * centroid DataFrame needs (cid, embedding); at scale it comes
+    * from k-means over a sample — everything downstream is agnostic
+    * to how centroids were produced.
+    *
+    * CENTROID-COUNT BUDGET: assignment is an EXACT broadcast
+    * crossJoin — |corpus| × |centroids| dot products with no early
+    * pruning, all map-side (zero shuffle of the corpus). That is the
+    * right trade up to a few thousand centroids (d·C multiply-adds
+    * per vector ≈ the cost of reading the vector); for the
+    * 10⁴–10⁵-cell tables a 100 TB corpus wants, use [[annIvfCoarse]],
+    * which cuts assignment to ~2·√C dot products per vector via a
+    * two-level quantizer at a small recall cost. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    graft.functions.HashExprs.register(corpus.sparkSession)
+    val cent = withNorm(centroids, "embedding", "c_norm")
+      .select(col("cid"), col("embedding").as("c_vec"), col("c_norm"))
+    def ccos = expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm"))
+    val assigned = withNorm(corpus, "embedding", "norm")
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", ccos)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+    ivfRank(assigned, queries, cent, nprobe, k)
+  }
+
+  /** [[annIvf]] with a TWO-LEVEL coarse quantizer for large centroid
+    * tables (the IMI/IVF-HNSW-coarse idea, e.g. Baranchuk et al. 2018):
+    * every `coarseEvery`-th centroid (by dense cid — deterministic)
+    * forms a coarse table of ~C/coarseEvery entries; each centroid
+    * joins its nearest coarse entry, and a corpus vector first picks
+    * its coarse entry (~C/coarseEvery dots), then argmaxes only that
+    * entry's member centroids (~coarseEvery dots on average) — per
+    * vector ~C/coarseEvery + coarseEvery dot products instead of C,
+    * minimized at coarseEvery ≈ √C. APPROXIMATE: the true nearest
+    * centroid can live under a different coarse entry, the standard
+    * IVF trade; `coarseEvery = 1` degenerates to exact assignment
+    * (every centroid is its own coarse entry), which the spec pins
+    * bit-for-bit against [[annIvf]]. Probing is unchanged (queries
+    * are bounded; they rank the FULL centroid table). */
+  def annIvfCoarse(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int, coarseEvery: Int): DataFrame = {
+    require(coarseEvery >= 1, s"coarseEvery must be ≥ 1, got $coarseEvery")
+    graft.functions.HashExprs.register(corpus.sparkSession)
+    val cent = withNorm(centroids, "embedding", "c_norm")
+      .select(col("cid"), col("embedding").as("c_vec"), col("c_norm"))
+    val coarse = cent.filter(pmod(col("cid"), lit(coarseEvery)) === 0)
+      .select(col("cid").as("g_cid"), col("c_vec").as("g_vec"), col("c_norm").as("g_norm"))
+    // centroid → its nearest coarse entry (C × C/coarseEvery, tiny)
+    val members = cent.crossJoin(broadcast(coarse))
+      .withColumn("gcos",
+        expr("vec_dot(c_vec, g_vec)") / (col("c_norm") * col("g_norm")))
+      .groupBy(col("cid"))
+      .agg(max_by(col("g_cid"), struct(col("gcos"), -col("g_cid"))).as("g_cid"),
+        first(col("c_vec")).as("c_vec"), first(col("c_norm")).as("c_norm"))
+    // level 1: coarse pick; level 2: argmax over that entry's members
+    val gcos = expr("vec_dot(embedding, g_vec)") / (col("norm") * col("g_norm"))
+    val assigned = withNorm(corpus, "embedding", "norm")
+      .crossJoin(broadcast(coarse))
+      .withColumn("gcos", gcos)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("g_cid"), struct(col("gcos"), -col("g_cid"))).as("g_cid"),
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+      .join(broadcast(members), "g_cid")
+      .withColumn("ccos",
+        expr("vec_dot(embedding, c_vec)") / (col("norm") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"), first(col("norm")).as("norm"))
+    ivfRank(assigned, queries, cent, nprobe, k)
   }
 
   /** Exact top-k cosine neighbors for a bounded query set (compiled
