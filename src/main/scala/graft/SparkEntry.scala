@@ -137,6 +137,7 @@ object SparkEntry {
     "q74_nohistory"          -> (Relational.q74_nohistory _),
     "q75_incremental_hybrid" -> (Relational.q75_incremental_hybrid _),
     "q76_query_page"         -> (Relational.q76_query_page _),
+    "q77_typed_values"       -> (Relational.q77_typed_values _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1153,6 +1154,19 @@ object SparkEntry {
     // %20 resurfaces the base (its 2x was retracted), %5-not-%20 takes
     // the tx3 3x, %4 keeps its 2x, else base; tags: t1 always, t2 iff
     // %3 and not %6, t3 iff %7
+    "q77_typed_values" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS DECIMAL(38,0)) * 10000000000000 AS bi,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,18)) AS bd,
+        |    unhex(md5(o_orderstatus || CAST(o_orderkey AS VARCHAR))) AS by
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(bi) AS VARCHAR) AS min_bigint,
+        |  CAST(max(bi) AS VARCHAR) AS max_bigint,
+        |  CAST(CAST(sum(bd) AS DECIMAL(38,18)) AS VARCHAR) AS sum_bigdec,
+        |  min(to_base64(by)) AS min_blob_b64,
+        |  max(to_base64(by)) AS max_blob_b64
+        |FROM t""".stripMargin,
     "q76_query_page" ->
       """SELECT CAST(e AS BIGINT) AS order_key, CAST(cust AS BIGINT) AS cust_key,
         |  prio AS priority

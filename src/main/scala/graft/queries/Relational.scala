@@ -1335,6 +1335,43 @@ object Relational {
         col("cust").cast("long").as("cust_key"), col("prio").as("priority"))
   }
 
+  // ── Exotic value types: bytes / bigint / bigdec ───────────────────
+  /** `:db.type/bytes` + bigint + bigdec through the store's typed
+    * lanes, end-to-end: a 3-slot tuple (bigint beyond Long range,
+    * an 18-scale bigdec, an md5 blob) is ENCODED into the tuple text
+    * form (`Store.tupleDatoms` — canonical decimal renderings, base64
+    * for bytes), pushed through `resolve`, DECODED back
+    * (`Store.tupleSlot`), and aggregated. The oracle computes the
+    * same aggregates directly from the source columns, so any
+    * precision loss or canonicalization drift in the encode/decode
+    * round trip breaks the hash. Map-only encode + the resolve
+    * machinery + one aggregate — nothing here shuffles wider at
+    * scale than resolve itself. */
+  def q77_typed_values(s: SparkSession, d: String): DataFrame = {
+    import graft.store.Store
+    val o = orders(s, d)
+    // ×10^13 pushes the top orderkeys past Long.MaxValue — a true
+    // bigint, unrepresentable in the v_long lane
+    val big = col("o_orderkey").cast("decimal(38,0)") *
+      lit("10000000000000").cast("decimal(38,0)")
+    val dec18 = col("o_totalprice").cast("decimal(18,2)").cast("decimal(38,18)")
+    val blob = unhex(md5(concat(col("o_orderstatus"), col("o_orderkey").cast("string"))))
+    val datoms = Store.tupleDatoms(o, col("o_orderkey").cast("string"),
+      "order/exotic", Seq(big, dec18, blob),
+      Seq("bigint", "bigdec", "bytes"), tx = 1L)
+    val decoded = Store.resolve(datoms, Seq.empty).select(
+      Store.tupleSlot(col("v"), 0, "bigint").as("bi"),
+      Store.tupleSlot(col("v"), 1, "bigdec").as("bd"),
+      Store.tupleSlot(col("v"), 2, "bytes").as("by"))
+    decoded.agg(
+      count(lit(1)).as("n"),
+      min(col("bi")).cast("string").as("min_bigint"),
+      max(col("bi")).cast("string").as("max_bigint"),
+      sum(col("bd")).cast("decimal(38,18)").cast("string").as("sum_bigdec"),
+      min(base64(col("by"))).as("min_blob_b64"),
+      max(base64(col("by"))).as("max_blob_b64"))
+  }
+
   // ── Datalog mutual recursion ──────────────────────────────────────
   /** Mutually recursive rules — `hop-a`/`hop-b` alternate over two
     * edge types (supplier→nation via :locA, nation→region via :locB),

@@ -848,6 +848,20 @@ object Store {
         case "instant" => unix_millis(c.cast("timestamp"))
         case "double" | "float" => c.cast("double")
         case "boolean" => c.cast("boolean")
+        // exotic value types (`:db.type/bytes`, bigint, bigdec) ride
+        // the same text encoding through CANONICAL renderings —
+        // base64 for bytes (space-free, so the slot guard never
+        // trips), fixed-precision decimals for the big numerics
+        // (encode and decode share the scale, so differently-scaled
+        // inputs compare equal after the round trip). Precision is
+        // bounded at Spark's DECIMAL(38) — wider values are a load
+        // error here where Datomic's java.math types keep growing;
+        // bytes are equality/identity payloads, not range-scan keys
+        // (base64 does not sort bytewise; Datomic likewise excludes
+        // bytes from index ordering).
+        case "bytes" => base64(c.cast("binary"))
+        case "bigint" => c.cast("decimal(38,0)")
+        case "bigdec" => c.cast("decimal(38,18)")
         case _ => c // renderTuple's shared encode guard covers strings
       }
     }
@@ -893,8 +907,35 @@ object Store {
       case "long" | "ref" | "instant" => noNil.cast("long") // instant = epoch millis
       case "double" | "float" => noNil.cast("double")
       case "boolean" => noNil.cast("boolean")
+      case "bytes" => unbase64(noNil)
+      case "bigint" => noNil.cast("decimal(38,0)")
+      case "bigdec" => noNil.cast("decimal(38,18)")
       case _ => noNil
     }
+  }
+
+  /** Typed SCALAR render into the store's `v` text — the single-value
+    * mirror of [[tupleDatoms]]'s slot lanes, for loaders asserting
+    * `:db.type/bytes` / bigint / bigdec attrs (the established types
+    * render where they always did: longs/doubles/booleans via plain
+    * `cast("string")`, instants as ISO-8601 with epoch-millis in
+    * `v_long`). [[decodeScalar]] is the inverse. */
+  def encodeScalar(c: Column, valueType: String): Column = valueType match {
+    case "bytes" => base64(c.cast("binary"))
+    case "bigint" => c.cast("decimal(38,0)").cast("string")
+    case "bigdec" => c.cast("decimal(38,18)").cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Decode a typed scalar from `v` text (see [[encodeScalar]]). */
+  def decodeScalar(v: Column, valueType: String): Column = valueType match {
+    case "bytes" => unbase64(v)
+    case "bigint" => v.cast("decimal(38,0)")
+    case "bigdec" => v.cast("decimal(38,18)")
+    case "long" | "ref" => v.cast("long")
+    case "double" | "float" => v.cast("double")
+    case "boolean" => v.cast("boolean")
+    case _ => v
   }
 
   /** `:db.fn/retractEntity`: retract a set of entities wholesale at

@@ -272,6 +272,50 @@ class PropertySpec extends AnyFunSuite {
     assert(back.toSeq === rows.toSeq, "tuple round-trip must be lossless")
   }
 
+  test("exotic value lanes (bytes/bigint/bigdec) round-trip through tuple and scalar encoding") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val genRow: Gen[(Option[String], Option[String], Option[Array[Byte]])] = for {
+      // bigints beyond Long range, negative, zero; bigdecs at mixed scales
+      bi <- Gen.option(Gen.oneOf("0", "-7", "92233720368547758080",
+        "-123456789012345678901234567", "42"))
+      bd <- Gen.option(Gen.oneOf("0", "1.5", "-2.25", "0.000000000000000001",
+        "99999999999999999999.5"))
+      by <- Gen.option(Gen.oneOf(Array[Byte](), Array[Byte](0, 1, 2, -1),
+        Array[Byte](127, -128), "text bytes".getBytes("UTF-8").asInstanceOf[Array[Byte]]))
+    } yield (bi, bd, by)
+    val rows = samples(genRow, 80).zipWithIndex
+      .map { case ((bi, bd, by), i) => (i.toLong, bi, bd, by) }
+    val df = rows.toDF("id", "bi", "bd", "by")
+      .select(col("id"), col("bi").cast("decimal(38,0)").as("bi"),
+        col("bd").cast("decimal(38,18)").as("bd"), col("by"))
+    val want = df.collect().map(r => (r.getLong(0),
+      Option(r.getDecimal(1)).map(_.toPlainString),
+      Option(r.getDecimal(2)).map(_.toPlainString),
+      Option(r.get(3)).map(_.asInstanceOf[Array[Byte]].toSeq))).sortBy(_._1).toSeq
+    // tuple lane
+    val datoms = graft.store.Store.tupleDatoms(df, col("id").cast("string"),
+      "t/exotic", Seq(col("bi"), col("bd"), col("by")),
+      Seq("bigint", "bigdec", "bytes"), tx = 1L)
+    val back = datoms.select(col("e"),
+        graft.store.Store.tupleSlot(col("v"), 0, "bigint").as("bi"),
+        graft.store.Store.tupleSlot(col("v"), 1, "bigdec").as("bd"),
+        graft.store.Store.tupleSlot(col("v"), 2, "bytes").as("by"))
+      .collect().map(r => (r.getString(0).toLong,
+        Option(r.getDecimal(1)).map(_.toPlainString),
+        Option(r.getDecimal(2)).map(_.toPlainString),
+        Option(r.get(3)).map(_.asInstanceOf[Array[Byte]].toSeq))).sortBy(_._1).toSeq
+    assert(back === want, "tuple lane must round-trip bytes/bigint/bigdec losslessly")
+    // scalar lane (encodeScalar/decodeScalar)
+    for ((cn, t) <- Seq(("bi", "bigint"), ("bd", "bigdec"), ("by", "bytes"))) {
+      val rt = df.select(col("id"), graft.store.Store.decodeScalar(
+          graft.store.Store.encodeScalar(col(cn), t), t).as("r"), col(cn))
+        .filter(not(col("r") <=> col(cn))).count()
+      assert(rt == 0L, s"scalar lane $t round-trip lost values")
+    }
+  }
+
   test("dropNoHistory: current view preserved; nh rows = exactly the visible datoms") {
     val spark = TestSpark.spark
     import spark.implicits._
