@@ -138,6 +138,8 @@ object SparkEntry {
     "q75_incremental_hybrid" -> (Relational.q75_incremental_hybrid _),
     "q76_query_page"         -> (Relational.q76_query_page _),
     "q77_typed_values"       -> (Relational.q77_typed_values _),
+    "q78_log_tx_range"       -> (Relational.q78_log_tx_range _),
+    "q79_partitions"         -> (Relational.q79_partitions _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -151,7 +153,10 @@ object SparkEntry {
     "d51_dsir"               -> ((s, d) => Curate.d51_dsir(s, d)),
     "d52_fertility"          -> (Curate.d52_fertility _),
     "d53_bpe_train"          -> ((s, d) => Curate.d53_bpe_train(s, d)),
+    "d54_url_dedup"          -> ((s, d) => Curate.d54_url_dedup(s, d)),
+    "d55_ccnet_buckets"      -> (Curate.d55_ccnet_buckets _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
+    "mm8_shot_segments"      -> (Multimodal.mm8_shot_segments _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
     "mm2_decode_features"    -> (Multimodal.mm2_decode_features _),
     "mm3_frame_sample"       -> (Multimodal.mm3_frame_sample _),
@@ -1154,6 +1159,43 @@ object SparkEntry {
     // %20 resurfaces the base (its 2x was retracted), %5-not-%20 takes
     // the tx3 3x, %4 keeps its 2x, else base; tags: t1 always, t2 iff
     // %3 and not %6, t3 iff %7
+    // q78: the [2,4) window keeps tx2 (price*2 on k%10=0, asserts) and
+    // tx3 (status on k%20=0, asserts, no v_long); tx1 and the tx4
+    // retracts fall outside the half-open range
+    "q78_log_tx_range" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n_datoms,
+        |  CAST(count(*) AS BIGINT) AS n_asserts, CAST(0 AS BIGINT) AS n_retracts,
+        |  CAST(count(*) AS BIGINT) AS n_entities, CAST(sum(c * 2) AS BIGINT) AS sum_v
+        |FROM base WHERE k % 10 = 0
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM base WHERE k % 20 = 0""".stripMargin,
+    // q79: eid = (part_idx << 42) | t; 4398046511104 = 2^42. The five
+    // user partitions take indices 5..9 in install (= segment) order.
+    "q79_partitions" ->
+      """WITH placed AS (
+        |  SELECT o_orderkey, 5 + CASE c_mktsegment
+        |      WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+        |      WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 ELSE 4 END AS part_idx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |w AS (
+        |  SELECT part_idx,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY part_idx ORDER BY o_orderkey) AS BIGINT) AS t
+        |  FROM placed),
+        |e AS (
+        |  SELECT part_idx, t, (CAST(part_idx AS BIGINT) << 42) | t AS eid FROM w)
+        |SELECT CAST(part_idx AS BIGINT) AS part_idx,
+        |  CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(min(eid) AS BIGINT) AS min_eid, CAST(max(eid) AS BIGINT) AS max_eid,
+        |  (max(t) - min(t) + 1 = count(*)) AS dense,
+        |  (sum(CASE WHEN (eid >> 42) = part_idx AND (eid & 4398046511103) = t
+        |            THEN 1 ELSE 0 END) = count(*)) AS recovered
+        |FROM e GROUP BY part_idx""".stripMargin,
     "q77_typed_values" ->
       """WITH t AS (
         |  SELECT CAST(o_orderkey AS DECIMAL(38,0)) * 10000000000000 AS bi,
@@ -1210,6 +1252,9 @@ object SparkEntry {
     "d53_bpe_train" -> graft.ops.BpeTrain.oracleSql(
       graft.ops.BpeTrain.DefaultRounds, graft.ops.BpeTrain.DefaultVocabCap),
     "mm7_keyframes" -> Multimodal.mm7OracleSql,
+    "mm8_shot_segments" -> Multimodal.mm8OracleSql,
+    "d54_url_dedup" -> Curate.d54OracleSql,
+    "d55_ccnet_buckets" -> Curate.d55OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses
     // the attribute boundary into order/price

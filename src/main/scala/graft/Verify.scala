@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = args match {
       case Array(s, o) => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f)) // substring filter, local iteration
+      case Array(s, o, f) => (s, o, Some(f)) // substring filter(s), local iteration
     }
+    // comma-separated substrings, same contract as Bench's SPARK_GRAFT_ONLY
+    val onlySubs = only.map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +27,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => onlySubs.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

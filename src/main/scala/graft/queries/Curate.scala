@@ -942,4 +942,147 @@ object Curate {
       |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len_x100 BETWEEN 300 AND 1000)
       |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS pass
       |FROM r""".stripMargin
+
+  // ── d54: URL canonicalization + per-domain caps ───────────────────
+  /** The crawl-curation front door: canonicalize noisy URLs, collapse
+    * exact re-crawls of the same canonical page, and CAP pages per
+    * registered domain (the "no single host dominates the corpus"
+    * rule every web-scale pipeline applies). The testdata has no URL
+    * column, so each doc gets a deterministic synthetic URL with the
+    * real-world mess baked in — scheme-case/WWW variants, an explicit
+    * `:443` default port, tracking (`utm_*`) params, and a trailing
+    * slash before the query — and small path/ref moduli so re-crawl
+    * collisions actually occur at test scale. Canonicalization is a
+    * fixed normalization chain (lowercase → strip www. → strip :443 →
+    * drop utm_* params → collapse `/?`), all codegen'd string/regex
+    * ops the oracle replays verbatim; page identity is the canonical
+    * URL, the representative is the smallest doc_id (deterministic),
+    * and each domain keeps its top-`cap` pages by (quality =
+    * max n_chars desc, rep doc_id asc). Scale shape: one groupBy on
+    * canonical URL (map-side combine collapses re-crawls early), one
+    * groupBy domain with a bounded in-group top-k — shuffle keys are
+    * url/domain, never corpus². */
+  def d54_url_dedup(s: SparkSession, d: String, cap: Int = 2): DataFrame = {
+    val docs = documents(s, d)
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+      lit("host"), (col("doc_id") % 7).cast("string"), lit(".example.com"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("/?utm_source=feed&utm_id="), (col("doc_id") % 5).cast("string"),
+          lit("&ref="), (col("doc_id") % 3).cast("string")))
+        .otherwise(concat(lit("?ref="), (col("doc_id") % 3).cast("string"))))
+    val canon = expr(
+      """replace(
+        |  regexp_replace(
+        |    replace(replace(lower(url), '://www.', '://'), ':443', ''),
+        |    'utm_[a-z]+=[^&]*&', ''),
+        |  '/?', '?')""".stripMargin)
+    val pages = docs.select(col("doc_id"), col("n_chars"), url.as("url"))
+      .withColumn("canon", canon)
+      .withColumn("domain", regexp_extract(col("canon"), "^https://([^/:?]+)", 1))
+      .groupBy(col("domain"), col("canon"))
+      .agg(count(lit(1)).as("n_crawls"), min(col("doc_id")).as("rep_doc"),
+        max(col("n_chars")).as("quality"))
+    val ranked = pages.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+        .orderBy(col("quality").desc, col("rep_doc"))))
+    ranked.groupBy(col("domain"))
+      .agg(sum(col("n_crawls")).cast("long").as("n_urls"),
+        count(lit(1)).as("n_pages"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= cap, col("rep_doc")).otherwise(0L)).cast("long")
+          .as("kept_docs_sum"),
+        max(col("quality")).cast("long").as("max_quality"))
+  }
+
+  def d54OracleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+      |    || 'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+      |    || '/p/' || CAST(doc_id % 13 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 2 = 0
+      |          THEN '/?utm_source=feed&utm_id=' || CAST(doc_id % 5 AS VARCHAR)
+      |               || '&ref=' || CAST(doc_id % 3 AS VARCHAR)
+      |          ELSE '?ref=' || CAST(doc_id % 3 AS VARCHAR) END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_chars,
+      |    replace(
+      |      regexp_replace(
+      |        replace(replace(lower(url), '://www.', '://'), ':443', ''),
+      |        'utm_[a-z]+=[^&]*&', '', 'g'),
+      |      '/?', '?') AS canon
+      |  FROM u),
+      |pages AS (
+      |  SELECT regexp_extract(canon, '^https://([^/:?]+)', 1) AS domain, canon,
+      |    count(*) AS n_crawls, min(doc_id) AS rep_doc, max(n_chars) AS quality
+      |  FROM c GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+      |    ORDER BY quality DESC, rep_doc) AS rk FROM pages)
+      |SELECT domain, CAST(sum(n_crawls) AS BIGINT) AS n_urls,
+      |  CAST(count(*) AS BIGINT) AS n_pages,
+      |  CAST(sum(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rk <= 2 THEN rep_doc ELSE 0 END) AS BIGINT) AS kept_docs_sum,
+      |  CAST(max(quality) AS BIGINT) AS max_quality
+      |FROM ranked GROUP BY domain""".stripMargin
+
+  // ── d55: CCNet-style perplexity bucketing ─────────────────────────
+  /** CCNet's quality tiering: score every document under a corpus
+    * language model, then split each language into HEAD / MIDDLE /
+    * TAIL terciles by score — downstream mixes oversample head,
+    * drop or downweight tail. The LM here is the d30 unigram model
+    * (tf-keyed joins against a broadcast-size vocabulary — the same
+    * no-corpus-self-join shape; a KenLM slots in where the unigram
+    * probability lookup sits). Tercile assignment is ntile(3) per
+    * language ordered by (rounded score desc, doc_id) — rounding
+    * first makes the order cross-engine total, so the bucket
+    * BOUNDARY itself is deterministic and the oracle can replay it.
+    * Output is per source × tier occupancy (doc count, chars, token
+    * mass) — the table a mix designer reads. Scale: the only wide
+    * ops are term-keyed aggs and one per-language window over doc
+    * SCORES (1 row/doc, not tokens); at 100 TB the window becomes a
+    * per-language range partition — still rows ∝ docs. */
+  def d55_ccnet_buckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    val scored = Llm.d30_unigram_logprob(s, d)
+      .withColumnRenamed("mean_logprob", "score")
+      .join(documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")), "doc_id")
+    scored.withColumn("tier",
+        element_at(array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+  }
+
+  def d55OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |    w -> length(w) > 0)) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+       |total AS (SELECT sum(cnt) AS n_total FROM vocab),
+       |scored AS (
+       |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |    round(sum(tf.tf * ln(CAST(vocab.cnt AS DOUBLE) / total.n_total))
+       |          / sum(tf.tf), 6) AS score
+       |  FROM tf JOIN vocab USING (term) CROSS JOIN total
+       |  GROUP BY tf.doc_id),
+       |tiers AS (
+       |  SELECT s.doc_id, d.lang, d.source, d.n_chars, s.n_tokens,
+       |    ['head', 'middle', 'tail'][NTILE(3) OVER (
+       |      PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id)] AS tier
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM tiers GROUP BY source, tier""".stripMargin
 }

@@ -259,4 +259,72 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         md5(col("frame_bytes")).as("frame_md5"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
+
+  /** mm8: shot segmentation — the complement of mm7's keyframe TOP-K:
+    * cut the frame sequence into contiguous SHOTS wherever the
+    * consecutive-frame energy delta exceeds a threshold (the classic
+    * content-based shot-boundary detector), and report per-video shot
+    * structure: shot count, longest shot, first boundary. Like mm6/7
+    * the whole operator is scan-side array algebra over the shared
+    * one-pass `frame_energies` sweep — boundary indices via
+    * filter(sequence…), shot lengths via zip_with of the boundary list
+    * against itself shifted (concat-head / concat-tail), NO exchange
+    * — where a window-function formulation would shuffle every frame
+    * row just to segment within its own document. Integer energies ⇒
+    * cross-engine exact. A real decoder slots into the energy lambda
+    * unchanged; threshold 15000 is calibrated to the fake codec's
+    * energy spread so shots are plural but not per-frame. */
+  def mm8_shot_segments(s: SparkSession, d: String): DataFrame = {
+    val thr = 15000L
+    withFrameEnergies(documents(s, d), win = 64)
+      .withColumn("bounds", expr(
+        // sequence(1, 0) would DESCEND in Spark; guard 1-frame docs
+        s"""if(size(energies) < 2, array(),
+           |  filter(sequence(1, size(energies) - 1),
+           |         i -> abs(energies[i] - energies[i-1]) > ${thr}L))""".stripMargin))
+      .withColumn("lens", expr(
+        // shot k spans [starts[k], ends[k]): starts = 0 :: bounds, ends = bounds :: n
+        "zip_with(concat(array(0), bounds), concat(bounds, array(size(energies))), (s, e) -> e - s)"))
+      .select(col("doc_id"),
+        size(col("energies")).cast("long").as("n_frames"),
+        size(col("lens")).cast("long").as("n_shots"),
+        expr("cast(array_max(lens) as bigint)").as("longest_shot"),
+        // get() is null-on-missing even under ANSI; [] would throw on
+        // a boundary-free doc
+        expr("cast(coalesce(get(bounds, 0), -1) as bigint)").as("first_boundary"))
+  }
+
+  def mm8OracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) AS nf, text
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |    CASE WHEN length(substr(text, CAST(i*64 + 1 AS INT), 64)) = 0 THEN 0
+      |         ELSE COALESCE(list_sum(list_transform(
+      |           string_split(substr(text, CAST(i*64 + 1 AS INT), 64), ''),
+      |           c -> CAST((ord(c) - 32) * (ord(c) - 32) AS BIGINT))), 0) END AS energy
+      |  FROM f CROSS JOIN UNNEST(range(0, nf)) AS u(i)),
+      |b AS (
+      |  SELECT doc_id, frame_idx,
+      |    CASE WHEN frame_idx > 0 AND
+      |      abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 15000
+      |      THEN 1 ELSE 0 END AS is_boundary
+      |  FROM e),
+      |seg AS (
+      |  SELECT doc_id, frame_idx, is_boundary,
+      |    sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+      |      ROWS UNBOUNDED PRECEDING) AS shot_id
+      |  FROM b),
+      |shots AS (
+      |  SELECT doc_id, shot_id, count(*) AS shot_len FROM seg GROUP BY doc_id, shot_id)
+      |SELECT s.doc_id, CAST(f.nf AS BIGINT) AS n_frames,
+      |  CAST(count(*) AS BIGINT) AS n_shots,
+      |  CAST(max(s.shot_len) AS BIGINT) AS longest_shot,
+      |  CAST(coalesce(min(fb.fb), -1) AS BIGINT) AS first_boundary
+      |FROM shots s
+      |JOIN f ON f.doc_id = s.doc_id
+      |LEFT JOIN (SELECT doc_id, min(frame_idx) AS fb FROM b WHERE is_boundary = 1
+      |           GROUP BY doc_id) fb ON fb.doc_id = s.doc_id
+      |GROUP BY s.doc_id, f.nf""".stripMargin
 }

@@ -1680,6 +1680,86 @@ object Relational {
       .select(col("p").as("priority"), col("count_e").as("n_orders"))
   }
 
+  // ── Log API: d/tx-range ───────────────────────────────────────────
+  /** Datomic's log API — `(d/tx-range log from until)` — gated
+    * end-to-end: a four-transaction log (bulk price assert, partial
+    * re-assert, status asserts, status RETRACTS) is cut to the
+    * half-open window [2, 4) and folded into per-transaction reports
+    * (Datomic's `{:t …, :data […]}` seq, one row per t): datom count,
+    * assert/retract split, distinct-entity count, and the payload sum
+    * — so both the window boundary (tx1 and tx4 must be absent) and
+    * the datom payloads inside it are hash-gated. On the persisted
+    * store the same filter rides tx-column row-group stats: a log-tail
+    * walk reads the tail. The retract split matters: a log consumer
+    * (cache invalidation, CDC fan-out) treats op=false datoms
+    * differently, and an engine that dropped or mis-flagged them
+    * would still pass a count-only gate. */
+  def q78_log_tx_range(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    def ev(a: String, v: Column, vl: Column, tx: Long, op: Boolean, pred: Column) =
+      o.filter(pred).select(k.cast("string").as("e"), lit(a).as("a"),
+        v.cast("string").as("v"), vl.cast("long").as("v_long"),
+        lit(false).as("is_ref"), lit(tx).as("tx"), lit(op).as("op"))
+    val c = cents(col("o_totalprice"))
+    val log = ev("order/price", c, c, 1L, op = true, lit(true))
+      .unionByName(ev("order/price", c * 2, c * 2, 2L, op = true, pmod(k, lit(10)) === 0))
+      .unionByName(ev("order/status", col("o_orderstatus"), lit(null), 3L, op = true,
+        pmod(k, lit(20)) === 0))
+      .unionByName(ev("order/status", col("o_orderstatus"), lit(null), 4L, op = false,
+        pmod(k, lit(50)) === 0))
+    graft.store.Store.txRange(log, 2L, 4L)
+      .groupBy(col("tx").as("t"))
+      .agg(count(lit(1)).as("n_datoms"),
+        sum(when(col("op"), 1L).otherwise(0L)).as("n_asserts"),
+        sum(when(col("op"), 0L).otherwise(1L)).as("n_retracts"),
+        countDistinct(col("e")).as("n_entities"),
+        coalesce(sum(col("v_long")), lit(0L)).cast("long").as("sum_v"))
+  }
+
+  // ── Partitions: eid encoding, locality, recovery ──────────────────
+  /** Datomic partitions end-to-end: five user partitions are
+    * installed (`:db.install/partition` order fixes their indices at
+    * `:db.part/user`+1 …), every order is placed by market-segment
+    * partition with a DENSE in-partition t (row_number by orderkey —
+    * the transactor's per-partition allocation counter), and eids are
+    * composed as `(part-idx << 42) | t` (`Store.entidAt`). The gate
+    * then RECOVERS partition and t from the composed eids alone
+    * (`Store.partIdxOf`/`tOf` — Datomic `d/part`) and audits, per
+    * partition: entity count, eid range, density (max_t − min_t + 1 =
+    * n ⇒ the allocator skipped nothing), and recovery (every eid maps
+    * back to its partition). min/max eid land in the output, so the
+    * bit layout itself is hash-gated — an engine that composed with
+    * the wrong shift or signed overflow breaks the range values, not
+    * just a boolean. Locality at scale: same-partition entities are
+    * CONTIGUOUS in eid space, so sorting datoms by eid clusters each
+    * partition into its own parquet row groups and an eid range
+    * predicate (one partition's entities) prunes to them. */
+  def q79_partitions(s: SparkSession, d: String): DataFrame = {
+    import graft.store.Store
+    val parts = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val partIdx = parts.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (seg, i)) =>
+        when(col("c_mktsegment") === seg, lit(Store.partUser + 1 + i)).otherwise(acc) }
+    val placed = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), partIdx.as("part_idx"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("part_idx")).orderBy(col("o_orderkey"))).cast("long"))
+      .withColumn("eid", Store.entidAt(col("part_idx"), col("t")))
+    placed
+      .select(col("part_idx"), col("eid"),
+        Store.partIdxOf(col("eid")).as("part_rec"), Store.tOf(col("eid")).as("t_rec"),
+        col("t"))
+      .groupBy(col("part_idx"))
+      .agg(count(lit(1)).as("n_entities"),
+        min(col("eid")).as("min_eid"), max(col("eid")).as("max_eid"),
+        (max(col("t_rec")) - min(col("t_rec")) + 1 === count(lit(1))).as("dense"),
+        (sum(when(col("part_rec") === col("part_idx") && col("t_rec") === col("t"), 1L)
+          .otherwise(0L)) === count(lit(1))).as("recovered"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   def q20_star_join(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)

@@ -357,6 +357,47 @@ object Store {
     * pruning like any numeric range). */
   val txInstantAttr = "db/txInstant"
 
+  /** Static `d/tx-range` over any log frame (instance method
+    * delegates the same filter to the parquet-backed eav): datoms in
+    * the half-open tx interval [from, until). On the persisted store
+    * both bounds prune row groups via the tx column's min/max stats,
+    * so a log-tail walk reads the tail, not the log
+    * (reference: the importer's `already-transacted` recovery scans
+    * exactly such a suffix, importer.clj:271-277). */
+  def txRange(log: DataFrame, from: Long, until: Long): DataFrame =
+    log.filter(col("tx") >= from && col("tx") < until)
+
+  // ── Partitions (Datomic `:db.part/*`) ─────────────────────────────
+  /** Datomic packs the partition into the entity id's high bits: an
+    * eid is `(part-idx << 42) | t`, giving each partition its own
+    * contiguous 2^42 t-space. Entities transacted into the same
+    * partition therefore sort ADJACENTLY in EAVT/AEVT — Datomic's
+    * locality lever ("put entities you read together in the same
+    * partition"); here it means per-partition parquet row-group
+    * clustering and min/max pruning of eid range predicates for free.
+    * Built-in partitions use Datomic's own idents/indices
+    * (`:db.part/db` 0, `:db.part/tx` 3 — tx eids start at
+    * 3·2^42 + 1000 — `:db.part/user` 4); user partitions install
+    * like attributes (`:db.install/partition`) and take the next
+    * index. All pure column arithmetic — composition and recovery
+    * stay inside whole-stage codegen. */
+  val partShift = 42
+  val partSpan: Long = 1L << partShift            // 2^42 t-values per partition
+  val partDb = 0L; val partTx = 3L; val partUser = 4L
+
+  /** Compose an entity id from a partition index and an in-partition
+    * t (both column-wise; `t` must be < 2^42). True bit ops, not
+    * mul/div — exact at any eid magnitude, and they codegen to single
+    * JVM shift/and instructions. */
+  def entidAt(partIdx: Column, t: Column): Column =
+    shiftleft(partIdx.cast("long"), partShift) + t.cast("long")
+
+  /** Recover the partition index from an eid (Datomic `d/part`). */
+  def partIdxOf(eid: Column): Column = shiftright(eid.cast("long"), partShift)
+
+  /** Recover the in-partition t from an eid. */
+  def tOf(eid: Column): Column = eid.cast("long").bitwiseAND(lit(partSpan - 1))
+
   /** Static core of date→tx resolution (instance `txAtInstant`
     * delegates; harness queries use it over synthesized logs). */
   def txAtInstant(log: DataFrame, date: java.util.Date): Long = {

@@ -290,4 +290,35 @@ class CurateSpec extends AnyFunSuite {
     assert(numeric.getLong(numeric.fieldIndex("alpha_bp")) == 0
       && !numeric.getBoolean(numeric.fieldIndex("pass")))
   }
+
+  test("d54: canonicalization collapses variants; per-domain cap bites and keeps best-quality pages") {
+    val rows = Curate.d54_url_dedup(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nUrls, nPages, nKept) = (r.getLong(r.fieldIndex("n_urls")),
+        r.getLong(r.fieldIndex("n_pages")), r.getLong(r.fieldIndex("n_kept")))
+      assert(nPages <= nUrls, s"${r.getString(0)}: canonical pages cannot exceed crawls")
+      assert(nKept == math.min(2L, nPages), s"${r.getString(0)}: cap=2 exact")
+      // canonicalization actually fired: domains are all lowercase,
+      // no www., no port
+      val dom = r.getString(r.fieldIndex("domain"))
+      assert(dom == dom.toLowerCase && !dom.startsWith("www.") && !dom.contains(":"))
+    }
+    // variants of the same page really collapsed somewhere (urls > pages overall)
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_urls"))).sum >
+      rows.map(r => r.getLong(r.fieldIndex("n_pages"))).sum)
+  }
+
+  test("d55: terciles are per-language balanced and tier occupancy conserves the corpus") {
+    val rows = Curate.d55_ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    val byTier = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byTier.keySet == Set("head", "middle", "tail"))
+    // ntile(3) balance: per language the tier sizes differ by ≤ 1, so
+    // corpus-wide each tier deviates from total/3 by < nLangs (5 here)
+    val total = byTier.values.sum
+    byTier.values.foreach(n => assert(math.abs(n * 3 - total) <= 3 * 5))
+    val nScored = graft.queries.Llm.d30_unigram_logprob(spark, "/root/testdata/sf0.001").count()
+    assert(total == nScored, "every scored doc lands in exactly one tier")
+  }
 }

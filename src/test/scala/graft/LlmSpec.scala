@@ -410,6 +410,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("mm8: shots partition the frame sequence; boundaries agree with mm7 deltas") {
+    val rows = Multimodal.mm8_shot_segments(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, nFrames, nShots, longest, firstB) =>
+      assert(nShots >= 1 && nShots <= nFrames, s"doc $doc shot count")
+      assert(longest >= 1 && longest <= nFrames, s"doc $doc longest")
+      // shots tile the sequence: longest can't exceed frames, and a
+      // single-shot doc must have no boundary
+      if (nShots == 1) assert(firstB == -1L, s"doc $doc boundary-free")
+      else assert(firstB >= 1 && firstB < nFrames, s"doc $doc first boundary")
+    }
+  }
+
   test("d49: no near-dup pair straddles the split boundary") {
     val splits = Llm.d49_leakage_split(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap

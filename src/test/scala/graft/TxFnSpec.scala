@@ -740,4 +740,45 @@ class TxFnSpec extends AnyFunSuite {
     assert(st.asOfInstant(registry, new java.util.Date())
       .filter(col("a") === "artist/name").count() == 1)
   }
+
+  test("partitions: entid compose/recover round-trips, high indices exact, adjacency holds") {
+    import spark.implicits._
+    // round-trip across the full useful range, including a partition
+    // index large enough that mul/div arithmetic in doubles would
+    // already be lossy (idx 2^20 → eid ≈ 2^62)
+    val cases = Seq((0L, 0L), (0L, 1L), (3L, 1000L), (4L, 1L),
+      (9L, Store.partSpan - 1), (1048575L, 42L))
+    val df = cases.toDF("p", "t")
+      .withColumn("eid", Store.entidAt(col("p"), col("t")))
+      .withColumn("p2", Store.partIdxOf(col("eid")))
+      .withColumn("t2", Store.tOf(col("eid")))
+    df.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("p2")) == r.getLong(0), s"part of ${r}")
+      assert(r.getLong(r.fieldIndex("t2")) == r.getLong(1), s"t of ${r}")
+    }
+    // Datomic's layout constants: tx partition is index 3, so the
+    // first tx eid (t=1000 convention) sits at 3·2^42 + 1000
+    val txEid = df.filter(col("p") === 3L && col("t") === 1000L)
+      .select(col("eid")).collect()(0).getLong(0)
+    assert(txEid == 3L * Store.partSpan + 1000L)
+    // locality: same-partition eids are contiguous, different
+    // partitions are ≥ 2^42 apart — an eid range covers one partition
+    val sorted = df.orderBy(col("eid")).select(col("p"), col("eid")).collect()
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a.getLong(0) == b.getLong(0))
+          assert(b.getLong(1) - a.getLong(1) < Store.partSpan)
+        else assert(b.getLong(1) - a.getLong(1) >= 1L)
+      case _ =>
+    }
+  }
+
+  test("txRange (static): half-open [from, until), bounds exact") {
+    val log = datoms(
+      ("e1", "x", "1", 1L), ("e1", "x", "2", 2L),
+      ("e2", "x", "3", 3L), ("e3", "x", "4", 4L))
+    val got = Store.txRange(log, 2L, 4L).select("tx").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L), "from inclusive, until exclusive")
+    assert(Store.txRange(log, 5L, 9L).count() == 0)
+  }
 }
