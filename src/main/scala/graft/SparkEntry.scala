@@ -140,6 +140,7 @@ object SparkEntry {
     "q77_typed_values"       -> (Relational.q77_typed_values _),
     "q78_log_tx_range"       -> (Relational.q78_log_tx_range _),
     "q79_partitions"         -> (Relational.q79_partitions _),
+    "q80_history_audit"      -> (Relational.q80_history_audit _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1159,6 +1160,22 @@ object SparkEntry {
     // %20 resurfaces the base (its 2x was retracted), %5-not-%20 takes
     // the tx3 3x, %4 keeps its 2x, else base; tags: t1 always, t2 iff
     // %3 and not %6, t3 iff %7
+    // q80: transitions = (tx1→tx2 on k%10=0) ∪ (tx2→tx3 on k%100=0,
+    // since %100 ⊂ %10 the prev there is the 2x); txInstant =
+    // 1700000000000 + tx·86400000; output sampled to k%500=0
+    "q80_history_audit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 500 = 0)
+        |SELECT CAST(k AS BIGINT) AS order_key, CAST(2 AS BIGINT) AS tx,
+        |  c AS prev_cents, c * 2 AS new_cents,
+        |  CAST(1700000000000 + 2 * 86400000 AS BIGINT) AS tx_ms
+        |FROM base WHERE k % 10 = 0
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT), CAST(3 AS BIGINT), c * 2, c * 3,
+        |  CAST(1700000000000 + 3 * 86400000 AS BIGINT)
+        |FROM base WHERE k % 100 = 0""".stripMargin,
     // q78: the [2,4) window keeps tx2 (price*2 on k%10=0, asserts) and
     // tx3 (status on k%20=0, asserts, no v_long); tx1 and the tx4
     // retracts fall outside the half-open range

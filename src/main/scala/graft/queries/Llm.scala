@@ -862,18 +862,27 @@ object Llm {
           .otherwise(expr(
             s"transform(sequence(1, size(ws) - ${w - 1}), i -> array_join(slice(ws, i, $w), ' '))")))
           .as("span"))
-    // the census/join-back key: the span itself, or its 64-bit hash
-    // (project the string away BEFORE the shuffles so the narrow key
-    // is what actually moves)
+    // the census key: the span itself, or its 64-bit hash (project the
+    // string away BEFORE the shuffles so the narrow key is what
+    // actually moves)
     val wins =
       if (hashSpans) spans.select(col("doc_id"), xxhash64(col("span")).as("span"))
       else spans
-    val census = wins.select(col("doc_id"), col("span")).distinct()
-      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
-    val perDoc = wins.join(census, Seq("span"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    // Three wide ops, no join-back: collapse to (doc, span, cnt)
+    // first (distinct-with-multiplicity — in-doc repeats carry cnt),
+    // count docs per span with a whole-partition window over that
+    // UNIQUE-per-(doc,span) set (≡ the old distinct→groupBy census),
+    // then fold per doc. The old shape shuffled the window set twice
+    // more (distinct, then the census join-back re-hashing every
+    // occurrence); this moves each row once per stage — censused span
+    // counts never meet raw occurrences in a join at all.
+    val perDocSpan = wins.groupBy(col("doc_id"), col("span"))
+      .agg(count(lit(1)).as("cnt"))
+    val withNDocs = perDocSpan.withColumn("n_docs",
+      count(lit(1)).over(Window.partitionBy(col("span"))))
+    val perDoc = withNDocs.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("n_dup_windows"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

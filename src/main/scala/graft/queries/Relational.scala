@@ -1760,15 +1760,76 @@ object Relational {
           .otherwise(0L)) === count(lit(1))).as("recovered"))
   }
 
+  // ── History audit: attribute transitions with tx wall-clock ───────
+  /** The canonical Datomic audit query — "what did this attribute
+    * change FROM and TO, and WHEN": `(d/history db)` filtered to one
+    * card-one attr, consecutive asserts per entity paired with a lag
+    * window over tx order, each transition joined to its transaction's
+    * `:db/txInstant` (every Datomic tx stamps one). Exercises the
+    * history view + tx-entity metadata + ordered windows together —
+    * none of q30/q52 pairs old→new values. Output is the sampled
+    * entities' full transition list (old cents, new cents, tx,
+    * wall-clock millis). Scale shape: the history scan prunes to ONE
+    * attribute's partition, the per-entity window is rows ∝ that
+    * attr's history, and the txInstant side is |txes| rows —
+    * broadcast. The sample predicate bounds the OUTPUT, not the scan,
+    * exactly like a production audit (`filter` pushes to the scan). */
+  def q80_history_audit(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val c = cents(col("o_totalprice"))
+    def ev(v: Column, tx: Long, pred: Column) = o.filter(pred)
+      .select(k.cast("string").as("e"), lit("order/price").as("a"),
+        v.cast("string").as("v"), v.cast("long").as("v_long"),
+        lit(false).as("is_ref"), lit(tx).as("tx"), lit(true).as("op"))
+    val log = ev(c, 1L, lit(true))
+      .unionByName(ev(c * 2, 2L, pmod(k, lit(10)) === 0))
+      .unionByName(ev(c * 3, 3L, pmod(k, lit(100)) === 0))
+    // tx entities: one :db/txInstant per transaction, as the loader stamps
+    val txInstants = s.range(1, 4).select(
+      concat(lit("tx|"), col("id")).as("e"), lit(graft.store.Store.txInstantAttr).as("a"),
+      lit(null).cast("string").as("v"),
+      (lit(1700000000000L) + col("id") * 86400000L).as("v_long"),
+      lit(false).as("is_ref"), col("id").as("tx"), lit(true).as("op"))
+    val full = log.unionByName(txInstants)
+    val hist = full.filter(col("a") === "order/price") // attr-partition prune
+    val w = Window.partitionBy(col("e")).orderBy(col("tx"))
+    val transitions = hist
+      .withColumn("prev_cents", lag(col("v_long"), 1).over(w))
+      .filter(col("prev_cents").isNotNull)
+    val instants = full.filter(col("a") === graft.store.Store.txInstantAttr)
+      .select(col("tx").as("itx"), col("v_long").as("tx_ms"))
+    transitions
+      .join(broadcast(instants), col("tx") === col("itx"))
+      .filter(pmod(col("e").cast("long"), lit(500)) === 0) // bound the OUTPUT
+      .select(col("e").cast("long").as("order_key"), col("tx"),
+        col("prev_cents"), col("v_long").as("new_cents"), col("tx_ms"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
-  def q20_star_join(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+  /** Partial-aggregation pushdown through the join, by hand (Catalyst
+    * does not push aggs through joins): revenue is additive per
+    * order, so lineitem COLLAPSES to one row per orderkey BEFORE
+    * touching the join chain — the widest shuffle moves |orders|
+    * narrow partials (orderkey, rev, n) instead of |lineitem| wide
+    * rows (4× fewer rows at every SF; exactness is decimal partials
+    * re-summed, associative). Join strategy stays the optimizer's:
+    * customer broadcasts while it fits and flips to SMJ when it
+    * grows — the correct behavior at 100×. */
+  def q20_star_join(s: SparkSession, d: String): DataFrame = {
+    val perOrder = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"),
+        count(lit(1)).as("nl"))
+    perOrder
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(
-        money4(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg((sum(col("rev")) * 10000).cast("long").as("revenue"),
+        sum(col("nl")).as("n_lines"))
+  }
 }

@@ -218,6 +218,55 @@ object Streams {
     graft.queries.Curate.curatePrefix(docs)
       .dropDuplicates("clean_hash")
 
+  // ── Streaming NEAR-dup dedup: cross-batch MinHash-LSH state ───────
+  final case class BandHit(band: Int, bh: Long, doc_id: Long)
+  final case class NearDupVerdict(doc_id: Long, band: Int, rep_doc: Long)
+
+  /** Cross-batch NEAR-duplicate detection on a document stream — the
+    * ingest-time analog of batch d03: each arriving doc's MinHash-LSH
+    * band hashes (the same `lsh_bands` expression, so stream and
+    * batch agree on candidates) key a flatMapGroupsWithState over
+    * band-buckets whose state is the bucket's REPRESENTATIVE (the
+    * first-ever doc to occupy it, min doc_id on a first-batch tie).
+    * Every (doc, band) emits a verdict carrying that representative;
+    * [[nearDupKeptOfBatch]] folds a micro-batch's verdicts per doc —
+    * a doc is a near-dup iff ANY of its buckets was already owned by
+    * an earlier doc. State is one long per occupied bucket (∝ corpus
+    * distinct bands, NOT pairs), lives in the state store
+    * (RocksDB-backed at scale), and never returns to the driver —
+    * this is how a 100 TB ingest dedups against everything already
+    * ingested without re-scanning it. `curateStream`'s exact-hash
+    * dedup composes upstream (drop exact dups cheaply first). */
+  def nearDupVerdictStream(docs: DataFrame): Dataset[NearDupVerdict] = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    docs
+      .select(posexplode(expr("lsh_bands(text, 8)")).as(Seq("band", "bh")),
+        col("doc_id").cast("long").as("doc_id"))
+      .select(col("band").cast("int").as("band"), col("bh").cast("long").as("bh"),
+        col("doc_id"))
+      .as[BandHit]
+      .groupByKey(h => (h.band, h.bh))
+      .flatMapGroupsWithState[Long, NearDupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), hits: Iterator[BandHit], state: GroupState[Long]) =>
+          val ids = hits.map(_.doc_id).toSeq.sorted
+          val rep = state.getOption.getOrElse(ids.min)
+          if (!state.exists) state.update(rep)
+          ids.iterator.map(d => NearDupVerdict(d, key._1, rep))
+      }
+  }
+
+  /** Fold one micro-batch of [[nearDupVerdictStream]] verdicts into
+    * per-doc keep/drop decisions (use inside foreachBatch; a doc's
+    * verdicts all land in its own micro-batch, so the fold is local
+    * to the batch). `rep_doc` is the doc it duplicates (the smallest
+    * representative across its bands) when `is_dup`. */
+  def nearDupKeptOfBatch(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("doc_id"))
+      .agg(min(col("rep_doc")).as("rep_doc"))
+      .withColumn("is_dup", col("rep_doc") < col("doc_id"))
+
   /** One transaction's report — Datomic `tx-report-queue` entry shape:
     * the basis `t` and the transaction's datoms (full Store.schema
     * rows). A transaction larger than the queue's `maxDatomsPerReport`

@@ -382,4 +382,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batchHashes,
       "the stream keeps exactly the batch-distinct clean hashes")
   }
+
+  test("streaming near-dup filter: LSH state catches cross-batch near-dups, novel docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "this is a long shared document about spark engines " * 8
+    val mem = MemoryStream[(Long, String)]
+    val verdicts = Streams.nearDupVerdictStream(mem.toDF.toDF("doc_id", "text"))
+    val q = verdicts.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      // batch 1: the original and an unrelated doc
+      mem.addData((1L, base),
+        (2L, "completely different content entirely unrelated to anything here " * 7))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (one-word edit — the d03 fixture
+      // pair, known to collide in ≥1 of the 8 bands), an exact dup of
+      // doc 2, and a novel doc
+      mem.addData((3L, base.replace("spark engines", "spork engines")),
+        (4L, "completely different content entirely unrelated to anything here " * 7),
+        (5L, "utterly novel third topic with no overlap whatsoever in any shingle " * 6))
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = Streams.nearDupKeptOfBatch(spark.table("neardup_out"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(1))).toMap
+    assert(!folded(1L)._1 && !folded(2L)._1, "batch-1 docs are both novel")
+    assert(folded(3L)._1 && folded(3L)._2 == 1L,
+      "cross-batch near-dup detected against state, attributed to doc 1")
+    assert(folded(4L)._1 && folded(4L)._2 == 2L, "exact dup collides in every band")
+    assert(!folded(5L)._1, "novel doc passes")
+    // stream agrees with the batch candidate generator: the (1,3)
+    // pair is exactly what d03 finds on the same corpus
+    val batchPairs = graft.queries.Llm.d03_minhash_lsh_pairs(spark, {
+      val dir = java.nio.file.Files.createTempDirectory("nddir").toString
+      Seq((1L, base, "en", "s", 1L),
+        (3L, base.replace("spark engines", "spork engines"), "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batchPairs.contains((1L, 3L)), "batch LSH finds the same near-dup pair")
+  }
 }

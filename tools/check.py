@@ -8,7 +8,8 @@ trailing-zero mismatches), sort columns by name + rows by stringified
 value, and diff. Usage:
   python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import glob, json, sys
+import functools, glob, json, sys
+print = functools.partial(print, flush=True)  # line-buffered even when redirected
 import duckdb
 import pyarrow.parquet as pq
 
@@ -35,8 +36,11 @@ def spark_frame(path):
         raise RuntimeError(f"no parquet under {path}")
     return rows_of(pq.read_table(files).to_pandas())
 
-def main(sf, out):
+def main(sf, out, only=None):
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if only:  # comma-separated substrings, same contract as Verify/Bench
+        subs = only.split(",")
+        oracle = {k: v for k, v in oracle.items() if any(s in k for s in subs)}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -64,4 +68,4 @@ def main(sf, out):
     print(f"== {n_ok}/{len(oracle)} ok ==")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
