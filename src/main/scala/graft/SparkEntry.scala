@@ -156,6 +156,9 @@ object SparkEntry {
     "d53_bpe_train"          -> ((s, d) => Curate.d53_bpe_train(s, d)),
     "d54_url_dedup"          -> ((s, d) => Curate.d54_url_dedup(s, d)),
     "d55_ccnet_buckets"      -> (Curate.d55_ccnet_buckets _),
+    "d56_char_entropy"       -> (Curate.d56_char_entropy _),
+    "d57_ngram_topk"         -> ((s, d) => Llm.d57_ngram_topk(s, d)),
+    "d58_source_overlap"     -> (Curate.d58_source_overlap _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm8_shot_segments"      -> (Multimodal.mm8_shot_segments _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -1272,6 +1275,9 @@ object SparkEntry {
     "mm8_shot_segments" -> Multimodal.mm8OracleSql,
     "d54_url_dedup" -> Curate.d54OracleSql,
     "d55_ccnet_buckets" -> Curate.d55OracleSql,
+    "d56_char_entropy" -> Curate.d56OracleSql,
+    "d57_ngram_topk" -> Llm.d57OracleSql,
+    "d58_source_overlap" -> Curate.d58OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses
     // the attribute boundary into order/price

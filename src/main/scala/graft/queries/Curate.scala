@@ -1085,4 +1085,88 @@ object Curate {
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM tiers GROUP BY source, tier""".stripMargin
+
+  // ── d56: character-entropy filter ─────────────────────────────────
+  /** Shannon entropy over each document's CHARACTER distribution —
+    * the classic low-information filter (catches key-mash, repeated
+    * padding, base64 blobs, single-char floods that length/stopword
+    * heuristics miss). Zero-shuffle by construction: the histogram
+    * is never materialized as rows — `aggregate` over the doc's
+    * distinct chars computes −Σ p·log2 p scan-side, O(|alphabet| ×
+    * len) per doc with |alphabet| ≤ a few dozen, so at 100 TB this is
+    * a map-only pass (the explode→groupBy(doc, char) alternative
+    * would shuffle one row PER CHARACTER of the corpus). Entropy is
+    * rounded to 6 dp before the keep-verdict so the threshold compare
+    * is on a cross-engine-stable value (the d55 discipline). */
+  def d56_char_entropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("cs", expr("filter(split(text, ''), c -> c <> '')"))
+      .withColumn("n", size(col("cs")).cast("double"))
+      .withColumn("entropy", round(expr(
+        "aggregate(array_distinct(cs), cast(0.0 as double), (acc, c) -> " +
+          "acc + (size(filter(cs, x -> x = c)) / n) * " +
+          "(0.0 - log2(size(filter(cs, x -> x = c)) / n)))"), 6))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars_counted"),
+        expr("size(array_distinct(cs))").cast("long").as("n_distinct_chars"),
+        col("entropy"), (col("entropy") >= 3.0).as("keep"))
+
+  def d56OracleSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+      |  FROM documents),
+      |hist AS (SELECT doc_id, c, count(*)::DOUBLE AS cnt FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(cnt) AS n, count(*) AS k FROM hist GROUP BY 1),
+      |ent AS (
+      |  SELECT h.doc_id, round(sum((h.cnt / t.n) * -log2(h.cnt / t.n)), 6) AS entropy
+      |  FROM hist h JOIN tot t USING (doc_id) GROUP BY h.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_chars_counted,
+      |  CAST(coalesce(t.k, 0) AS BIGINT) AS n_distinct_chars,
+      |  coalesce(e.entropy, 0.0) AS entropy,
+      |  coalesce(e.entropy, 0.0) >= 3.0 AS keep
+      |FROM documents d LEFT JOIN tot t USING (doc_id)
+      |  LEFT JOIN ent e USING (doc_id)""".stripMargin
+
+  // ── d58: cross-source overlap matrix ──────────────────────────────
+  /** Which SOURCES share content with which — the mix-design /
+    * contamination diagnostic (a crawl snapshot that substantially
+    * overlaps a curated set should be downweighted, and benchmark
+    * sets leaking into a crawl show up as an unexpected pair). Key =
+    * the document's 8-token normalized PREFIX fingerprint (the d35
+    * key: near-dup-tolerant — trailing edits don't escape it —
+    * while exact-text overlap at small SF is empty). Shape: distinct
+    * (source, key) pairs collapse scan-side duplicates, one groupBy
+    * on the key gathers the set of sources carrying it (sources are
+    * few — the set is bounded by |sources|, not docs), unordered
+    * pairs unfold from the sorted set, and a final tiny agg counts
+    * keys per pair. Shuffles move (source, 8-byte key-hash) — at
+    * 100 TB the key census is the same narrow shape d01/d35 scale
+    * on; nothing ever joins the corpus to itself. */
+  def d58_source_overlap(s: SparkSession, d: String): DataFrame = {
+    val key = expr(
+      "array_join(slice(filter(split(lower(text), '[^a-z0-9]+'), " +
+        "w -> length(w) > 0), 1, 8), ' ')")
+    val sh = documents(s, d)
+      .select(col("source"), xxhash64(key).as("h")).distinct()
+    sh.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), b -> struct(a, b))))")).as("p"))
+      .select(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def d58OracleSql: String =
+    """WITH k AS (
+      |  SELECT DISTINCT source,
+      |    array_to_string(list_slice(list_filter(
+      |      string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      w -> length(w) > 0), 1, 8), ' ') AS pk
+      |  FROM documents)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM k a JOIN k b ON a.pk = b.pk AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -1350,4 +1350,55 @@ object Llm {
       |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
       |FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.nm, b.nm) <= 12""".stripMargin
+
+  // ── d57: corpus-wide top-k n-gram census ──────────────────────────
+  /** "What IS in my corpus" — the WIMBD-style global n-gram census:
+    * the k most frequent word 3-grams corpus-wide, with exact counts
+    * (memorization auditing, boilerplate discovery, filter-list
+    * seeding). Two narrow passes instead of one wide one: pass 1
+    * counts HASHES (8 bytes/span through the shuffle, map-side
+    * combine collapses repeats before anything moves — the d37
+    * discipline), a single-scalar driver read takes the k-th highest
+    * count, and pass 2 re-scans only to recover the WINNING spans'
+    * strings (left-semi against the broadcast winner-hash set, then a
+    * count over that tiny survivor set). Ties at the boundary are
+    * broken on the recovered STRING (count desc, span asc), so the
+    * k-cut is total and cross-engine deterministic — which the
+    * hash-only pass alone could not promise. At 100 TB: the string
+    * census would shuffle ~50-byte keys; this ships 8-byte hashes
+    * and touches strings only for ~k survivors. */
+  def d57_ngram_topk(s: SparkSession, d: String, n: Int = 3, k: Int = 50): DataFrame = {
+    def spans = documents(s, d)
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .withColumn("span", explode(when(size(col("ws")) < n,
+          array().cast("array<string>"))
+        .otherwise(expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), ' '))"))))
+      .select(col("span"))
+    val hcensus = spans.select(xxhash64(col("span")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val kthRow = hcensus.select(col("cnt")).orderBy(col("cnt").desc).limit(k)
+      .agg(min(col("cnt"))).collect()(0)
+    val kth = if (kthRow.isNullAt(0)) 1L else kthRow.getLong(0)
+    val winners = hcensus.filter(col("cnt") >= kth).select(col("h"))
+    spans
+      .join(broadcast(winners), xxhash64(col("span")) === col("h"), "left_semi")
+      .groupBy(col("span")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("span")).limit(k)
+  }
+
+  def d57OracleSql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |w AS (
+      |  SELECT unnest(CASE WHEN len(ws) < 3 THEN []
+      |    ELSE list_transform(range(1, len(ws) - 1),
+      |      i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END) AS span
+      |  FROM t)
+      |SELECT span, CAST(count(*) AS BIGINT) AS cnt
+      |FROM w GROUP BY span
+      |ORDER BY cnt DESC, span LIMIT 50""".stripMargin
 }

@@ -321,4 +321,44 @@ class CurateSpec extends AnyFunSuite {
     val nScored = graft.queries.Llm.d30_unigram_logprob(spark, "/root/testdata/sf0.001").count()
     assert(total == nScored, "every scored doc lands in exactly one tier")
   }
+
+  test("d56: char entropy — uniform two-char text is exactly 1 bit, floods are dropped, prose kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab" * 40),              // H = exactly 1.0 bit
+      (2L, "a" * 80),               // H = 0 — single-char flood
+      (3L, "the quick brown fox jumps over the lazy dog and keeps going"),
+      (4L, ""))                     // empty: defined, not dropped
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d56").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Curate.d56_char_entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) === ((80L, 2L, 1.0, false)))
+    assert(out(2L) === ((80L, 1L, 0.0, false)))
+    assert(out(3L)._3 > 3.0 && out(3L)._4, "normal prose clears the keep threshold")
+    assert(out(4L) === ((0L, 0L, 0.0, false)), "empty doc is zero-entropy, not an error")
+  }
+
+  test("d58: source overlap counts prefix keys shared across sources, once per pair") {
+    import spark.implicits._
+    val head = (1 to 8).map(i => s"tok$i").mkString(" ")   // the 8-token prefix key
+    val docs = Seq(
+      (1L, s"$head unique tail one", "sA"),
+      (2L, s"$head other tail two", "sB"),   // same key as 1 — pair (sA, sB)
+      (3L, s"$head third tail", "sB"),       // DISTINCT collapses the repeat within sB
+      (4L, s"$head fourth", "sC"),           // key in 3 sources → 3 pairs
+      (5L, "completely different leading words here that never collide at all", "sA"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d58").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Curate.d58_source_overlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("sA", "sB") -> 1L, ("sA", "sC") -> 1L, ("sB", "sC") -> 1L),
+      "one shared key, counted once per unordered source pair")
+  }
 }

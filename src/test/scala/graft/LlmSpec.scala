@@ -476,4 +476,24 @@ class LlmSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("margin") > 0))
     }
   }
+
+  test("d57: global trigram census — exact counts, deterministic tie-break at the k-cut") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // trigrams: "alpha beta gamma", "beta gamma delta"
+      (2L, "alpha beta gamma epsilon"),      // repeats "alpha beta gamma"
+      (3L, "zeta eta theta"),                // singleton trigram
+      (4L, "one two"))                       // too short — contributes nothing
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d57").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val top = Llm.d57_ngram_topk(spark, dir, n = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // rank 1 by count; ranks 2-3 are the count-1 ties broken by span asc
+    assert(top.head === (("alpha beta gamma", 2L)))
+    assert(top.drop(1).toSeq === top.drop(1).sortBy(_._1).toSeq,
+      "equal counts order by span ascending")
+    assert(top.length == 3 && top.drop(1).forall(_._2 == 1L))
+  }
 }
