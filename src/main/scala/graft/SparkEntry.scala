@@ -167,6 +167,7 @@ object SparkEntry {
     "mm4_resize"             -> (Multimodal.mm4_resize _),
     "mm5_perceptual_hash"    -> (Multimodal.mm5_perceptual_hash _),
     "mm6_silence_segments"   -> (Multimodal.mm6_silence_segments _),
+    "mm9_phash_recall"       -> (Multimodal.mm9_phash_recall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1273,6 +1274,7 @@ object SparkEntry {
       graft.ops.BpeTrain.DefaultRounds, graft.ops.BpeTrain.DefaultVocabCap),
     "mm7_keyframes" -> Multimodal.mm7OracleSql,
     "mm8_shot_segments" -> Multimodal.mm8OracleSql,
+    "mm9_phash_recall" -> Multimodal.mm9OracleSql,
     "d54_url_dedup" -> Curate.d54OracleSql,
     "d55_ccnet_buckets" -> Curate.d55OracleSql,
     "d56_char_entropy" -> Curate.d56OracleSql,

@@ -327,4 +327,122 @@ object Multimodal {
       |LEFT JOIN (SELECT doc_id, min(frame_idx) AS fb FROM b WHERE is_boundary = 1
       |           GROUP BY doc_id) fb ON fb.doc_id = s.doc_id
       |GROUP BY s.doc_id, f.nf""".stripMargin
+
+  // ── mm9: image near-dup recall harness (banded pHash) ─────────────
+  /** The image-dedup pipeline AND its evaluation in one query: for
+    * each of two perturbation strengths, every "image" gets a
+    * deterministically re-encoded variant (every k-th payload byte
+    * rewritten — the stand-in for recompression noise), and the
+    * banded-pHash detector (4×16-bit bands of the mm5 aHash, bucket
+    * census capped to [2,8] — saturated buckets are degenerate
+    * boilerplate patterns, the pHash analog of stop-grams — then an
+    * exact Hamming≤6 verify on candidates) is SCORED against the
+    * known original↔variant ground truth: per strength, candidates /
+    * detected / true-candidates / true-detected / recall. This is the
+    * standard way to validate a near-dup detector before trusting it
+    * at corpus scale, run entirely in-engine. Scale shape: bands ship
+    * 16-char keys keyed by (strength, band); the bucket cap bounds
+    * every bucket's pair fan-out at 8²/2, so the candidate join can
+    * never go quadratic — the cap IS the skew guard; the Hamming
+    * verify touches only surviving candidates. */
+  def mm9_phash_recall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val off = 10000000L
+    val strengths = s.range(1)
+      .select(explode(array(lit(3), lit(7))).as("strength"))
+    val base = documents(s, d).crossJoin(broadcast(strengths))
+      .select(col("strength"), col("doc_id"),
+        greatest(col("n_chars") % 640, lit(1L)).as("w"),
+        greatest(col("doc_id") % 480, lit(1L)).as("h"),
+        col("text"))
+    val orig = base.select(col("strength"), col("doc_id"),
+      expr("ahash_bits(text, w, h)").as("phash"))
+    // the variant re-encodes with the ORIGINAL's geometry (same image,
+    // new bytes) — every strength-th char rewritten
+    val vari = base.select(col("strength"), (col("doc_id") + off).as("doc_id"),
+      expr("ahash_bits(array_join(transform(filter(split(text, ''), c -> c <> ''), " +
+        "(c, i) -> if((i + 1) % strength = 0, 'z', c)), ''), w, h)").as("phash"))
+    val bk = orig.unionByName(vari)
+      .select(col("strength"), col("doc_id"), col("phash"),
+        explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+          "'band', b, 'k', substring(phash, b * 16 + 1, 16)))")).as("bb"))
+      .select(col("strength"), col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.k").as("k"))
+    val keep = bk.groupBy(col("strength"), col("band"), col("k"))
+      .agg(count(lit(1)).as("n")).filter(col("n").between(2, 8))
+      .select(col("strength"), col("band"), col("k"))
+    val bkk = bk.join(keep, Seq("strength", "band", "k"))
+    val cand = bkk.as("x").join(bkk.as("y"),
+        col("x.strength") === col("y.strength") && col("x.band") === col("y.band") &&
+          col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.strength").as("strength"), col("x.doc_id").as("a_id"),
+        col("y.doc_id").as("b_id"), col("x.phash").as("ap"), col("y.phash").as("bp"))
+      .distinct()
+    val ham = cand.withColumn("hd", expr(
+      "size(filter(sequence(1, 64), i -> substring(ap, i, 1) <> substring(bp, i, 1)))"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    ham.groupBy(col("strength")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("hd") <= 6, 1L).otherwise(0L)).as("n_detected"),
+        sum(when(col("b_id") === col("a_id") + off, 1L).otherwise(0L))
+          .as("n_true_candidates"),
+        sum(when(col("b_id") === col("a_id") + off && col("hd") <= 6, 1L).otherwise(0L))
+          .as("n_true_detected"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("recall_bp", expr("n_true_detected * 10000 div n_docs"))
+  }
+
+  def mm9OracleSql: String =
+    """WITH st AS (SELECT unnest([3, 7]) AS strength),
+      |src AS (
+      |  SELECT st.strength, d.doc_id,
+      |    greatest(d.n_chars % 640, 1) AS w, greatest(d.doc_id % 480, 1) AS h,
+      |    d.text FROM documents d CROSS JOIN st),
+      |vari AS (
+      |  SELECT strength, doc_id + 10000000 AS doc_id, w, h,
+      |    array_to_string(list_transform(range(1, len(text) + 1),
+      |      i -> CASE WHEN i % strength = 0 THEN 'z'
+      |           ELSE substr(text, CAST(i AS INT), 1) END), '') AS text
+      |  FROM src),
+      |g AS (
+      |  SELECT strength, doc_id, w, h, greatest(length(text), 1) AS len, text FROM src
+      |  UNION ALL
+      |  SELECT strength, doc_id, w, h, greatest(length(text), 1) AS len, text FROM vari),
+      |t AS (
+      |  SELECT strength, doc_id, list_transform(range(0, 64), p -> ord(substr(text,
+      |      CAST(least(((p // 8) * h // 8) * w + ((p % 8) * w // 8), len - 1) AS INT) + 1, 1))) AS bs
+      |  FROM g),
+      |p AS (SELECT strength, doc_id, bs, list_sum(bs) // 64 AS mean FROM t),
+      |hh AS (
+      |  SELECT strength, doc_id, array_to_string(list_transform(bs,
+      |    x -> CASE WHEN x > mean THEN '1' ELSE '0' END), '') AS phash
+      |  FROM p),
+      |bk AS (
+      |  SELECT strength, doc_id, phash, band,
+      |    substr(phash, CAST(band * 16 AS INT) + 1, 16) AS k
+      |  FROM hh, unnest(range(0, 4)) AS u(band)),
+      |keep AS (SELECT strength, band, k FROM bk
+      |  GROUP BY strength, band, k HAVING count(*) BETWEEN 2 AND 8),
+      |bkk AS (SELECT bk.* FROM bk JOIN keep USING (strength, band, k)),
+      |cand AS (
+      |  SELECT DISTINCT a.strength, a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.phash AS ap, b.phash AS bp
+      |  FROM bkk a JOIN bkk b ON a.strength = b.strength AND a.band = b.band
+      |    AND a.k = b.k AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT strength, a_id, b_id, len(list_filter(range(1, 65),
+      |    i -> substr(ap, CAST(i AS INT), 1) <> substr(bp, CAST(i AS INT), 1))) AS hd
+      |  FROM cand),
+      |nd AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT strength, CAST(count(*) AS BIGINT) AS n_candidates,
+      |  CAST(sum(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+      |  CAST(sum(CASE WHEN b_id = a_id + 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true_candidates,
+      |  CAST(sum(CASE WHEN b_id = a_id + 10000000 AND hd <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true_detected,
+      |  CAST(nd.n_docs AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN b_id = a_id + 10000000 AND hd <= 6 THEN 1 ELSE 0 END)
+      |    * 10000 // nd.n_docs AS BIGINT) AS recall_bp
+      |FROM ham CROSS JOIN nd
+      |GROUP BY strength, nd.n_docs""".stripMargin
 }

@@ -477,6 +477,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("mm9: pHash recall harness — recall degrades with perturbation strength, invariants hold") {
+    val out = Multimodal.mm9_phash_recall(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap
+    assert(out.keySet === Set(3, 7))
+    out.values.foreach { case (cand, det, tcand, tdet, _) =>
+      assert(det <= cand && tdet <= tcand && tcand <= cand,
+        "detected ⊆ candidates; true pairs ⊆ both")
+    }
+    assert(out(7)._5 > out(3)._5,
+      "lighter perturbation (every 7th byte) must recall MORE than heavier (every 3rd)")
+    assert(out(3)._5 > 0L, "even heavy perturbation recalls something")
+  }
+
   test("d57: global trigram census — exact counts, deterministic tie-break at the k-cut") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),        // trigrams: "alpha beta gamma", "beta gamma delta"
