@@ -168,6 +168,7 @@ object SparkEntry {
     "mm5_perceptual_hash"    -> (Multimodal.mm5_perceptual_hash _),
     "mm6_silence_segments"   -> (Multimodal.mm6_silence_segments _),
     "mm9_phash_recall"       -> (Multimodal.mm9_phash_recall _),
+    "mm10_audio_match"       -> (Multimodal.mm10_audio_match _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1275,6 +1276,7 @@ object SparkEntry {
     "mm7_keyframes" -> Multimodal.mm7OracleSql,
     "mm8_shot_segments" -> Multimodal.mm8OracleSql,
     "mm9_phash_recall" -> Multimodal.mm9OracleSql,
+    "mm10_audio_match" -> Multimodal.mm10OracleSql,
     "d54_url_dedup" -> Curate.d54OracleSql,
     "d55_ccnet_buckets" -> Curate.d55OracleSql,
     "d56_char_entropy" -> Curate.d56OracleSql,

@@ -445,4 +445,120 @@ object Multimodal {
       |    * 10000 // nd.n_docs AS BIGINT) AS recall_bp
       |FROM ham CROSS JOIN nd
       |GROUP BY strength, nd.n_docs""".stripMargin
+
+  // ── mm10: audio fingerprint matching (inverted index + alignment) ─
+  /** The Shazam-shaped audio matcher, end-to-end: each clip's frame-
+    * energy sweep (16-byte frames — the mm6 primitive at audio-window
+    * granularity) becomes a delta-sign bitstring, 16-bit sliding
+    * windows of it are the SUB-FINGERPRINTS, and a query clip matches
+    * a reference when many of its subfingerprints hit the same
+    * reference at ONE consistent time offset — the offset-delta
+    * histogram peak IS the alignment (value-only matches scattered
+    * across offsets are noise and never sum). Ground truth like mm9:
+    * every query is a reference clip with its first two frames
+    * dropped (the "recording starts mid-song" case, which defeats
+    * whole-clip hashes like mm5's by construction), so the correct
+    * verdict is (its own reference, delta = exactly +2) — both land
+    * in the gated output. Scale shape: the inverted index is
+    * (window → clip, pos) — the join key is a 16-bit value, capped
+    * at 64 reference hits per value (stop-window suppression, the
+    * mm9 cap discipline) so fan-out is bounded; the histogram agg and
+    * per-query top-1 window are rows ∝ matched (query, ref, delta)
+    * groups, never clips². */
+  def mm10_audio_match(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val off = 10000000L
+    val src = documents(s, d).select(col("doc_id"), col("text"))
+    val qry = src.select((col("doc_id") + off).as("doc_id"),
+      expr("substring(text, 33)").as("text"))
+    val bits = src.withColumn("is_q", lit(0))
+      .unionByName(qry.withColumn("is_q", lit(1)))
+      .withColumn("energies", expr("frame_energies(text, 16)"))
+      .withColumn("bs", expr(
+        "array_join(zip_with(slice(energies, 2, size(energies) - 1), " +
+          "slice(energies, 1, size(energies) - 1), " +
+          "(x, y) -> if(x > y, '1', '0')), '')"))
+      .filter(length(col("bs")) >= 16)
+    val win = bits.select(col("doc_id"), col("is_q"),
+        explode(expr("transform(sequence(1, length(bs) - 15), " +
+          "i -> named_struct('pos', i, 'w', substring(bs, i, 16)))")).as("pw"))
+      .select(col("doc_id"), col("is_q"),
+        col("pw.pos").as("pos"), col("pw.w").as("w"))
+    val refs = win.filter(col("is_q") === 0)
+      .select(col("doc_id").as("r_id"), col("pos").as("r_pos"), col("w"))
+    val qrys = win.filter(col("is_q") === 1)
+      .select(col("doc_id").as("q_id"), col("pos").as("q_pos"), col("w"))
+    val freq = refs.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      .filter(col("nw") <= 64).select(col("w"))
+    val m = qrys.join(freq, Seq("w"), "left_semi").join(refs, Seq("w"))
+      .groupBy(col("q_id"), col("r_id"),
+        (col("r_pos") - col("q_pos")).as("delta"))
+      .agg(count(lit(1)).as("n"))
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("n").desc, col("r_id"), col("delta"))
+    val best = m.withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+    val nQ = qrys.agg(countDistinct(col("q_id")).as("n_queries"))
+    val nD = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    best.agg(
+        count(lit(1)).as("n_matched"),
+        sum(when(col("r_id") === col("q_id") - off, 1L).otherwise(0L))
+          .as("n_correct_ref"),
+        sum(when(col("r_id") === col("q_id") - off && col("delta") === 2, 1L)
+          .otherwise(0L)).as("n_correct_align"))
+      .crossJoin(broadcast(nQ)).crossJoin(broadcast(nD))
+      .withColumn("recall_bp", expr("n_correct_align * 10000 div n_queries"))
+      .select(col("n_docs"), col("n_queries"), col("n_matched"),
+        col("n_correct_ref"), col("n_correct_align"), col("recall_bp"))
+  }
+
+  def mm10OracleSql: String =
+    """WITH src AS (SELECT doc_id, text FROM documents),
+      |qry AS (SELECT doc_id + 10000000 AS doc_id, substr(text, 33) AS text FROM src),
+      |g AS (SELECT doc_id, text, 0 AS is_q FROM src
+      |      UNION ALL SELECT doc_id, text, 1 FROM qry),
+      |f AS (SELECT doc_id, is_q,
+      |    greatest(CAST(ceil(length(text) / 16.0) AS BIGINT), 1) AS nf, text FROM g),
+      |e AS (
+      |  SELECT doc_id, is_q, i AS fi,
+      |    CASE WHEN length(substr(text, CAST(i*16 + 1 AS INT), 16)) = 0 THEN 0
+      |      ELSE COALESCE(list_sum(list_transform(
+      |        string_split(substr(text, CAST(i*16 + 1 AS INT), 16), ''),
+      |        c -> CAST((ord(c) - 32) * (ord(c) - 32) AS BIGINT))), 0) END AS energy
+      |  FROM f CROSS JOIN UNNEST(range(0, nf)) AS u(i)),
+      |bits AS (
+      |  SELECT doc_id, is_q, string_agg(bit, '' ORDER BY fi) AS bs
+      |  FROM (
+      |    SELECT doc_id, is_q, fi,
+      |      CASE WHEN energy > lag(energy) OVER (PARTITION BY doc_id, is_q ORDER BY fi)
+      |        THEN '1' ELSE '0' END AS bit
+      |    FROM e) WHERE fi > 0
+      |  GROUP BY doc_id, is_q),
+      |win AS (
+      |  SELECT doc_id, is_q, i AS pos, substr(bs, CAST(i AS INT), 16) AS w
+      |  FROM bits CROSS JOIN UNNEST(range(1, greatest(len(bs) - 14, 1))) AS u(i)
+      |  WHERE len(bs) >= 16),
+      |refs AS (SELECT doc_id AS r_id, pos AS r_pos, w FROM win WHERE is_q = 0),
+      |qrys AS (SELECT doc_id AS q_id, pos AS q_pos, w FROM win WHERE is_q = 1),
+      |freq AS (SELECT w FROM refs GROUP BY w HAVING count(*) <= 64),
+      |m AS (
+      |  SELECT q.q_id, r.r_id, r.r_pos - q.q_pos AS delta, count(*) AS n
+      |  FROM qrys q JOIN freq USING (w) JOIN refs r USING (w)
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT q_id, r_id, delta, n,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY n DESC, r_id, delta) AS rk
+      |  FROM m),
+      |nq AS (SELECT count(DISTINCT q_id) AS n_queries FROM qrys),
+      |nd AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+      |  CAST(nq.n_queries AS BIGINT) AS n_queries,
+      |  CAST(count(*) AS BIGINT) AS n_matched,
+      |  CAST(sum(CASE WHEN r_id = q_id - 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct_ref,
+      |  CAST(sum(CASE WHEN r_id = q_id - 10000000 AND delta = 2 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct_align,
+      |  CAST(sum(CASE WHEN r_id = q_id - 10000000 AND delta = 2 THEN 1 ELSE 0 END)
+      |    * 10000 // nq.n_queries AS BIGINT) AS recall_bp
+      |FROM best CROSS JOIN nq CROSS JOIN nd
+      |WHERE rk = 1 GROUP BY nq.n_queries, nd.n_docs""".stripMargin
 }

@@ -491,6 +491,18 @@ class LlmSpec extends AnyFunSuite {
     assert(out(3)._5 > 0L, "even heavy perturbation recalls something")
   }
 
+  test("mm10: audio alignment matcher — corpus recall sane, correct matches align at the true shift") {
+    val r = Multimodal.mm10_audio_match(spark, "/root/testdata/sf0.001").collect()(0)
+    val (nDocs, nQ, nM, nRef, nAlign, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nQ <= nDocs && nM <= nQ && nRef <= nM)
+    assert(nAlign == nRef,
+      "every correctly-identified reference must also carry the true +2 frame shift " +
+        "(a value-match at the wrong offset would be a histogram failure)")
+    assert(bp > 2000, s"recall collapsed: $nAlign/$nQ")
+    assert(nRef * 10 >= nM * 8, s"precision collapsed: $nRef/$nM")
+  }
+
   test("d57: global trigram census — exact counts, deterministic tie-break at the k-cut") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),        // trigrams: "alpha beta gamma", "beta gamma delta"
