@@ -141,6 +141,7 @@ object SparkEntry {
     "q78_log_tx_range"       -> (Relational.q78_log_tx_range _),
     "q79_partitions"         -> (Relational.q79_partitions _),
     "q80_history_audit"      -> (Relational.q80_history_audit _),
+    "q81_restore_audit"      -> (Relational.q81_restore_audit _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1181,6 +1182,56 @@ object SparkEntry {
         |SELECT CAST(k AS BIGINT), CAST(3 AS BIGINT), c * 2, c * 3,
         |  CAST(1700000000000 + 3 * 86400000 AS BIGINT)
         |FROM base WHERE k % 100 = 0""".stripMargin,
+    // q81: the oracle replays the engine's visibility rule per
+    // (e,a,v) — latest event wins, value visible iff it's an assert —
+    // then card-one picks the max-assert-tx value; the stale retract
+    // ('999' never asserted) must vanish, the %18 re-assert brings t1
+    // back after the %9 retract, the %40 tx4 re-assert outranks the
+    // resurfaced base. `agrees` is the in-engine cold-vs-live check,
+    // expected uniformly true.
+    "q81_restore_audit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderkey AS VARCHAR) AS e,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |datoms AS (
+        |  SELECT e, 'order/price' AS a, CAST(c AS VARCHAR) AS v, c AS v_long,
+        |    1 AS tx, true AS op FROM base
+        |  UNION ALL SELECT e, 'order/price', CAST(c*2 AS VARCHAR), c*2, 2, true
+        |    FROM base WHERE k % 4 = 0
+        |  UNION ALL SELECT e, 'order/price', CAST(c*3 AS VARCHAR), c*3, 3, true
+        |    FROM base WHERE k % 5 = 0 AND k % 20 <> 0
+        |  UNION ALL SELECT e, 'order/price', CAST(c*2 AS VARCHAR), c*2, 3, false
+        |    FROM base WHERE k % 20 = 0
+        |  UNION ALL SELECT e, 'order/price', '999', 999, 4, false
+        |    FROM base WHERE k % 11 = 0
+        |  UNION ALL SELECT e, 'order/price', CAST(c*4 AS VARCHAR), c*4, 4, true
+        |    FROM base WHERE k % 40 = 0
+        |  UNION ALL SELECT e, 'order/tag', 't1', NULL, 1, true FROM base
+        |  UNION ALL SELECT e, 'order/tag', 't2', NULL, 2, true FROM base WHERE k % 3 = 0
+        |  UNION ALL SELECT e, 'order/tag', 't1', NULL, 3, false FROM base WHERE k % 9 = 0
+        |  UNION ALL SELECT e, 'order/tag', 't2', NULL, 3, false FROM base WHERE k % 6 = 0
+        |  UNION ALL SELECT e, 'order/tag', 't1', NULL, 4, true FROM base WHERE k % 18 = 0
+        |  UNION ALL SELECT e, 'order/tag', 't2', NULL, 4, true FROM base WHERE k % 12 = 0),
+        |vis AS (
+        |  SELECT e, a, v, max(v_long) AS v_long,
+        |    max(CASE WHEN op THEN tx END) AS atx,
+        |    coalesce(max(CASE WHEN NOT op THEN tx END), 0) AS rtx
+        |  FROM datoms GROUP BY e, a, v),
+        |visible AS (SELECT * FROM vis WHERE atx IS NOT NULL AND atx > rtx),
+        |one AS (
+        |  SELECT e, a, v, v_long FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY e, a
+        |      ORDER BY atx DESC, v DESC) AS rn
+        |    FROM visible WHERE a = 'order/price') WHERE rn = 1),
+        |cur AS (SELECT * FROM one
+        |  UNION ALL SELECT e, a, v, v_long FROM visible WHERE a = 'order/tag')
+        |SELECT a, CAST(count(*) AS BIGINT) AS n_datoms,
+        |  CAST(coalesce(sum(v_long), 0) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN v = 't1' THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        |  CAST(sum(CASE WHEN v = 't2' THEN 1 ELSE 0 END) AS BIGINT) AS n_t2,
+        |  true AS agrees
+        |FROM cur GROUP BY a""".stripMargin,
     // q78: the [2,4) window keeps tx2 (price*2 on k%10=0, asserts) and
     // tx3 (status on k%20=0, asserts, no v_long); tx1 and the tx4
     // retracts fall outside the half-open range

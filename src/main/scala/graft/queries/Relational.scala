@@ -1806,6 +1806,77 @@ object Relational {
         col("prev_cents"), col("v_long").as("new_cents"), col("tx_ms"))
   }
 
+  // ── Backup-restore audit: cold rebuild ≡ live view ────────────────
+  /** The restore-verification run a production deployment does after
+    * `restore-db`: rebuild current state COLD from the full log
+    * (`Store.resolve` — the restore path) and compare it, in-engine,
+    * against the LIVE incrementally-maintained view
+    * (`resolveIncrementalHybrid` over a basis snapshot + delta — the
+    * path the running system serves reads from). The two answers come
+    * from different code paths with different shuffle shapes, so
+    * `agrees` is a real independent cross-check, not a tautology; the
+    * DuckDB oracle pins the restored values themselves by replaying
+    * Datomic visibility semantics from the generation rules. The
+    * fixture exercises the edges q75's does not: a STALE retraction
+    * (names a never-asserted value — must no-op), card-one
+    * re-assert AFTER a retraction (newest assert wins over the
+    * resurfaced elder), and card-many re-assert of a retracted value
+    * (visible again) plus re-assert of a PRESENT value (set
+    * semantics — no duplicate row). Comparison is by per-attr count/
+    * sum plus an order-independent bit_xor checksum over (e,v)
+    * hashes — O(state) with no sort, the way you'd diff two 100 TB
+    * snapshots. */
+  def q81_restore_audit(s: SparkSession, d: String): DataFrame = {
+    import graft.store.Store
+    val o = orders(s, d)
+    val oe = col("o_orderkey").cast("string")
+    val c = cents(col("o_totalprice"))
+    val k = col("o_orderkey")
+    def dat(a: String, v: Column, vl: Column, tx: Long, op: Boolean, pred: Column) =
+      o.filter(pred).select(oe.as("e"), lit(a).as("a"), v.cast("string").as("v"),
+        vl.as("v_long"), lit(false).as("is_ref"), lit(tx).as("tx"), lit(op).as("op"))
+    val t = lit(true)
+    val hist = dat("order/price", c, c, 1L, op = true, t)
+      .unionByName(dat("order/price", c * 2, c * 2, 2L, op = true, pmod(k, lit(4)) === 0))
+      .unionByName(dat("order/tag", lit("t1"), lit(null).cast("long"), 1L, op = true, t))
+      .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 2L, op = true,
+        pmod(k, lit(3)) === 0))
+    val delta = dat("order/price", c * 3, c * 3, 3L, op = true,
+        pmod(k, lit(5)) === 0 && pmod(k, lit(20)) =!= 0)
+      .unionByName(dat("order/price", c * 2, c * 2, 3L, op = false,
+        pmod(k, lit(20)) === 0))                     // card-one retract → resurface
+      .unionByName(dat("order/tag", lit("t1"), lit(null).cast("long"), 3L, op = false,
+        pmod(k, lit(9)) === 0))
+      .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 3L, op = false,
+        pmod(k, lit(6)) === 0))
+      .unionByName(dat("order/price", lit(999L), lit(999L), 4L, op = false,
+        pmod(k, lit(11)) === 0))                     // STALE retract — must no-op
+      .unionByName(dat("order/price", c * 4, c * 4, 4L, op = true,
+        pmod(k, lit(40)) === 0))                     // re-assert after retract
+      .unionByName(dat("order/tag", lit("t1"), lit(null).cast("long"), 4L, op = true,
+        pmod(k, lit(18)) === 0))                     // t1 back for some retractees
+      .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 4L, op = true,
+        pmod(k, lit(12)) === 0))                     // mix of resurrect + set no-op
+    val many = Seq("order/tag")
+    val full = hist.unionByName(delta)
+    val restored = Store.resolve(full, many)                       // cold path
+    val snapshot = Store.resolve(hist, many).localCheckpoint()
+    val live = Store.resolveIncrementalHybrid(snapshot, 2L, delta, full, many)
+    def audit(df: DataFrame) = df.groupBy(col("a")).agg(
+      count(lit(1)).as("n_datoms"),
+      coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_cents"),
+      sum(when(col("v") === "t1", 1L).otherwise(0L)).as("n_t1"),
+      sum(when(col("v") === "t2", 1L).otherwise(0L)).as("n_t2"),
+      expr("bit_xor(xxhash64(concat(e, '|', coalesce(v, ''))))").as("chk"))
+    audit(restored).as("r").join(audit(live).as("l"), Seq("a"))
+      .select(col("a"), col("r.n_datoms").as("n_datoms"),
+        col("r.total_cents").as("total_cents"),
+        col("r.n_t1").as("n_t1"), col("r.n_t2").as("n_t2"),
+        (col("r.n_datoms") === col("l.n_datoms") &&
+          col("r.total_cents") === col("l.total_cents") &&
+          col("r.chk") === col("l.chk")).as("agrees"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   /** Partial-aggregation pushdown through the join, by hand (Catalyst
     * does not push aggs through joins): revenue is additive per

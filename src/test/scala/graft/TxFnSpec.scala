@@ -781,4 +781,13 @@ class TxFnSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(2L, 3L), "from inclusive, until exclusive")
     assert(Store.txRange(log, 5L, 9L).count() == 0)
   }
+
+  test("q81 restore audit: cold resolve and live hybrid agree on the edge fixture") {
+    val rows = graft.queries.Relational.q81_restore_audit(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(rows.keySet == Set("order/price", "order/tag"))
+    assert(rows.values.forall(identity),
+      "stale retract, re-assert-after-retract, and card-many set semantics " +
+        "must resolve identically on both paths")
+  }
 }
