@@ -160,6 +160,8 @@ object SparkEntry {
     "d56_char_entropy"       -> (Curate.d56_char_entropy _),
     "d57_ngram_topk"         -> ((s, d) => Llm.d57_ngram_topk(s, d)),
     "d58_source_overlap"     -> (Curate.d58_source_overlap _),
+    "d60_bigram_logprob"     -> (Llm.d60_bigram_logprob _),
+    "d61_source_drift"       -> (Llm.d61_source_drift _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm8_shot_segments"      -> (Multimodal.mm8_shot_segments _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -1333,6 +1335,8 @@ object SparkEntry {
     "d56_char_entropy" -> Curate.d56OracleSql,
     "d57_ngram_topk" -> Llm.d57OracleSql,
     "d58_source_overlap" -> Curate.d58OracleSql,
+    "d60_bigram_logprob" -> Llm.d60OracleSql,
+    "d61_source_drift" -> Llm.d61OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses
     // the attribute boundary into order/price

@@ -1401,4 +1401,99 @@ object Llm {
       |SELECT span, CAST(count(*) AS BIGINT) AS cnt
       |FROM w GROUP BY span
       |ORDER BY cnt DESC, span LIMIT 50""".stripMargin
+
+  // ── d60: bigram-LM document scoring ───────────────────────────────
+  /** One conditioning order up from d30 — the CCNet scoring shape
+    * with a real conditional model: corpus-trained bigram MLE
+    * P(w₂|w₁) = C(w₁w₂)/C(w₁·), per-doc mean log-prob (C(w₁·) is the
+    * HISTORY count — bigrams starting with w₁ — so the conditional
+    * properly normalizes; every doc bigram has corpus support ≥ 1 by
+    * construction, no smoothing needed for MLE scoring). Shape: ONE
+    * tokenize pass builds per-doc bigram tfs; the model is two
+    * keyed censuses over that same tf relation (bigram counts,
+    * history counts) joined back — train and score in one job, the
+    * d30 discipline at bigram width. At 100 TB the bigram census is
+    * the widest shuffle; map-side combine collapses repeats and the
+    * key could drop to an 8-byte hash exactly as d37 — kept as
+    * strings here since the score needs no string recovery either
+    * way. */
+  def d60_bigram_logprob(s: SparkSession, d: String): DataFrame = {
+    val tfb = spread(documents(s, d))
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> named_struct(" +
+          "'w1', element_at(ws, i), " +
+          "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("s"))
+      .select(col("doc_id"), col("s.w1").as("w1"), col("s.bg").as("bg"))
+      .groupBy(col("doc_id"), col("w1"), col("bg")).agg(count(lit(1)).as("tf"))
+    val bgc = tfb.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
+    val hist = tfb.groupBy(col("w1")).agg(sum(col("tf")).as("cw"))
+    tfb.join(bgc, "bg").join(hist, "w1")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * log(col("cbg").cast("double") / col("cw")))
+          / sum(col("tf")), 6).as("mean_bigram_lp"))
+  }
+
+  def d60OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+      |    ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS bg
+      |  FROM t CROSS JOIN UNNEST(range(1, len(ws))) AS u(i)),
+      |tfb AS (SELECT doc_id, w1, bg, count(*) AS tf FROM bgs GROUP BY 1, 2, 3),
+      |bgc AS (SELECT bg, sum(tf) AS cbg FROM tfb GROUP BY bg),
+      |hist AS (SELECT w1, sum(tf) AS cw FROM tfb GROUP BY w1)
+      |SELECT tfb.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  round(sum(tf * ln(CAST(cbg AS DOUBLE) / cw)) / sum(tf), 6) AS mean_bigram_lp
+      |FROM tfb JOIN bgc USING (bg) JOIN hist USING (w1)
+      |GROUP BY tfb.doc_id""".stripMargin
+
+  // ── d61: per-source distribution drift (KL vs corpus) ─────────────
+  /** Which sources are OFF-DISTRIBUTION — KL(source ‖ corpus) over
+    * unigram term distributions, the mix-design drift diagnostic (a
+    * source whose KL jumps between snapshots changed its content mix;
+    * a high-KL source dominates fine-tuning loss out of proportion to
+    * its token share). Terms absent from a source contribute zero
+    * (the sum runs over the source's own support; corpus probability
+    * is never zero there since corpus ⊇ source). Shape: one tokenize
+    * pass → (source, term) census; corpus marginals are a term-keyed
+    * re-agg of THAT census (never a second scan); output is
+    * |sources| rows. */
+  def d61_source_drift(s: SparkSession, d: String): DataFrame = {
+    val stf = spread(documents(s, d))
+      .select(col("source"), explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val vocab = stf.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
+    val stot = stf.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    stf.join(vocab, "term").join(broadcast(stot), "source")
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        round(sum((col("c").cast("double") / col("n_tokens")) *
+          log((col("c").cast("double") / col("n_tokens")) /
+            (col("cnt").cast("double") / col("n_total")))), 6).as("kl_vs_corpus"))
+  }
+
+  def d61OracleSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    w -> length(w) > 0)) AS term
+      |  FROM documents),
+      |stf AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT term, sum(c) AS cnt FROM stf GROUP BY term),
+      |stot AS (SELECT source, sum(c) AS n_tokens FROM stf GROUP BY source),
+      |total AS (SELECT sum(cnt) AS n_total FROM vocab)
+      |SELECT stf.source, CAST(max(stot.n_tokens) AS BIGINT) AS n_tokens,
+      |  round(sum((CAST(c AS DOUBLE) / stot.n_tokens) *
+      |    ln((CAST(c AS DOUBLE) / stot.n_tokens) /
+      |        (CAST(cnt AS DOUBLE) / total.n_total))), 6) AS kl_vs_corpus
+      |FROM stf JOIN vocab USING (term) JOIN stot USING (source) CROSS JOIN total
+      |GROUP BY stf.source""".stripMargin
 }

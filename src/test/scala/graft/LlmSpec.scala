@@ -503,6 +503,41 @@ class LlmSpec extends AnyFunSuite {
     assert(nRef * 10 >= nM * 8, s"precision collapsed: $nRef/$nM")
   }
 
+  test("d60: bigram LM — deterministic-context doc scores 0, surprising bigrams score negative") {
+    // corpus: "a b" always follows a→b (P(b|a)=1 ⇒ lp 0); doc 3's "a c"
+    // makes a's history split 4:1 ⇒ its bigrams are all surprising
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d60").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Llm.d60_bigram_logprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // histories: a→{b:4, c:1} (5), b→{a:2} (2); P(b|a)=0.8, P(a|b)=1, P(c|a)=0.2
+    val lnPba = math.log(0.8)
+    assert(out(1L)._1 == 5L)
+    assert(math.abs(out(1L)._2 - ((3 * lnPba + 2 * 0.0) / 5)) < 1e-6)
+    assert(out(3L) === ((1L, BigDecimal(math.log(0.2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1L)._2 > out(3L)._2, "the off-model doc scores lower")
+  }
+
+  test("d61: KL drift — a source matching the corpus mix scores near zero, a skewed one higher") {
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "x y z w", "balanced")) ++
+      Seq((100L, "x x x x", "skewed")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("d61").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Llm.d61_source_drift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("balanced")._1 == 32L && out("skewed")._1 == 4L)
+    assert(out("skewed")._2 > out("balanced")._2 + 0.5,
+      "the single-token source diverges hard from the corpus distribution")
+    assert(out("balanced")._2 >= 0.0 && out("skewed")._2 >= 0.0, "KL is non-negative")
+  }
+
   test("d57: global trigram census — exact counts, deterministic tie-break at the k-cut") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),        // trigrams: "alpha beta gamma", "beta gamma delta"
