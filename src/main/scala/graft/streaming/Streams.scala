@@ -267,6 +267,40 @@ object Streams {
       .agg(min(col("rep_doc")).as("rep_doc"))
       .withColumn("is_dup", col("rep_doc") < col("doc_id"))
 
+  // ── Trending n-grams: watermarked window census ───────────────────
+  /** "What is the crawl saying RIGHT NOW" — per-event-time-window
+    * trigram counts on a document stream, with the state problem
+    * solved the idiomatic Structured-Streaming way: the census is a
+    * watermarked windowed aggregate, so state holds only spans whose
+    * window can still receive data (the watermark EXPIRES old
+    * windows' state — bounded by the active horizon, not the stream's
+    * lifetime) and append mode emits each window exactly once, when
+    * it finalizes. No driver-side counting anywhere: counts are
+    * partial-aggregated map-side, the state store shards by
+    * (window, span). [[trendingTopkOfBatch]] ranks a finalized
+    * batch's windows top-k — rows ∝ emitted windows, tiny. */
+  def trendingSpans(docs: DataFrame, windowDur: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .select(col("ts"), explode(when(size(col("ws")) < 3,
+          array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, size(ws) - 2), " +
+          "i -> array_join(slice(ws, i, 3), ' '))"))).as("span"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("span"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("window_start"), col("span"), col("cnt"))
+
+  /** Rank one finalized micro-batch of [[trendingSpans]] output to the
+    * top-k spans per window (count desc, span asc — total order). */
+  def trendingTopkOfBatch(windows: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(col("cnt").desc, col("span"))
+    windows.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** One transaction's report — Datomic `tx-report-queue` entry shape:
     * the basis `t` and the transaction's datoms (full Store.schema
     * rows). A transaction larger than the queue's `maxDatomsPerReport`

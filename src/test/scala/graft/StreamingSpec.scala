@@ -423,4 +423,34 @@ class StreamingSpec extends AnyFunSuite {
     }).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(batchPairs.contains((1L, 3L)), "batch LSH finds the same near-dup pair")
   }
+
+  test("trending spans: watermark finalizes windows exactly once, top-k ranks correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = Streams.trendingSpans(mem.toDF.toDF("ts", "text"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("trend_out").start()
+    try {
+      // window [10:00, 10:10): "hot topic now" ×3, "cold other thing" ×1
+      mem.addData(
+        (at(1), "hot topic now"), (at(2), "hot topic now"),
+        (at(3), "hot topic now"), (at(4), "cold other thing"))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").count() == 0,
+        "nothing emits while the window can still receive data")
+      // event time far past the window + lateness → finalize it
+      mem.addData((at(40), "later window content"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("trend_out")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(rows.toSet == Set(("hot topic now", 3L), ("cold other thing", 1L)),
+      "exactly the finalized window's census emits, once")
+    val top1 = Streams.trendingTopkOfBatch(spark.table("trend_out"), 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(top1.toSeq == Seq(("hot topic now", 3L)))
+  }
 }
