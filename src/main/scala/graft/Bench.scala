@@ -99,6 +99,9 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val sec = (System.nanoTime() - q0) / 1e9
+        // per-query progress: a stalled/straggling query must be
+        // identifiable from stderr while the run is still going
+        System.err.println(f"[bench] p$pass $name%-26s $sec%7.2f s")
         cleanup()
         samples(name) = (sec, ok) :: samples(name)
       }

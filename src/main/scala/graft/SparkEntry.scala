@@ -142,6 +142,8 @@ object SparkEntry {
     "q79_partitions"         -> (Relational.q79_partitions _),
     "q80_history_audit"      -> (Relational.q80_history_audit _),
     "q81_restore_audit"      -> (Relational.q81_restore_audit _),
+    "q82_schema_alter"       -> (Relational.q82_schema_alter _),
+    "q83_avet_layout"        -> (Relational.q83_avet_layout _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -160,8 +162,10 @@ object SparkEntry {
     "d56_char_entropy"       -> (Curate.d56_char_entropy _),
     "d57_ngram_topk"         -> ((s, d) => Llm.d57_ngram_topk(s, d)),
     "d58_source_overlap"     -> (Curate.d58_source_overlap _),
+    "d59_pq_adc"             -> (Llm.d59_pq_adc _),
     "d60_bigram_logprob"     -> (Llm.d60_bigram_logprob _),
     "d61_source_drift"       -> (Llm.d61_source_drift _),
+    "d62_heavy_hitters"      -> (Llm.d62_heavy_hitters _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm8_shot_segments"      -> (Multimodal.mm8_shot_segments _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -1191,6 +1195,37 @@ object SparkEntry {
     // back after the %9 retract, the %40 tx4 re-assert outranks the
     // resurfaced base. `agrees` is the in-engine cold-vs-live check,
     // expected uniformly true.
+    // q82: final membership per orderkey k after the card flip at tx2
+    // and the tx3/tx4 suffix — S1 iff k odd and not retracted (k%5),
+    // S2 iff k even minus the k%4 set-removes, S3 iff k%3=0. The
+    // unique-gate and alias metrics are the SEMANTIC expectations the
+    // Spark side must compute: order/code distinct ⇒ 0 conflicts,
+    // order/status as of tx2 collides on exactly {S1, S2} ⇒ 2, and
+    // the old-ident alias read path must agree ⇒ 1.
+    "q83_avet_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_datoms,
+        |  CAST(sum(c) AS BIGINT) AS total_cents,
+        |  CAST(min(c) AS BIGINT) AS min_cents, CAST(max(c) AS BIGINT) AS max_cents
+        |FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |      FROM orders)
+        |WHERE c >= 5000000 AND c < 6000000""".stripMargin,
+    "q82_schema_alter" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS k,
+        |    (o_orderkey % 2 <> 0 AND o_orderkey % 5 <> 0) AS s1,
+        |    (o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0) AS s2,
+        |    (o_orderkey % 3 = 0) AS s3
+        |  FROM orders)
+        |SELECT 'n_s1' AS metric, CAST(count(*) FILTER (s1) AS BIGINT) AS value FROM st
+        |UNION ALL SELECT 'n_s2', CAST(count(*) FILTER (s2) AS BIGINT) FROM st
+        |UNION ALL SELECT 'n_s3', CAST(count(*) FILTER (s3) AS BIGINT) FROM st
+        |UNION ALL SELECT 'n_states',
+        |  CAST(count(*) FILTER (s1) + count(*) FILTER (s2) + count(*) FILTER (s3) AS BIGINT) FROM st
+        |UNION ALL SELECT 'n_multi',
+        |  CAST(count(*) FILTER (CAST(s1 AS INT) + CAST(s2 AS INT) + CAST(s3 AS INT) >= 2) AS BIGINT) FROM st
+        |UNION ALL SELECT 'uniq_code_conflicts', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'uniq_status_conflicts', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'alias_same', CAST(1 AS BIGINT)""".stripMargin,
     "q81_restore_audit" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, CAST(o_orderkey AS VARCHAR) AS e,
@@ -1335,8 +1370,10 @@ object SparkEntry {
     "d56_char_entropy" -> Curate.d56OracleSql,
     "d57_ngram_topk" -> Llm.d57OracleSql,
     "d58_source_overlap" -> Curate.d58OracleSql,
+    "d59_pq_adc" -> Llm.d59OracleSql,
     "d60_bigram_logprob" -> Llm.d60OracleSql,
     "d61_source_drift" -> Llm.d61OracleSql,
+    "d62_heavy_hitters" -> Llm.d62OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses
     // the attribute boundary into order/price

@@ -1402,6 +1402,70 @@ object Llm {
       |FROM w GROUP BY span
       |ORDER BY cnt DESC, span LIMIT 50""".stripMargin
 
+  // ── d62: heavy hitters via SpaceSaving, contract-gated ────────────
+  /** The frequency-sketch completion of the sketch family (q28 HLL
+    * distinct, d45 rank-error quantiles): corpus heavy hitters from a
+    * SHUFFLE-FREE SpaceSaving pass — each partition keeps a 256-slot
+    * counter table ([[graft.ops.SpaceSaving]]), emits ≤256 (term,
+    * est, err) triples plus its eviction floor, and the merged
+    * Σ-bounds bracket every true count: lb(t) = Σ(est−err) ≤ true(t)
+    * ≤ Σ(present ? est : floor) = ub(t). The gate asserts that
+    * contract against the exact top-10 (`lb_ok`/`ub_ok` must be
+    * uniformly true) — the sketch's real guarantee, not a value bet;
+    * the emitted terms/counts themselves come from the exact side, so
+    * partition-order effects inside the sketch cannot move the
+    * output.
+    *
+    * Scale shape — why this exists at 100 TB: the sketch side is one
+    * mapPartitions with NO shuffle and output ≤ 257 rows × #partitions
+    * regardless of corpus size (vs the exact side's vocabulary-wide
+    * shuffle); floors ride a broadcast. On a real corpus you run the
+    * sketch alone and only ever pay exact counting for the candidate
+    * set it returns. */
+  def d62_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = spread(documents(s, d))
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+    val entries = toks.as[String].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      val (es, floor) = graft.ops.SpaceSaving.summarize(it, 256)
+      es.iterator.map { case (t, est, err) => (pid, t, est, err) } ++
+        Iterator((pid, null.asInstanceOf[String], floor, -1L))
+    }.toDF("pid", "term", "est", "err")
+      .localCheckpoint() // one sketch pass feeds floors + per-term bounds
+    val floors = entries.filter(col("term").isNull)
+      .select(col("pid"), col("est").as("floor"))
+    val bounds = entries.filter(col("term").isNotNull)
+      .join(broadcast(floors), "pid")
+      .groupBy(col("term"))
+      .agg(sum(col("est")).as("pe"), sum(col("est") - col("err")).as("lb"),
+        sum(col("floor")).as("pf"))
+    val totalFloor = floors.agg(sum(col("floor")).as("tf"))
+    // top-k as TakeOrderedAndProject (bounded, no global sort); the
+    // rank window then runs over 10 rows, not the vocabulary
+    val w = Window.orderBy(col("n").desc, col("term").asc)
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(10)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    top.join(bounds, Seq("term"), "left").crossJoin(broadcast(totalFloor))
+      .select(col("rank"), col("term"), col("n"),
+        (coalesce(col("lb"), lit(0L)) <= col("n")).as("lb_ok"),
+        (col("n") <= coalesce(col("pe"), lit(0L)) +
+          (col("tf") - coalesce(col("pf"), lit(0L)))).as("ub_ok"))
+  }
+
+  /** Exact top-10 + the contract expectations (uniformly true). */
+  def d62OracleSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |    w -> length(w) > 0)) AS term
+      |  FROM documents),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rank,
+      |  term, n, true AS lb_ok, true AS ub_ok
+      |FROM c ORDER BY n DESC, term ASC LIMIT 10""".stripMargin
+
   // ── d60: bigram-LM document scoring ───────────────────────────────
   /** One conditioning order up from d30 — the CCNet scoring shape
     * with a real conditional model: corpus-trained bigram MLE
@@ -1496,4 +1560,115 @@ object Llm {
       |        (CAST(cnt AS DOUBLE) / total.n_total))), 6) AS kl_vs_corpus
       |FROM stf JOIN vocab USING (term) JOIN stot USING (source) CROSS JOIN total
       |GROUP BY stf.source""".stripMargin
+
+  // ── d59: product-quantization ANN (IVF's memory-side complement) ──
+  /** PQ-ADC search (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): split the 64-dim embedding into
+    * m=4 16-dim subvectors, train an 8-centroid codebook per subspace
+    * (init from vec_id<8's subvectors, one Lloyd round with the d27
+    * recipe — 6-decimal centroid rounding for cross-engine-stable
+    * float means), encode the corpus to 4 small codes, and answer
+    * queries with ASYMMETRIC distance: a per-query 4×8 lookup table
+    * of subspace L2² distances, summed per corpus code word.
+    *
+    * Scale shape — the point of PQ at 100 TB: the corpus compresses
+    * to m log₂k bits per vector (here 4 codes ≈ 12 bits vs 256 bytes
+    * raw), training assignments and the encode pass join the corpus
+    * against a BROADCAST 32-row codebook (map-side argmin, never a
+    * corpus shuffle), and search joins the code table against a
+    * broadcast per-query LUT — one linear scan of codes per query
+    * batch, no vector arithmetic in the hot loop. The ADC sum is an
+    * explicitly ordered 4-term addition (pivot per subspace), so the
+    * double result is partition-order-independent and matches the
+    * oracle bit-for-bit. */
+  def d59_pq_adc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val emb = spreadIfNarrow(embeddings(s, d)).select(col("vec_id"), col("embedding"))
+    val subIdx = s.range(0, 4).select(col("id").cast("int").as("sub"))
+    def subvecs(df: DataFrame) = df.crossJoin(broadcast(subIdx))
+      .withColumn("x", expr("slice(embedding, sub * 16 + 1, 16)"))
+    val corpus = subvecs(emb.filter(col("vec_id") >= 8)).select(col("vec_id"), col("sub"), col("x"))
+    val c0 = subvecs(emb.filter(col("vec_id") < 8))
+      .select(col("sub"), col("vec_id").cast("int").as("cid"), col("x").as("c"))
+    def l2(a: String, b: String) =
+      expr(s"vec_dot($a, $a) + vec_dot($b, $b) - 2 * vec_dot($a, $b)")
+    def assign(cent: DataFrame) = corpus.join(broadcast(cent), "sub")
+      .withColumn("dist", l2("x", "c"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"),
+        first(col("x")).as("x"))
+    val c1 = assign(c0)
+      .select(col("sub"), col("code").as("cell"), posexplode(col("x")).as(Seq("j", "xj")))
+      .groupBy(col("sub"), col("cell"), col("j"))
+      .agg(round(avg(col("xj")), 6).as("cj"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cj")))).as("jc"))
+      .select(col("sub"), col("cell").as("cid"), expr("transform(jc, p -> p.cj)").as("c"))
+    val codes = assign(c1).select(col("vec_id"), col("sub"), col("code"))
+    val lut = subvecs(emb.filter(col("vec_id") < 4))
+      .select(col("vec_id").as("query_id"), col("sub"), col("x").as("qx"))
+      .join(broadcast(c1), "sub")
+      .withColumn("qd", l2("qx", "c"))
+      .select(col("query_id"), col("sub").as("ls"), col("cid"), col("qd"))
+    def pick(i: Int) = max(when(col("sub") === i, col("qd")))
+    val adc = codes.join(broadcast(lut),
+        codes("sub") === lut("ls") && codes("code") === lut("cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(pick(0) + pick(1) + pick(2) + pick(3), 6).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adc"))
+  }
+
+  /** The same PQ train/encode/search in DuckDB: identical init,
+    * argmin tiebreaks, 6-decimal centroid rounding, and the same
+    * explicitly ordered 4-term ADC sum. */
+  def d59OracleSql: String =
+    s"""WITH m AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, s, array_slice(vec, s * 16 + 1, s * 16 + 16) AS x
+       |  FROM m CROSS JOIN (SELECT unnest(range(4)) AS s)),
+       |corpus AS (SELECT * FROM sv WHERE vec_id >= 8),
+       |c0 AS (SELECT s, CAST(vec_id AS INT) AS cid, x AS c FROM sv WHERE vec_id < 8),
+       |a1 AS (
+       |  SELECT vec_id, s, cid AS code, x FROM (
+       |    SELECT corpus.vec_id, corpus.s, c0.cid, corpus.x,
+       |      ROW_NUMBER() OVER (PARTITION BY corpus.vec_id, corpus.s
+       |        ORDER BY list_inner_product(corpus.x, corpus.x) + list_inner_product(c0.c, c0.c)
+       |               - 2 * list_inner_product(corpus.x, c0.c) ASC, c0.cid ASC) AS rn
+       |    FROM corpus JOIN c0 ON corpus.s = c0.s) WHERE rn = 1),
+       |comps AS (
+       |  SELECT s, code AS cell, j, round(avg(x[j]), 6) AS cj
+       |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 17)) AS j)
+       |  GROUP BY s, cell, j),
+       |c1 AS (SELECT s, cell AS cid, list(CAST(cj AS DOUBLE) ORDER BY j) AS c
+       |  FROM comps GROUP BY s, cell),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT corpus.vec_id, corpus.s, c1.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY corpus.vec_id, corpus.s
+       |        ORDER BY list_inner_product(corpus.x, corpus.x) + list_inner_product(c1.c, c1.c)
+       |               - 2 * list_inner_product(corpus.x, c1.c) ASC, c1.cid ASC) AS rn
+       |    FROM corpus JOIN c1 ON corpus.s = c1.s) WHERE rn = 1),
+       |lut AS (
+       |  SELECT sv.vec_id AS query_id, sv.s, c1.cid,
+       |    list_inner_product(sv.x, sv.x) + list_inner_product(c1.c, c1.c)
+       |      - 2 * list_inner_product(sv.x, c1.c) AS qd
+       |  FROM sv JOIN c1 ON sv.s = c1.s WHERE sv.vec_id < 4),
+       |adc AS (
+       |  SELECT query_id, vec_id,
+       |    round(max(CASE WHEN codes.s = 0 THEN qd END)
+       |        + max(CASE WHEN codes.s = 1 THEN qd END)
+       |        + max(CASE WHEN codes.s = 2 THEN qd END)
+       |        + max(CASE WHEN codes.s = 3 THEN qd END), 6) AS adc
+       |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.cid
+       |  GROUP BY query_id, vec_id)
+       |SELECT query_id, rank, vec_id AS neighbor_id, adc FROM (
+       |  SELECT query_id, vec_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM adc) WHERE rank <= 5""".stripMargin
 }

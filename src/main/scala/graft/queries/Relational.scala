@@ -1877,6 +1877,115 @@ object Relational {
           col("r.chk") === col("l.chk")).as("agrees"))
   }
 
+  // ── Live schema alteration: card flip + unique gate + ident rename ─
+  /** Datomic schema-change semantics end-to-end on one log
+    * (docs.datomic.com "Schema Change" — alterations are LIVE, never
+    * migrations): `order/status` starts card-ONE ("S1" everywhere at
+    * tx1, "S2" replaces it on even keys at tx2), is flipped to
+    * card-MANY at tx2 and RENAMED to `order/state`; tx3 asserts
+    * accumulate ("S3" on key%3=0), tx4 retractions exercise the three
+    * edges the flip creates: a real set-remove ("S2" on key%4=0, all
+    * of which hold it), a retract of a value only SOME holders carry
+    * ("S1" on key%5=0 — real on odd multiples, stale on even ones
+    * whose "S1" was auto-retracted by the pre-flip card-one write),
+    * and — via those even multiples — the superseded-value no-op.
+    * Alongside, the `:db/unique` addition gate runs as of the
+    * alteration basis: `order/code` (one distinct value per order)
+    * passes with zero conflicts; `order/status` fails with exactly
+    * the two colliding values ("S1" odd keys, "S2" even keys). The
+    * old ident keeps resolving through the alias map (`alias_same`
+    * compares the two read paths).
+    *
+    * Scale shape: the flip is [[graft.store.SchemaAlter.resolveCardFlip]]'s
+    * two-phase read — prefix collapse + incremental suffix merge, one
+    * pass over each log half; the unique gate is one map-side-combined
+    * agg over a single attr partition; the rename is a view rewrite,
+    * O(read) not O(history). All metrics fold in one aggregation over
+    * the resolved state (no per-metric rescans). */
+  def q82_schema_alter(s: SparkSession, d: String): DataFrame = {
+    import graft.store.SchemaAlter
+    val o = orders(s, d)
+    val oe = col("o_orderkey").cast("string")
+    val k = col("o_orderkey")
+    def dat(a: String, v: Column, tx: Long, op: Boolean, pred: Column) =
+      o.filter(pred).select(oe.as("e"), lit(a).as("a"), v.cast("string").as("v"),
+        lit(null).cast("long").as("v_long"), lit(false).as("is_ref"),
+        lit(tx).as("tx"), lit(op).as("op"))
+    val t = lit(true)
+    val log = dat("order/status", lit("S1"), 1L, op = true, t)
+      .unionByName(dat("order/code", oe, 1L, op = true, t))
+      .unionByName(dat("order/status", lit("S2"), 2L, op = true, pmod(k, lit(2)) === 0))
+      .unionByName(dat("order/status", lit("S3"), 3L, op = true, pmod(k, lit(3)) === 0))
+      .unionByName(dat("order/status", lit("S2"), 4L, op = false, pmod(k, lit(4)) === 0))
+      .unionByName(dat("order/status", lit("S1"), 4L, op = false, pmod(k, lit(5)) === 0))
+    val alterTx = 2L
+    val aliases = Map("order/status" -> "order/state")
+    val flipped = SchemaAlter.resolveCardFlip(log, "order/status", alterTx, Seq.empty)
+    val state = SchemaAlter.renameAttr(flipped, "order/status", "order/state")
+      .localCheckpoint()
+    val basis = graft.store.Store.resolve(log.filter(col("tx") <= alterTx), Seq.empty)
+    val codeOk = SchemaAlter.uniqueConflicts(basis, "order/code")
+      .agg(count(lit(1)).as("v")).select(lit("uniq_code_conflicts").as("metric"), col("v"))
+    val statusBad = SchemaAlter.uniqueConflicts(basis, "order/status")
+      .agg(count(lit(1)).as("v")).select(lit("uniq_status_conflicts").as("metric"), col("v"))
+    val st = state.filter(col("a") === "order/state")
+    val counts = st.agg(
+        sum(when(col("v") === "S1", 1L).otherwise(0L)).as("n_s1"),
+        sum(when(col("v") === "S2", 1L).otherwise(0L)).as("n_s2"),
+        sum(when(col("v") === "S3", 1L).otherwise(0L)).as("n_s3"),
+        count(lit(1)).as("n_states"))
+      .select(expr("stack(4, 'n_s1', n_s1, 'n_s2', n_s2, 'n_s3', n_s3, " +
+        "'n_states', n_states)").as(Seq("metric", "v")))
+    val multi = st.groupBy(col("e")).agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") >= 2, 1L).otherwise(0L)).as("v"))
+      .select(lit("n_multi").as("metric"), col("v"))
+    // old ident still resolves: the alias read path must see the same
+    // datoms as the new-ident path
+    val viaAlias = st.filter(col("a") === SchemaAlter.canonical(aliases, "order/status"))
+    val aliasSame = viaAlias.agg(count(lit(1)).as("na"))
+      .crossJoin(st.agg(count(lit(1)).as("nn")))
+      .select(lit("alias_same").as("metric"),
+        when(col("na") === col("nn"), 1L).otherwise(0L).as("v"))
+    counts.unionByName(multi).unionByName(codeOk).unionByName(statusBad)
+      .unionByName(aliasSame)
+      .select(col("metric"), col("v").cast("long").as("value"))
+  }
+
+  // ── AVET as a physical layout: build + pruned range read ─────────
+  /** Datomic's AVET index materialized as a parquet LAYOUT
+    * ([[graft.store.IndexLayout]]): the resolved state range-clusters
+    * on (a, v_long) and persists; the `d/index-range` read then comes
+    * back as a scan whose predicates push down onto files that are
+    * disjoint in exactly those keys — file skipping + row-group
+    * skipping do the segment-tree's job (PlanSpec pins the pushdown;
+    * this query gates the values end-to-end through a build → read
+    * round trip). Two attributes share the layout so the a-filter has
+    * something real to prune: `order/price` (queried) and
+    * `order/bucket` (dead weight the layout must skip).
+    *
+    * Scale shape: the build is one range-shuffle of state + parallel
+    * writes (no driver path); the read touches only the files whose
+    * (a, v_long) range intersects [5e6, 6e6) — on a 100 TB store
+    * that is the difference between a full-index scan and a few
+    * segments, identical in spirit to Datomic's segment fetch. */
+  def q83_avet_layout(s: SparkSession, d: String): DataFrame = {
+    import graft.store.IndexLayout
+    val o = orders(s, d)
+    val c = cents(col("o_totalprice"))
+    val k = col("o_orderkey")
+    def dat(a: String, vl: Column) = o.select(
+      col("o_orderkey").cast("string").as("e"), lit(a).as("a"),
+      vl.cast("string").as("v"), vl.cast("long").as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val state = dat("order/price", c).unionByName(dat("order/bucket", pmod(k, lit(1000))))
+    val path = java.nio.file.Files.createTempDirectory("avet").toString
+    IndexLayout.materializeAvet(state, path, buckets = 16)
+    IndexLayout.avetRange(s, path, "order/price", 5000000L, 6000000L)
+      .agg(count(lit(1)).as("n_datoms"),
+        sum(col("v_long")).cast("long").as("total_cents"),
+        min(col("v_long")).as("min_cents"), max(col("v_long")).as("max_cents"))
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   /** Partial-aggregation pushdown through the join, by hand (Catalyst
     * does not push aggs through joins): revenue is additive per

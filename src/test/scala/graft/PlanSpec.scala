@@ -319,4 +319,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"Levenshtein must run only within equality blocks:\n${p.take(800)}")
   }
+
+  test("d59: PQ trains/encodes against a broadcast codebook, never a cartesian") {
+    val p = plan(graft.queries.Llm.d59_pq_adc(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q83: AVET layout read pushes the (a, v_long) range onto the parquet scan") {
+    val p = plan(Relational.q83_avet_layout(spark, sf))
+    // PushedFilters renders truncated in toString — assert via the
+    // scan's DataFilters, which carry the same pushed predicates
+    assert(p.contains("GreaterThanOrEqual(v_long,5000000)"),
+      s"v_long lower bound must reach PushedFilters:\n${p.take(1200)}")
+    assert(p.contains("DataFilters: [isnotnull(a") && p.contains(" < 6000000)"),
+      s"v_long upper bound must reach the scan:\n${p.take(1200)}")
+    assert(p.contains("EqualTo(a,order/price)"),
+      s"attr filter must reach PushedFilters:\n${p.take(1200)}")
+  }
 }
