@@ -55,5 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(bf, v) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
     })
+    inject(ext, "ac_counts", {
+      case Seq(text) => AcCounts(text, AhoCorasick.BlocklistSpec)
+      case Seq(text, spec) => AcCounts(text,
+        spec.eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    })
   }
 }

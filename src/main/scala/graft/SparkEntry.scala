@@ -166,6 +166,7 @@ object SparkEntry {
     "d60_bigram_logprob"     -> (Llm.d60_bigram_logprob _),
     "d61_source_drift"       -> (Llm.d61_source_drift _),
     "d62_heavy_hitters"      -> (Llm.d62_heavy_hitters _),
+    "d63_blocklist"          -> (Curate.d63_blocklist _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm8_shot_segments"      -> (Multimodal.mm8_shot_segments _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -1374,6 +1375,7 @@ object SparkEntry {
     "d60_bigram_logprob" -> Llm.d60OracleSql,
     "d61_source_drift" -> Llm.d61OracleSql,
     "d62_heavy_hitters" -> Llm.d62OracleSql,
+    "d63_blocklist" -> Curate.d63OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses
     // the attribute boundary into order/price

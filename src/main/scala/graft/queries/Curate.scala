@@ -1184,4 +1184,51 @@ object Curate {
       |  CAST(count(*) AS BIGINT) AS n_shared
       |FROM k a JOIN k b ON a.pk = b.pk AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
+
+  // ── d63: multi-pattern blocklist sweep (Aho–Corasick) ──────────────
+  /** Blocklist filtering — count occurrences of every blocklist phrase
+    * per document, then a density verdict. The scan is ONE
+    * Aho–Corasick automaton pass per document (`ac_counts`, a native
+    * codegen expression): O(len) in the text and INDEPENDENT of the
+    * pattern count, vs the expression-level alternative (a replace()
+    * or regexp_count per pattern) that rescans the corpus once per
+    * pattern — production blocklists run to thousands of terms, where
+    * O(len × P) is the difference between one pass over 100 TB and
+    * thousands. Map-only, zero shuffle; the verdict compares integer
+    * products (`n_hits·1000 < n_chars·2`, i.e. < 2 hits per 1000
+    * chars) so no float crosses the engine boundary. The oracle
+    * replays each pattern's non-overlapping count with the
+    * replace()-length identity — equal to AC end-position counts
+    * because every pattern is border-free (asserted at automaton
+    * build; see [[graft.functions.AhoCorasick.Blocklist]]). The SQL
+    * is GENERATED from the same Scala pattern table the expression
+    * compiles, so the two sides cannot drift (the d50 discipline). */
+  def d63_blocklist(s: SparkSession, d: String): DataFrame = {
+    graft.functions.AcExprs.register(s)
+    documents(s, d)
+      .withColumn("c", expr("ac_counts(text)"))
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(c, 0L, (a, x) -> a + x)").as("n_hits"),
+        expr("cast(size(filter(c, x -> x > 0)) as bigint)").as("n_patterns_hit"),
+        (expr("aggregate(c, 0L, (a, x) -> a + x)") * 1000 <
+          col("n_chars") * 2).as("keep"))
+  }
+
+  def d63OracleSql: String = {
+    val occs = graft.functions.AhoCorasick.Blocklist.zipWithIndex.map {
+      case (p, i) =>
+        s"(length(text) - length(replace(text, '$p', ''))) // ${p.length} AS o$i"
+    }.mkString(",\n    ")
+    val ids = graft.functions.AhoCorasick.Blocklist.indices
+    s"""WITH occ AS (
+       |  SELECT doc_id, source, n_chars,
+       |    $occs
+       |  FROM documents)
+       |SELECT doc_id, source,
+       |  CAST(${ids.map(i => s"o$i").mkString(" + ")} AS BIGINT) AS n_hits,
+       |  CAST(${ids.map(i => s"(o$i > 0)::int").mkString(" + ")} AS BIGINT)
+       |    AS n_patterns_hit,
+       |  (${ids.map(i => s"o$i").mkString(" + ")}) * 1000 < n_chars * 2 AS keep
+       |FROM occ""".stripMargin
+  }
 }

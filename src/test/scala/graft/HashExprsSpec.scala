@@ -156,12 +156,49 @@ class HashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("ac_counts equals a naive per-pattern scan (overlaps, nesting, unicode)") {
+    import graft.functions.AhoCorasick
+    // naive: count all end positions (indexOf from every offset) — the
+    // AC definition, independent of the automaton code under test
+    def naive(text: String, p: String): Long = {
+      var n = 0L; var i = text.indexOf(p)
+      while (i >= 0) { n += 1; i = text.indexOf(p, i + 1) }
+      n
+    }
+    HashExprs.register(spark)
+    graft.functions.AcExprs.register(spark)
+    val pats = AhoCorasick.Blocklist
+    val corpus = Seq(
+      "", "big data", "big databig data big data",
+      "fast table fast table the vector slow scan",
+      // cross-pattern adjacency and a shared-word chain
+      "customer row query line sort column stream batch hash merge",
+      "spark join spark join spark join", "xbig datax",
+      "ünïcødé 中文 big data 中文", "no hits at all here",
+      ("small value window group " * 50))
+    val rows = corpus.toDF("text")
+      .select(col("text"), expr("ac_counts(text)").as("c")).collect()
+    rows.foreach { r =>
+      val got = r.getSeq[Long](1)
+      val want = pats.map(p => naive(r.getString(0), p))
+      assert(got == want, s"'${r.getString(0).take(40)}' got=$got want=$want")
+    }
+    // border-free patterns: AC end-position counts == non-overlapping
+    // counts (the oracle's replace identity) — check on the dense row
+    val dense = rows.find(_.getString(0).startsWith("small value window")).get
+    def replCount(t: String, p: String) = (t.length - t.replace(p, "").length) / p.length
+    assert(dense.getSeq[Long](1) ==
+      pats.map(p => replCount(dense.getString(0), p).toLong))
+  }
+
   test("expressions participate in codegen (no fallback)") {
     // a local Seq would constant-fold via ConvertToLocalRelation; use a
     // real parquet scan so the projection actually plans
     HashExprs.register(spark)
+    graft.functions.AcExprs.register(spark)
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(expr("minhash_sig(text)"), expr("simhash64(text)"))
+      .select(expr("minhash_sig(text)"), expr("simhash64(text)"),
+        expr("ac_counts(text)"))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p.take(500))
