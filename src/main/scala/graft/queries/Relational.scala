@@ -1986,6 +1986,52 @@ object Relational {
         min(col("v_long")).as("min_cents"), max(col("v_long")).as("max_cents"))
   }
 
+  // ── Inverted posting-list layout: build + term-pruned search ─────
+  /** Datomic's fulltext index as a PHYSICAL layout (the q83/X143
+    * discipline applied to text): build an inverted posting table —
+    * one (term, doc_id, tf) row per distinct term per document —
+    * range-clustered on the term's xxhash64 and persisted; a search
+    * then reads ONLY the files whose term_hash range covers the
+    * queried terms (IN-list pushdown + file/row-group statistics =
+    * the inverted index's seek), never the corpus. Conjunctive
+    * two-term query: docs containing BOTH terms, scored by summed
+    * term frequency, deterministic top-100 (score desc, doc_id).
+    *
+    * Scale shape: the build is one explode + count shuffle and a
+    * range-shuffle write (both ∝ corpus tokens, embarrassingly
+    * parallel); the search is bounded by the two terms' posting
+    * lists — on a 100 TB corpus that is KBs of postings read vs a
+    * full-text scan, exactly the economics Datomic buys by keeping
+    * Lucene beside the store. The oracle replays tokenize + filter +
+    * conjunction + scoring from the raw table. */
+  def q84_inverted_fulltext(s: SparkSession, d: String): DataFrame = {
+    import graft.store.IndexLayout
+    val terms = Seq("spark", "join")
+    val path = java.nio.file.Files.createTempDirectory("postings").toString
+    IndexLayout.materializePostings(documents(s, d), "doc_id", "text", path,
+      buckets = 16)
+    IndexLayout.postingsLookup(s, path, terms)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  def q84OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+      |  WHERE term IN ('spark', 'join') GROUP BY 1, 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(tf) AS BIGINT) AS score
+      |FROM tf GROUP BY doc_id HAVING count(*) = 2
+      |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   /** Partial-aggregation pushdown through the join, by hand (Catalyst
     * does not push aggs through joins): revenue is additive per

@@ -36,4 +36,40 @@ object IndexLayout {
       vFrom: Long, vUntil: Long): DataFrame =
     spark.read.parquet(path)
       .filter(col("a") === a && col("v_long") >= vFrom && col("v_long") < vUntil)
+
+  /** Datomic's fulltext index (a Lucene tree beside the EAVT store)
+    * re-expressed the same way as the AVET layout: an inverted
+    * POSTING-LIST table — one row per (term, doc), clustered on the
+    * term's hash. The live `fulltext` Datalog function scans text;
+    * at 100 TB search must touch only the postings of the queried
+    * terms, so the build range-clusters postings on `term_hash` and
+    * a term lookup becomes an IN-filter that parquet file/row-group
+    * statistics resolve to a handful of files — the inverted index's
+    * seek, re-expressed as layout + pushdown. Tokenization matches
+    * `fulltext` (lowercase, split on non-alphanumeric). */
+  def materializePostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int): Unit =
+    docs.select(col(idCol).as("doc_id"),
+        explode_outer(expr(
+          s"filter(split(lower($textCol), '[^a-z0-9]+'), w -> w <> '')")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("term_hash", xxhash64(col("term")))
+      .repartitionByRange(buckets, col("term_hash"))
+      .sortWithinPartitions(col("term_hash"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Term lookup against the layout: the `term_hash` IN-list pushes
+    * down (file + row-group skipping); the string equality guards
+    * hash collisions AFTER pruning. Returns (term, doc_id, tf). */
+  def postingsLookup(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    // xxhash64(lit(t)) constant-folds to a long literal, so the whole
+    // disjunction reaches the scan as a pushable In/Or over term_hash
+    val hashPred = terms.map(t => col("term_hash") === xxhash64(lit(t)))
+      .reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(hashPred && col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+  }
 }

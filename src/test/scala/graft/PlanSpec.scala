@@ -337,4 +337,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(a,order/price)"),
       s"attr filter must reach PushedFilters:\n${p.take(1200)}")
   }
+
+  test("q84: postings search pushes the term-hash IN-list onto the layout scan") {
+    val p = plan(Relational.q84_inverted_fulltext(spark, sf))
+    // xxhash64(lit) must constant-fold so the disjunction reaches the
+    // scan as Or(EqualTo(term_hash,…)) — no per-row hashing at read
+    assert(p.contains("EqualTo(term_hash,"),
+      s"term_hash literals must reach PushedFilters:\n${p.take(1200)}")
+    assert(p.contains("In(term, [join,spark])") || p.contains("In(term,"),
+      s"collision-guard term filter must reach the scan:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as TakeOrderedAndProject, not a full sort:\n${p.take(1200)}")
+  }
 }
