@@ -2032,6 +2032,55 @@ object Relational {
       |FROM tf GROUP BY doc_id HAVING count(*) = 2
       |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
 
+  // ── Z-order clustered layout: two-dimensional pruning ────────────
+  /** Multi-dimensional clustering (lakehouse Z-ORDER) under the
+    * oracle gate: events persisted ordered by the Morton interleave
+    * of (user_id, ts-minute) — `zorder64`, a codegen expression —
+    * so each file's min/max statistics are narrow in BOTH columns,
+    * and the rectangle query below (a user band × a time window)
+    * prunes at the scan in both dimensions at once. 1-D clustering
+    * (q83's AVET discipline) can only serve one access path; the
+    * events table is queried by user AND by time, which is exactly
+    * the case Z-order exists for. The z key lives only at write
+    * time — the read filters the RAW columns, so both predicates
+    * stay pushable (PlanSpec pins both in PushedFilters).
+    *
+    * Scale shape: the build is one range-shuffle + parallel write
+    * (∝ rows, no driver path); the read touches only files whose
+    * (user, minute) rectangle intersects the query's — on a 100 TB
+    * event store the difference between scanning everything and a
+    * few row groups. The oracle replays filter + aggregate off the
+    * raw table, proving the layout changes nothing semantically. */
+  def q85_zorder_events(s: SparkSession, d: String): DataFrame = {
+    import graft.store.IndexLayout
+    val minuteNs = 60L * 1000 * 1000 * 1000
+    val path = java.nio.file.Files.createTempDirectory("zorder").toString
+    IndexLayout.materializeZorder(
+      events(s, d).withColumn("ts_min", expr(s"ts div $minuteNs")),
+      "user_id", "ts_min", path, buckets = 16)
+    spark_read(s, path)
+      .filter(col("user_id") >= 100 && col("user_id") < 200 &&
+        col("ts") >= lit(1704067200L * 1000000000L) &&
+        col("ts") < lit(1704672000L * 1000000000L))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        money(col("value")).as("sum_cents"),
+        min(col("event_id")).as("min_event"), max(col("event_id")).as("max_event"))
+  }
+
+  private def spark_read(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  def q85OracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents,
+      |  min(event_id) AS min_event, max(event_id) AS max_event
+      |FROM events
+      |WHERE user_id >= 100 AND user_id < 200
+      |  AND ts >= CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+      |  AND ts < CAST('2024-01-08 00:00:00' AS TIMESTAMP)""".stripMargin
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   /** Partial-aggregation pushdown through the join, by hand (Catalyst
     * does not push aggs through joins): revenue is additive per

@@ -62,6 +62,28 @@ object IndexLayout {
   /** Term lookup against the layout: the `term_hash` IN-list pushes
     * down (file + row-group skipping); the string equality guards
     * hash collisions AFTER pruning. Returns (term, doc_id, tf). */
+  /** Two-dimensional clustering: order by the Morton interleave of two
+    * pre-scaled keys ([[graft.functions.ZOrder64]]), so contiguous key
+    * ranges are small RECTANGLES in (a, b) space and every persisted
+    * file carries narrow min/max statistics in BOTH raw columns — a
+    * predicate on either dimension (or both) then resolves at the
+    * scan via row-group statistics instead of row-level work. This is
+    * the standard lakehouse Z-ORDER; 1-D range clustering
+    * ([[materializeAvet]]) can only make one access path prunable,
+    * and the events table has two (by user, by time). The z key
+    * exists only at WRITE time — reads filter the raw columns, which
+    * is what keeps both predicates pushable. */
+  def materializeZorder(df: DataFrame, aCol: String, bCol: String,
+      path: String, buckets: Int): Unit = {
+    graft.functions.ZOrderExprs.register(df.sparkSession)
+    df.withColumn("__z",
+        expr(s"zorder64(cast($aCol as bigint), cast($bCol as bigint))"))
+      .repartitionByRange(buckets, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def postingsLookup(spark: SparkSession, path: String,
       terms: Seq[String]): DataFrame = {
     // xxhash64(lit(t)) constant-folds to a long literal, so the whole

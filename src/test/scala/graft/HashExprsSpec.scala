@@ -191,6 +191,33 @@ class HashExprsSpec extends AnyFunSuite {
       pats.map(p => replCount(dense.getString(0), p).toLong))
   }
 
+  test("zorder64 interleaves bits (naive reference) and preserves per-dim order") {
+    import graft.functions.ZOrder
+    def naive(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 32)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (12345L, 67890L),
+      (0xffffffffL, 0L), (0L, 0xffffffffL), (0xffffffffL, 0xffffffffL),
+      (1L << 31, 1L << 31), (29563123L, 14999L))
+    cases.foreach { case (a, b) =>
+      assert(ZOrder.interleave(a, b) == naive(a, b), s"($a, $b)")
+    }
+    // fixing one dim, z is monotone in the other — the property that
+    // makes contiguous z-ranges rectangles
+    val bs = Seq(0L, 7L, 1000L)
+    bs.foreach { b =>
+      val zs = (0L to 64L).map(a => ZOrder.interleave(a, b))
+      assert(zs == zs.sorted, s"monotone in a at b=$b")
+    }
+    // SQL registration evaluates (and codegens) the same kernel
+    graft.functions.ZOrderExprs.register(spark)
+    val r = spark.sql("SELECT zorder64(12345L, 67890L) AS z").head().getLong(0)
+    assert(r == naive(12345L, 67890L))
+  }
+
   test("expressions participate in codegen (no fallback)") {
     // a local Seq would constant-fold via ConvertToLocalRelation; use a
     // real parquet scan so the projection actually plans
