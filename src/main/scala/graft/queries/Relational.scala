@@ -2081,6 +2081,60 @@ object Relational {
       |  AND ts >= CAST('2024-01-01 00:00:00' AS TIMESTAMP)
       |  AND ts < CAST('2024-01-08 00:00:00' AS TIMESTAMP)""".stripMargin
 
+  // ── Time-series resample → gap-fill → rolling window ─────────────
+  /** The standard time-series pipeline over the event stream:
+    * downsample to per-(user, day) buckets, DENSIFY the day axis so
+    * every user carries every day of the table's span (gap days as
+    * explicit zero rows — rolling windows are wrong without them),
+    * then a 3-day rolling sum per user. All declarative: the day
+    * spine is `sequence(min_day, max_day)` exploded from the global
+    * single-row bounds aggregate and broadcast-crossed with the
+    * distinct-user set (spine size = users × days — proportional to
+    * the OUTPUT, which is inherent to gap-fill, never to the event
+    * count); the rolling sum is one window pass over the densified
+    * frame, partitioned by user so the sort is per-user-sized. The
+    * money discipline keeps every value an integer cents long — the
+    * rolling sum is exact on both engines. */
+  def q86_resample_gapfill(s: SparkSession, d: String): DataFrame = {
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = events(s, d)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"), col("value"))
+    val agg = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("cents"))
+    val days = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    val spine = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(days))
+    val filled = spine.join(agg, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-2, 0)
+    filled.withColumn("cents_3d", sum(col("cents")).over(w))
+  }
+
+  def q86OracleSql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, value FROM events),
+      |agg AS (
+      |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM d GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      |spine AS (
+      |  SELECT u.user_id, s.day
+      |  FROM (SELECT DISTINCT user_id FROM d) u, b,
+      |    unnest(generate_series(b.lo, b.hi)) AS s(day)),
+      |f AS (
+      |  SELECT spine.user_id, spine.day,
+      |    coalesce(n, 0) AS n, coalesce(cents, 0) AS cents
+      |  FROM spine LEFT JOIN agg USING (user_id, day))
+      |SELECT user_id, day, n, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_3d
+      |FROM f""".stripMargin
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   /** Partial-aggregation pushdown through the join, by hand (Catalyst
     * does not push aggs through joins): revenue is additive per
