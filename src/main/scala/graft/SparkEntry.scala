@@ -147,6 +147,7 @@ object SparkEntry {
     "q84_inverted_fulltext"  -> (Relational.q84_inverted_fulltext _),
     "q85_zorder_events"      -> (Relational.q85_zorder_events _),
     "q86_resample_gapfill"   -> (Relational.q86_resample_gapfill _),
+    "q87_pagerank"           -> (Relational.q87_pagerank _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1209,6 +1210,7 @@ object SparkEntry {
     "q84_inverted_fulltext" -> Relational.q84OracleSql,
     "q85_zorder_events" -> Relational.q85OracleSql,
     "q86_resample_gapfill" -> Relational.q86OracleSql,
+    "q87_pagerank" -> Relational.q87OracleSql,
     "q83_avet_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_datoms,
         |  CAST(sum(c) AS BIGINT) AS total_cents,

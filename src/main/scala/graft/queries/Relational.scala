@@ -2135,6 +2135,84 @@ object Relational {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_3d
       |FROM f""".stripMargin
 
+  // ── PageRank over the page-transition graph ───────────────────────
+  /** Iterative graph scoring under the oracle gate: consecutive
+    * events per user (ordered by ts, event_id) define weighted
+    * page-transition edges on the ~|pages| node set; three PageRank
+    * rounds follow, in INTEGER basis points (scale 1e6, floor
+    * division at exactly the same points on both engines — the d51
+    * float-parity discipline, so the gate is exact, not tolerance-
+    * based). Shape per round: ranks ⋈ edges (ranks is |nodes| rows —
+    * broadcast), one groupBy(dst) agg — the Pregel/GraphX economics
+    * re-expressed as keyed re-aggs of a static edge relation. The
+    * edge build is one window pass over events (user-partitioned);
+    * rounds are BOUNDED (fixed 3) and never collect — at 100 TB the
+    * per-round cost is one shuffle of |edges| contributions.
+    * Dangling-node leakage is accepted identically on both engines
+    * (the standard simplification). */
+  def q87_pagerank(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000L
+    val ev = events(s, d).select(col("user_id"),
+      regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("page"),
+      col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = ev
+      .withColumn("src", lag(col("page"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("page").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(broadcast(ranks), edges("src") === ranks("node"))
+        .join(broadcast(outW), "src")
+        .select(col("dst"),
+          expr("rank * w div wout").as("c")) // integral div: exact, both engines
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+            expr("85 * coalesce(cs, 0L) div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  def q87OracleSql: String = {
+    // one PageRank round as SQL (rank table name parameterized) —
+    // generated so Spark's loop and the oracle's unroll cannot drift
+    def round(prev: String, next: String): String =
+      s"""$next AS (
+         |  SELECT n.node,
+         |    150000 + CAST(85 * coalesce(c.cs, 0) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(CAST(r.rank * e.w // o.wout AS BIGINT)) AS cs
+         |    FROM edges e JOIN $prev r ON r.node = e.src
+         |      JOIN outw o ON o.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = n.node)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS page,
+       |    ts, event_id FROM events),
+       |seq AS (
+       |  SELECT user_id, page AS dst,
+       |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+       |  FROM ev),
+       |edges AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM seq
+       |  WHERE src IS NOT NULL GROUP BY 1, 2),
+       |outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY 1),
+       |nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, rank FROM r3""".stripMargin
+  }
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   /** Partial-aggregation pushdown through the join, by hand (Catalyst
     * does not push aggs through joins): revenue is additive per
