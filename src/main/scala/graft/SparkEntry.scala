@@ -148,6 +148,7 @@ object SparkEntry {
     "q85_zorder_events"      -> (Relational.q85_zorder_events _),
     "q86_resample_gapfill"   -> (Relational.q86_resample_gapfill _),
     "q87_pagerank"           -> (Relational.q87_pagerank _),
+    "q88_index_compaction"   -> (Relational.q88_index_compaction _),
     "d42_rrf_hybrid"         -> (Llm.d42_rrf_hybrid _),
     "d43_semdedup"           -> (Llm.d43_semdedup _),
     "d44_quality_classifier" -> (Llm.d44_quality_classifier _),
@@ -1211,6 +1212,7 @@ object SparkEntry {
     "q85_zorder_events" -> Relational.q85OracleSql,
     "q86_resample_gapfill" -> Relational.q86OracleSql,
     "q87_pagerank" -> Relational.q87OracleSql,
+    "q88_index_compaction" -> Relational.q88OracleSql,
     "q83_avet_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_datoms,
         |  CAST(sum(c) AS BIGINT) AS total_cents,

@@ -2213,6 +2213,53 @@ object Relational {
        |SELECT node, rank FROM r3""".stripMargin
   }
 
+  // ── Index tail-merge compaction (Datomic's background indexing) ──
+  /** Datomic never rebuilds an index per transaction — the log tail
+    * accumulates and the background indexing job merges it into the
+    * sorted segments, touching only the segments the tail lands in.
+    * q88 gates that lifecycle end-to-end on the bucketed layout
+    * ([[graft.store.IndexLayout.materializeAvetBucketed]]): build the
+    * AVET from the first 80% of orders (the "indexed" state), merge
+    * the remaining 20% as a tail ([[graft.store.IndexLayout
+    * .compactTail]] — reads only tail-touched bucket directories,
+    * dynamic-partition-overwrite rewrites only those), then a range
+    * read over the compacted index (directory pruning from the
+    * boundary sidecar + row-group pushdown within survivors). The
+    * oracle computes the same range aggregate from ALL orders — so
+    * the gate proves compaction lost nothing, duplicated nothing,
+    * and the pruned read sees exactly the merged state. Compaction
+    * cost ∝ touched buckets + tail, never index size
+    * (IndexLayoutSpec pins that untouched directories are not
+    * rewritten). */
+  def q88_index_compaction(s: SparkSession, d: String): DataFrame = {
+    import graft.store.IndexLayout
+    val c = cents(col("o_totalprice"))
+    val all = orders(s, d).select(
+      col("o_orderkey").cast("string").as("e"), lit("order/price").as("a"),
+      c.cast("string").as("v"), c.cast("long").as("v_long"),
+      lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
+    val base = all.filter(col("e").cast("long") % 5 =!= 0)
+    val tail = all.filter(col("e").cast("long") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("avetc").toString
+    IndexLayout.materializeAvetBucketed(base, path, buckets = 16)
+    IndexLayout.compactTail(s, path, tail)
+    IndexLayout.avetRangeBucketed(s, path, "order/price", 5000000L, 6000000L)
+      .agg(count(lit(1)).as("n_datoms"),
+        sum(col("v_long")).cast("long").as("total_cents"),
+        countDistinct(col("e")).as("n_entities"),
+        min(col("v_long")).as("min_cents"), max(col("v_long")).as("max_cents"))
+  }
+
+  def q88OracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_datoms,
+      |  CAST(sum(c) AS BIGINT) AS total_cents,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_entities,
+      |  CAST(min(c) AS BIGINT) AS min_cents, CAST(max(c) AS BIGINT) AS max_cents
+      |FROM (SELECT o_orderkey AS k,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |      FROM orders)
+      |WHERE c >= 5000000 AND c < 6000000""".stripMargin
+
   // ── Multi-way join (star): lineitem ⋈ orders ⋈ customer ⋈ nation ──
   /** Partial-aggregation pushdown through the join, by hand (Catalyst
     * does not push aggs through joins): revenue is additive per

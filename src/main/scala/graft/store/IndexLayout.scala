@@ -62,6 +62,116 @@ object IndexLayout {
   /** Term lookup against the layout: the `term_hash` IN-list pushes
     * down (file + row-group skipping); the string equality guards
     * hash collisions AFTER pruning. Returns (term, doc_id, tf). */
+  // ── Bucketed AVET + tail-merge compaction ──────────────────────────
+  // Datomic doesn't rebuild its index trees per transaction: the log
+  // tail accumulates and a background INDEXING job merges it into the
+  // sorted segments, touching only the segments the tail lands in.
+  // The layout below re-expresses that: the index is a parquet table
+  // DIRECTORY-PARTITIONED by range bucket (boundaries recorded at
+  // build in a sidecar), so
+  //   - a range read prunes whole directories (true file skipping,
+  //     stronger than row-group stats) before the usual pushdown;
+  //   - compaction reads ONLY the buckets the tail touches, merges,
+  //     and dynamic-partition-overwrite rewrites just those
+  //     directories — untouched buckets are never read or written.
+  // At 100 TB with a small tail this is the difference between a
+  // full-index rewrite and a few segment rewrites — Datomic's
+  // indexing economics, re-expressed as layout + dynamic overwrite.
+
+  /** Boundary sidecar: upper-INCLUSIVE (a, v_long) composite bound per
+    * bucket except the last (+∞). Computed from a bounded sort-key
+    * sample at build; correctness never depends on boundary quality —
+    * only write amplification does. */
+  private def boundsPath(path: String) = s"$path/_bounds.json"
+
+  private def writeBounds(path: String, bounds: Seq[(String, Long)]): Unit = {
+    val json = bounds.map { case (a, v) =>
+      s"""{"a": "${a.replace("\\", "\\\\").replace("\"", "\\\"")}", "v": $v}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(boundsPath(path)), json)
+  }
+
+  private def readBounds(path: String): Seq[(String, Long)] = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(boundsPath(path)))
+    """\{"a": "((?:[^"\\]|\\.)*)", "v": (-?\d+)\}""".r.findAllMatchIn(json).map { m =>
+      (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), m.group(2).toLong)
+    }.toSeq
+  }
+
+  /** Bucket id of each row: how many boundaries the key exceeds — a
+    * bounded `filter` over the broadcast boundary array literal (≤
+    * buckets elements), evaluated scan-side. */
+  private def withBucket(df: DataFrame, bounds: Seq[(String, Long)]): DataFrame = {
+    val arr = array(bounds.map { case (a, v) =>
+      struct(lit(a).as("ba"), lit(v).as("bv"))
+    }: _*)
+    df.withColumn("bucket",
+      size(filter(arr, b =>
+        b.getField("ba") < col("a") ||
+          (b.getField("ba") === col("a") && b.getField("bv") < col("v_long")))))
+  }
+
+  /** Build the bucketed layout: boundary sample → per-bucket sorted
+    * parquet under `bucket=N/` directories. One exchange on the bucket
+    * id + per-partition sort — embarrassingly parallel writes. */
+  def materializeAvetBucketed(state: DataFrame, path: String, buckets: Int): Unit = {
+    val n = buckets.max(1)
+    // boundary sample: deterministic every-k-th element of the sorted
+    // (a, v_long) sample, driver-bounded (≤ 8k keys)
+    val sample = state.select(col("a"), col("v_long"))
+      .orderBy(xxhash64(col("a"), col("v_long"), col("e"))).limit(8192)
+      .orderBy(col("a"), col("v_long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val step = math.max(1, sample.length / n)
+    val bounds = (1 until n).flatMap(i => sample.lift(i * step - 1)).distinct
+    withBucket(state, bounds)
+      .repartition(n, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("a"), col("v_long"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    writeBounds(path, bounds) // after the write: Overwrite wipes the dir
+  }
+
+  /** Merge a datom tail into the layout, rewriting ONLY the buckets
+    * the tail touches (dynamic partition overwrite). Cost ∝ touched
+    * buckets + tail, never the index size. */
+  def compactTail(spark: SparkSession, path: String, tail: DataFrame): Unit = {
+    val bounds = readBounds(path)
+    val tailB = withBucket(tail, bounds)
+    // touched-bucket set: bounded by the bucket count, tiny collect
+    val touched = tailB.select(col("bucket")).distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val cols = tail.columns.map(col) :+ col("bucket")
+    val old = spark.read.parquet(path) // partition-pruned by the isin below
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .select(cols: _*)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try old.unionByName(tailB.select(cols: _*))
+      .repartition(touched.length.max(1), col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("a"), col("v_long"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Range read against the bucketed layout: candidate buckets are
+    * derived from the sidecar DRIVER-side, so the `bucket` predicate
+    * prunes whole directories before the (a, v_long) pushdown prunes
+    * row groups within the survivors. */
+  def avetRangeBucketed(spark: SparkSession, path: String, a: String,
+      vFrom: Long, vUntil: Long): DataFrame = {
+    val bounds = readBounds(path)
+    def bucketOf(key: (String, Long)): Int =
+      bounds.count(b => b._1 < key._1 || (b._1 == key._1 && b._2 < key._2))
+    val lo = bucketOf((a, vFrom))
+    val hi = bucketOf((a, vUntil)) // vUntil exclusive, but inclusive here is safe
+    spark.read.parquet(path)
+      .filter(col("bucket") >= lo && col("bucket") <= hi &&
+        col("a") === a && col("v_long") >= vFrom && col("v_long") < vUntil)
+  }
+
   /** Two-dimensional clustering: order by the Morton interleave of two
     * pre-scaled keys ([[graft.functions.ZOrder64]]), so contiguous key
     * ranges are small RECTANGLES in (a, b) space and every persisted
