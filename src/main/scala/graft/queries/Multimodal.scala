@@ -358,15 +358,23 @@ object Multimodal {
     val orig = base.select(col("strength"), col("doc_id"),
       expr("ahash_bits(text, w, h)").as("phash"))
     // the variant re-encodes with the ORIGINAL's geometry (same image,
-    // new bytes) — every strength-th char rewritten
+    // new bytes) — every strength-th char rewritten. Codegen regexp
+    // (strength-sized groups, last char → 'z'), not a per-char lambda:
+    // the HOF formulation allocated one boxed char per input char and
+    // measured as the query's hottest stage at sf10
     val vari = base.select(col("strength"), (col("doc_id") + off).as("doc_id"),
-      expr("ahash_bits(array_join(transform(filter(split(text, ''), c -> c <> ''), " +
-        "(c, i) -> if((i + 1) % strength = 0, 'z', c)), ''), w, h)").as("phash"))
+      expr("ahash_bits(if(strength = 3, regexp_replace(text, '(.{2}).', '$1z'), " +
+        "regexp_replace(text, '(.{6}).', '$1z')), w, h)").as("phash"))
+    // pack the 64-bit hash string into two longs ONCE per row: the
+    // shuffle then moves 16 bytes instead of a 64-char string, and the
+    // Hamming verify is 2 xor + 2 bit_count instead of 64 substrings
     val bk = orig.unionByName(vari)
-      .select(col("strength"), col("doc_id"), col("phash"),
+      .select(col("strength"), col("doc_id"),
+        expr("cast(conv(substring(phash, 1, 32), 2, 10) as bigint)").as("h1"),
+        expr("cast(conv(substring(phash, 33, 32), 2, 10) as bigint)").as("h2"),
         explode(expr("transform(sequence(0, 3), b -> named_struct(" +
           "'band', b, 'k', substring(phash, b * 16 + 1, 16)))")).as("bb"))
-      .select(col("strength"), col("doc_id"), col("phash"),
+      .select(col("strength"), col("doc_id"), col("h1"), col("h2"),
         col("bb.band").as("band"), col("bb.k").as("k"))
     val keep = bk.groupBy(col("strength"), col("band"), col("k"))
       .agg(count(lit(1)).as("n")).filter(col("n").between(2, 8))
@@ -376,10 +384,11 @@ object Multimodal {
         col("x.strength") === col("y.strength") && col("x.band") === col("y.band") &&
           col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.strength").as("strength"), col("x.doc_id").as("a_id"),
-        col("y.doc_id").as("b_id"), col("x.phash").as("ap"), col("y.phash").as("bp"))
+        col("y.doc_id").as("b_id"), col("x.h1").as("ah1"), col("x.h2").as("ah2"),
+        col("y.h1").as("bh1"), col("y.h2").as("bh2"))
       .distinct()
     val ham = cand.withColumn("hd", expr(
-      "size(filter(sequence(1, 64), i -> substring(ap, i, 1) <> substring(bp, i, 1)))"))
+      "bit_count(ah1 ^ bh1) + bit_count(ah2 ^ bh2)"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
     ham.groupBy(col("strength")).agg(
         count(lit(1)).as("n_candidates"),
