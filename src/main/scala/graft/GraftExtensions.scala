@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(bf, v) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
     })
+    inject(ext, "char_stats", es => CharStatsExpr(es.head))
     inject(ext, "ac_counts", {
       case Seq(text) => AcCounts(text, AhoCorasick.BlocklistSpec)
       case Seq(text, spec) => AcCounts(text,

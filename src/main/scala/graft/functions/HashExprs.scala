@@ -384,6 +384,76 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Single-pass character statistics for the entropy filter (d56):
+  * one sweep over the text's CODE POINTS into a histogram, then the
+  * Shannon terms accumulated in ASCENDING code-point order — the
+  * same summation order as the sorted-run formulation it replaces
+  * (and as a char-ordered SQL GROUP BY), so the float result is
+  * bit-identical and the 6-dp oracle round-trip is unchanged. The
+  * sorted-run expression it replaces costs O(len·log len) with one
+  * boxed string per character; this is O(len + alphabet) with zero
+  * allocation on the ASCII fast path. */
+object CharStats {
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val ascii = new Array[Long](128)
+    var wide: java.util.TreeMap[Integer, Long] = null
+    var n = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (wide == null) wide = new java.util.TreeMap[Integer, Long]()
+        val prev = wide.get(cp)
+        wide.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    var k = 0L
+    var h = 0.0
+    val dn = n.toDouble
+    var c = 0
+    while (c < 128) {
+      val cnt = ascii(c)
+      if (cnt > 0L) {
+        k += 1L
+        val p = cnt.toDouble / dn
+        h += p * (0.0 - (math.log(p) / math.log(2.0)))
+      }
+      c += 1
+    }
+    if (wide != null) {
+      val it = wide.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        k += 1L
+        val p = e.getValue.toDouble / dn
+        h += p * (0.0 - (math.log(p) / math.log(2.0)))
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, k, if (n == 0L) 0.0 else h))
+  }
+}
+
+/** `char_stats(text)` → struct<n: bigint, k: bigint, entropy: double>. */
+case class CharStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("k", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("entropy", DoubleType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    CharStats.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharStats.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "char_stats"
+}
+
 /** SQL registration (idempotent): `minhash_sig(text)`, `simhash64(text)`. */
 object HashExprs {
   def register(spark: SparkSession): Unit = {
@@ -396,6 +466,8 @@ object HashExprs {
       es => MinhashAgree(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("char_stats",
+      es => CharStatsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bands", {
       case Seq(text) => LshBands(text, 8)
       case Seq(text, b) => LshBands(text,

