@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bf, v)
     })
     inject(ext, "char_stats", es => CharStatsExpr(es.head))
+    inject(ext, "word_ngrams", {
+      case Seq(text) => WordNgramsExpr(text, 3)
+      case Seq(text, n) => WordNgramsExpr(text, n.eval(null).asInstanceOf[Number].intValue)
+    })
     inject(ext, "ac_counts", {
       case Seq(text) => AcCounts(text, AhoCorasick.BlocklistSpec)
       case Seq(text, spec) => AcCounts(text,

@@ -384,6 +384,74 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Word n-gram spans in one kernel sweep (d57's census input): the
+  * expression-level formulation — `filter(split(lower(text), ...))` +
+  * `transform(sequence(...), i -> array_join(slice(...)))` — builds a
+  * boxed token array, then a boxed span array, then joins each slice,
+  * all interpreted. This kernel tokenizes BYTES directly (ASCII
+  * letters/digits fold to lowercase and are token chars; every other
+  * byte — including all multi-byte UTF-8 sequences, which the regex
+  * formulation also treats as separators — terminates a token) and
+  * emits each n-word span as one UTF8String slice-copy. Identical
+  * output to the HOF chain (LlmSpec pins it), one allocation per
+  * span. */
+object WordNgrams {
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    // token boundaries: [start, end) offsets into the LOWERCASED bytes
+    val lower = new Array[Byte](bytes.length)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var inTok = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isUpper = b >= 'A' && b <= 'Z'
+      val lc: Byte = if (isUpper) (b + 32).toByte else b
+      lower(i) = lc
+      val tok = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')
+      if (tok && !inTok) { starts.add(i); inTok = true }
+      if (!tok && inTok) { ends.add(i); inTok = false }
+      i += 1
+    }
+    if (inTok) ends.add(bytes.length)
+    val nTok = starts.size()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - n + 1)
+    var t = 0
+    while (t <= nTok - n) {
+      // span = tokens t .. t+n-1 joined with ' '
+      var len = n - 1
+      var j = t
+      while (j < t + n) { len += ends.get(j) - starts.get(j); j += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      j = t
+      while (j < t + n) {
+        val s = starts.get(j); val e = ends.get(j)
+        System.arraycopy(lower, s, buf, pos, e - s)
+        pos += e - s
+        if (j < t + n - 1) { buf(pos) = ' '; pos += 1 }
+        j += 1
+      }
+      out(t) = UTF8String.fromBytes(buf)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}
+
 /** Single-pass character statistics for the entropy filter (d56):
   * one sweep over the text's CODE POINTS into a histogram, then the
   * Shannon terms accumulated in ASCENDING code-point order — the
@@ -468,6 +536,11 @@ object HashExprs {
       es => VecDot(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("char_stats",
       es => CharStatsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams", {
+      case Seq(text) => WordNgramsExpr(text, 3)
+      case Seq(text, n) => WordNgramsExpr(text,
+        n.eval(null).asInstanceOf[Number].intValue)
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bands", {
       case Seq(text) => LshBands(text, 8)
       case Seq(text, b) => LshBands(text,

@@ -1368,14 +1368,15 @@ object Llm {
     * census would shuffle ~50-byte keys; this ships 8-byte hashes
     * and touches strings only for ~k survivors. */
   def d57_ngram_topk(s: SparkSession, d: String, n: Int = 3, k: Int = 50): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    // spans via the codegen word_ngrams kernel (one tokenizer sweep,
+    // one allocation per span) — the HOF chain it replaced (filter ∘
+    // split, then transform ∘ slice ∘ array_join) built two boxed
+    // arrays per document and ran interpreted. Fed lower(text) so
+    // unicode case folding stays Spark's own (kernel tokenization is
+    // byte-exact vs the [^a-z0-9]+ regex).
     def spans = documents(s, d)
-      .withColumn("ws",
-        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
-      .withColumn("span", explode(when(size(col("ws")) < n,
-          array().cast("array<string>"))
-        .otherwise(expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> array_join(slice(ws, i, $n), ' '))"))))
-      .select(col("span"))
+      .select(explode(expr(s"word_ngrams(lower(text), $n)")).as("span"))
     val hcensus = spans.select(xxhash64(col("span")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     val kthRow = hcensus.select(col("cnt")).orderBy(col("cnt").desc).limit(k)

@@ -191,6 +191,29 @@ class HashExprsSpec extends AnyFunSuite {
       pats.map(p => replCount(dense.getString(0), p).toLong))
   }
 
+  test("word_ngrams equals the filter∘split + transform∘slice HOF chain") {
+    HashExprs.register(spark)
+    val corpus = Seq(
+      "", "one", "one two", "one two three", "a b c d e",
+      "  leading and trailing  ", "punct!!!between,,words",
+      "UPPER Case MiXeD 123 tokens", "ünïcødé séparators 中文 between a b c",
+      "İstanbul I case folding edge a b", "tabs\tand\nnewlines a b c",
+      ("the quick brown fox " * 30))
+    val df = corpus.toDF("text")
+      .withColumn("kernel", expr("word_ngrams(lower(text), 3)"))
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .withColumn("hof", when(size(col("ws")) < 3,
+          expr("array()").cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, size(ws) - 2), " +
+          "i -> array_join(slice(ws, i, 3), ' '))")))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](3),
+        s"'${r.getString(0).take(40)}': kernel=${r.getSeq[String](1).take(3)} " +
+          s"hof=${r.getSeq[String](3).take(3)}")
+    }
+  }
+
   test("zorder64 interleaves bits (naive reference) and preserves per-dim order") {
     import graft.functions.ZOrder
     def naive(a: Long, b: Long): Long = {
