@@ -826,8 +826,9 @@ object Curate {
     * doc-keyed agg, TakeOrderedAndProject — never a corpus shuffle. */
   def d51_dsir(s: SparkSession, d: String, k: Int = 25,
       targetSource: String = "src0"): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val toks = documents(s, d).select(col("doc_id"), col("source"),
-        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)")).as("w"))
+        explode(expr("word_ngrams(lower(text), 1)")).as("w"))
       .withColumn("b", pmod(xxhash64(col("w")), lit(1024L)))
     val ct = toks.filter(col("source") === targetSource)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
@@ -1148,9 +1149,8 @@ object Curate {
     * 100 TB the key census is the same narrow shape d01/d35 scale
     * on; nothing ever joins the corpus to itself. */
   def d58_source_overlap(s: SparkSession, d: String): DataFrame = {
-    val key = expr(
-      "array_join(slice(filter(split(lower(text), '[^a-z0-9]+'), " +
-        "w -> length(w) > 0), 1, 8), ' ')")
+    graft.functions.HashExprs.register(s)
+    val key = expr("array_join(slice(word_ngrams(lower(text), 1), 1, 8), ' ')")
     val sh = documents(s, d)
       .select(col("source"), xxhash64(key).as("h")).distinct()
     sh.groupBy(col("h"))

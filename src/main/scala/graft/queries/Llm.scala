@@ -400,12 +400,13 @@ object Llm {
 
   /** Quality scoring: length, punctuation ratio, stopword ratio,
     * mean word length — single scan, all codegen'd. */
-  def d10_quality_score(s: SparkSession, d: String): DataFrame =
+  def d10_quality_score(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     documents(s, d)
       .withColumn("n_len", length(col("text")).cast("long"))
       .withColumn("n_punct", (length(col("text")) -
         length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("long"))
-      .withColumn("words", expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+      .withColumn("words", expr("word_ngrams(lower(text), 1)"))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("n_stop", expr(
         "size(filter(words, w -> w in ('the', 'a', 'of', 'and', 'to', 'in')))").cast("long"))
@@ -413,6 +414,7 @@ object Llm {
         col("doc_id"), col("n_len"), col("n_punct"), col("n_words"), col("n_stop"),
         round(col("n_punct") / greatest(col("n_len"), lit(1)), 6).as("punct_ratio"),
         round(col("n_stop") / greatest(col("n_words"), lit(1)), 6).as("stop_ratio"))
+  }
 
   /** Token counting: whitespace tokens + a BPE-ish estimate
     * (per-word ceil(len/4) subword pieces). */
@@ -451,8 +453,9 @@ object Llm {
     * ≪ corpus, so everything after the components is a small-keyed
     * groupBy. */
   def d31_cluster_representatives(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val words = documents(s, d).select(col("doc_id"),
-      expr("size(filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))")
+      expr("size(word_ngrams(lower(text), 1))")
         .cast("long").as("n_words"))
     d18_dedup_clusters(s, d).join(words, "doc_id")
       .groupBy(col("cluster_id"))
@@ -473,7 +476,7 @@ object Llm {
     graft.functions.HashExprs.register(s)
     documents(s, d)
       .withColumn("tokens",
-        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+        expr("word_ngrams(lower(text), 1)"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
       .withColumn("total_grams",
         when(col("n_tokens") === 0, 0L)
@@ -638,9 +641,10 @@ object Llm {
     * corpus²); the top-3 window partitions by doc_id, so no global
     * sort. N (total docs) is a 1-row broadcast cross join. */
   def d28_tfidf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val docs = documents(s, d)
     val tokens = spread(docs).select(col("doc_id"),
-        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+        explode(expr("word_ngrams(lower(text), 1)")).as("term"))
     val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -683,9 +687,10 @@ object Llm {
     * Σ tf·ln p(w) / Σ tf. No corpus self-join; every shuffle keys on
     * term or doc_id. */
   def d30_unigram_logprob(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val docs = documents(s, d)
     val tf = spread(docs).select(col("doc_id"),
-        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+        explode(expr("word_ngrams(lower(text), 1)")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
@@ -853,15 +858,11 @@ object Llm {
   /** Core of d37 over any (doc_id, text) frame. */
   def duplicateSpans(docs: DataFrame, window: Int,
       hashSpans: Boolean = false): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
     val w = window
     val spans = docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)").as("ws"))
-      .select(col("doc_id"),
-        explode(when(size(col("ws")) < w, array().cast("array<string>"))
-          .otherwise(expr(
-            s"transform(sequence(1, size(ws) - ${w - 1}), i -> array_join(slice(ws, i, $w), ' '))")))
-          .as("span"))
+        explode(expr(s"word_ngrams(lower(text), $w)")).as("span"))
     // the census key: the span itself, or its 64-bit hash (project the
     // string away BEFORE the shuffles so the narrow key is what
     // actually moves)
@@ -948,10 +949,11 @@ object Llm {
     * callers append their own LIMIT so each plan keeps its own
     * TakeOrderedAndProject k. */
   private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val terms = Seq("hash", "join", "vector")
     val docs = documents(s, d)
       .withColumn("toks",
-        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+        expr("word_ngrams(lower(text), 1)"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val withTf = terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
       df.withColumn(s"tf$i", expr(s"cast(size(filter(toks, w -> w = '$t')) as bigint)"))
@@ -1212,10 +1214,11 @@ object Llm {
     * one `aggregate(...)` higher-order expression per row (classifier
     * inference is embarrassingly parallel; a real weight table would
     * broadcast and the lookup stays map-side). */
-  def d44_quality_classifier(s: SparkSession, d: String): DataFrame =
+  def d44_quality_classifier(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     documents(s, d)
       .withColumn("toks",
-        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+        expr("word_ngrams(lower(text), 1)"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("margin", expr(
         "aggregate(toks, 0L, (acc, w) -> acc + (pmod(xxhash64(w), 2003L) - 1001L))"))
@@ -1223,6 +1226,7 @@ object Llm {
         round(col("margin") / (lit(1001.0) * greatest(col("n_tokens"), lit(1L))), 6)
           .as("score"),
         (col("margin") > 0L).as("keep"))
+  }
 
   // ── d49: leakage-safe train/val/test split ─────────────────────────
   /** Group-aware corpus splitting — the leakage control every training
@@ -1236,6 +1240,7 @@ object Llm {
     * propagation ∝ edges) left-join the corpus once; assignment is a
     * map-side expression. */
   def d49_leakage_split(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val clusters = d18_dedup_clusters(s, d)
     val bucket = pmod(expr("xxhash64(group_key)"), lit(10L))
     documents(s, d).select(col("doc_id"))
@@ -1330,10 +1335,11 @@ object Llm {
     * global sort, no shuffle of the corpus. Selection order compares
     * raw doubles (the d07/d41 discipline: identical expression on
     * both engines; output keys round to 6 dp). */
-  def d47_weighted_sample(s: SparkSession, d: String): DataFrame =
+  def d47_weighted_sample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     documents(s, d)
       .withColumn("n_tokens", expr(
-        "cast(size(filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)) as bigint)"))
+        "cast(size(word_ngrams(lower(text), 1)) as bigint)"))
       .filter(col("n_tokens") > 0)
       .withColumn("u",
         (pmod(expr("xxhash64(doc_id)"), lit(1048576L)) + 1) / 1048576.0)
@@ -1341,6 +1347,7 @@ object Llm {
       .orderBy(col("key").asc, col("doc_id").asc)
       .limit(100)
       .select(col("doc_id"), col("n_tokens"), round(col("key"), 6).as("sample_key"))
+  }
 
   def d46OracleSql: String =
     """WITH n AS (
@@ -1424,10 +1431,11 @@ object Llm {
     * sketch alone and only ever pay exact counting for the candidate
     * set it returns. */
   def d62_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     import s.implicits._
     val toks = spread(documents(s, d))
       .select(explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+        "word_ngrams(lower(text), 1)")).as("term"))
     val entries = toks.as[String].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       val (es, floor) = graft.ops.SpaceSaving.summarize(it, 256)
@@ -1483,9 +1491,10 @@ object Llm {
     * strings here since the score needs no string recovery either
     * way. */
   def d60_bigram_logprob(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val tfb = spread(documents(s, d))
       .withColumn("ws",
-        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
+        expr("word_ngrams(lower(text), 1)"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, greatest(size(ws) - 1, 0)), i -> named_struct(" +
           "'w1', element_at(ws, i), " +
@@ -1530,9 +1539,10 @@ object Llm {
     * re-agg of THAT census (never a second scan); output is
     * |sources| rows. */
   def d61_source_drift(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val stf = spread(documents(s, d))
       .select(col("source"), explode(expr(
-        "filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)")).as("term"))
+        "word_ngrams(lower(text), 1)")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
     val vocab = stf.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
     val stot = stf.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))

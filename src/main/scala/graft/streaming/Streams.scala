@@ -280,18 +280,16 @@ object Streams {
     * (window, span). [[trendingTopkOfBatch]] ranks a finalized
     * batch's windows top-k — rows ∝ emitted windows, tiny. */
   def trendingSpans(docs: DataFrame, windowDur: String = "10 minutes",
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes"): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
     docs
-      .withColumn("ws",
-        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"))
-      .select(col("ts"), explode(when(size(col("ws")) < 3,
-          array().cast("array<string>"))
-        .otherwise(expr("transform(sequence(1, size(ws) - 2), " +
-          "i -> array_join(slice(ws, i, 3), ' '))"))).as("span"))
+      .select(col("ts"),
+        explode(expr("word_ngrams(lower(text), 3)")).as("span"))
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowDur).as("win"), col("span"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("win.start").as("window_start"), col("span"), col("cnt"))
+  }
 
   /** Rank one finalized micro-batch of [[trendingSpans]] output to the
     * top-k spans per window (count desc, span asc — total order). */
