@@ -1682,4 +1682,43 @@ object Llm {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
        |  FROM adc) WHERE rank <= 5""".stripMargin
+
+  // ── d64: count-min sketch heavy users, exactly-oracled ────────────
+  /** The fourth classic sketch beside q28's HLL, d45's quantile
+    * sketch, and d62's SpaceSaving: a count-min sketch (d=4 rows ×
+    * w=1024 buckets) over per-user event counts, its estimates gated
+    * for the suite's heaviest users. The engine insight: CMS counters
+    * are ORDER-INDEPENDENT SUMS — counter[i][b] = Σ cnt over keys
+    * hashing to (i, b) — so unlike most sketches the whole structure
+    * is an exact relational computation (one narrow groupBy of
+    * 4·|users| 8-byte rows that map-side combine collapses to ≤ 4096
+    * partials per partition: the fixed-size-state property falls out
+    * of partial aggregation), and DuckDB can replay it VALUE-EXACTLY
+    * from the generated XXH64 (`XxhOracle.d64Sql` — bucket =
+    * unsigned % 1024, which equals Spark's pmod on the signed hash
+    * because 1024 divides 2^64). The gate asserts per top-10 user:
+    * est ≥ true (structural lower bound) and est − true ≤ 2N/w (the
+    * ε=2/w overestimate bound, integer compare) — plus hash-exact
+    * counter values, stronger than the usual probabilistic contract. */
+  def d64_cms_heavy_users(s: SparkSession, d: String): DataFrame = {
+    val w = 1024L
+    val base = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val kb = base.select(col("user_id"),
+        explode(expr("sequence(0L, 3L)")).as("i"))
+      .withColumn("b", pmod(xxhash64(col("user_id") * 4 + col("i")), lit(w)))
+    val counters = kb
+      .join(base, "user_id")
+      .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
+    val tot = base.agg(sum(col("cnt")).as("n_total"))
+    val top10 = base.orderBy(col("cnt").desc, col("user_id")).limit(10)
+    top10.join(kb, "user_id")
+      .join(counters, Seq("i", "b"))
+      .groupBy(col("user_id"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("cnt").as("true_cnt"), col("est"),
+        (col("est") >= col("cnt")).as("lb_ok"),
+        ((col("est") - col("cnt")) * lit(w / 2) <= col("n_total")).as("bound_ok"))
+  }
 }

@@ -371,4 +371,35 @@ object XxhOracle {
        |  coalesce(pd.margin, 0) > 0 AS keep
        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
   }
+
+  /** d64: the count-min sketch replayed value-exactly — four
+    * generated hashLong chains (one per CMS row, input user_id*4+i),
+    * buckets via unsigned % 1024 (≡ Spark's pmod on the signed hash:
+    * 1024 divides 2^64), counters as plain grouped sums, estimates as
+    * MIN over the four bucket counters for the exact top-10 users. */
+  def d64Sql: String = {
+    val g = new Gen("w")
+    val hs = (0 to 3).map(i => g.hashLong(s"(user_id*4 + $i)::HUGEINT", "42::HUGEINT"))
+    val body = g.wrap(
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1")
+    val cols = hs.zipWithIndex.map { case (h, i) => s"($h % 1024)::BIGINT AS b$i" }
+      .mkString(", ")
+    val unpivot = (0 to 3).map(i =>
+      s"SELECT user_id, cnt, $i::BIGINT AS i, b$i AS b FROM hh").mkString("\n  UNION ALL ")
+    s"""WITH hh AS (SELECT user_id, cnt, $cols FROM $body),
+       |kb AS (
+       |  $unpivot),
+       |counters AS (SELECT i, b, CAST(SUM(cnt) AS BIGINT) AS c FROM kb GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hh),
+       |top10 AS (SELECT user_id, cnt FROM hh ORDER BY cnt DESC, user_id LIMIT 10),
+       |est AS (
+       |  SELECT t.user_id, t.cnt, MIN(c.c) AS est
+       |  FROM top10 t JOIN kb k USING (user_id)
+       |    JOIN counters c ON c.i = k.i AND c.b = k.b
+       |  GROUP BY 1, 2)
+       |SELECT user_id, cnt AS true_cnt, est,
+       |  est >= cnt AS lb_ok,
+       |  (est - cnt) * 512 <= (SELECT n FROM tot) AS bound_ok
+       |FROM est""".stripMargin
+  }
 }
