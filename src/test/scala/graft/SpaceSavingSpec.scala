@@ -53,4 +53,19 @@ class SpaceSavingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("d64: CMS contract booleans are uniformly TRUE, not just cross-engine-equal") {
+    // the oracle gate proves both engines compute identical lb_ok /
+    // bound_ok values; this pins that the sketch actually SATISFIES
+    // the contract (est >= true, overestimate <= 2N/w) on real data
+    val spark = TestSpark.spark
+    val rows = graft.queries.Llm
+      .d64_cms_heavy_users(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("lb_ok"), r.toString)
+      assert(r.getAs[Boolean]("bound_ok"), r.toString)
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("true_cnt"))
+    }
+  }
 }
