@@ -61,8 +61,13 @@ object AhoCorasick {
     * over suffix links at build time — the text pass never walks
     * fail chains). */
   final class Automaton(patterns: Array[String]) {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "ac_counts: empty pattern in spec (adjacent/leading/trailing '|' " +
+        "separators are invalid — an empty pattern would match at every byte)")
     val nPatterns: Int = patterns.length
-    private val totalLen = patterns.map(_.length).sum + 1
+    // trie nodes insert UTF-8 BYTES — size from byte length, not the
+    // UTF-16 String.length (non-ASCII patterns need more nodes)
+    private val totalLen = patterns.map(_.getBytes("UTF-8").length).sum + 1
     val next: Array[Int] = new Array[Int](totalLen * 256)
     private val fail = new Array[Int](totalLen)
     private val outBuf = Array.fill(totalLen)(List.empty[Int])
@@ -116,6 +121,10 @@ object AhoCorasick {
 
   private val cache = new ConcurrentHashMap[String, Automaton]()
 
+  /** Spec is '|'-delimited, so patterns containing '|' are
+    * inexpressible through the string spec — construct an
+    * [[Automaton]] directly for those. Empty patterns (adjacent
+    * separators) are rejected at build. */
   def automaton(spec: String): Automaton =
     cache.computeIfAbsent(spec, s => new Automaton(s.split('|')))
 

@@ -524,6 +524,20 @@ case class CharStatsExpr(child: Expression) extends UnaryExpression {
 
 /** SQL registration (idempotent): `minhash_sig(text)`, `simhash64(text)`. */
 object HashExprs {
+  /** Registration-time gate for size-like int args (ngram n, band
+    * count, frame width): must be a foldable positive literal.
+    * Without it a non-foldable arg NPEs at `eval(null)` and n <= 0
+    * reaches `new Array(n-1)` / malformed spans at runtime — both
+    * should fail analysis with a clear message instead. */
+  private def foldablePositiveInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer, got non-foldable ${e.sql}")
+    val v = e.eval(null)
+    require(v != null, s"$fn: $arg must not be null")
+    val n = v.asInstanceOf[Number].intValue
+    require(n > 0, s"$fn: $arg must be positive, got $n")
+    n
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSignature(es.head), "scala_udf")
@@ -539,22 +553,22 @@ object HashExprs {
     reg.createOrReplaceTempFunction("word_ngrams", {
       case Seq(text) => WordNgramsExpr(text, 3)
       case Seq(text, n) => WordNgramsExpr(text,
-        n.eval(null).asInstanceOf[Number].intValue)
+        foldablePositiveInt(n, "word_ngrams", "n"))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bands", {
       case Seq(text) => LshBands(text, 8)
       case Seq(text, b) => LshBands(text,
-        b.eval(null).asInstanceOf[Number].intValue)
+        foldablePositiveInt(b, "lsh_bands", "bands"))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("lsh_bands_from_sig", {
       case Seq(sig) => LshBandsFromSig(sig, 8)
       case Seq(sig, b) => LshBandsFromSig(sig,
-        b.eval(null).asInstanceOf[Number].intValue)
+        foldablePositiveInt(b, "lsh_bands_from_sig", "bands"))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("frame_energies", {
       case Seq(text) => FrameEnergies(text, 64)
       case Seq(text, w) => FrameEnergies(text,
-        w.eval(null).asInstanceOf[Number].intValue)
+        foldablePositiveInt(w, "frame_energies", "window"))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("ahash_bits",
       es => AHashBits(es.head, es(1), es(2)), "scala_udf")

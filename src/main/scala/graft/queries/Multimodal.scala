@@ -348,8 +348,9 @@ object Multimodal {
   def mm9_phash_recall(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val off = 10000000L
+    val strengthVals = Seq(3, 7)
     val strengths = s.range(1)
-      .select(explode(array(lit(3), lit(7))).as("strength"))
+      .select(explode(array(strengthVals.map(lit(_)): _*)).as("strength"))
     val base = documents(s, d).crossJoin(broadcast(strengths))
       .select(col("strength"), col("doc_id"),
         greatest(col("n_chars") % 640, lit(1L)).as("w"),
@@ -361,10 +362,18 @@ object Multimodal {
     // new bytes) — every strength-th char rewritten. Codegen regexp
     // (strength-sized groups, last char → 'z'), not a per-char lambda:
     // the HOF formulation allocated one boxed char per input char and
-    // measured as the query's hottest stage at sf10
+    // measured as the query's hottest stage at sf10. The CASE branches
+    // are GENERATED from strengthVals (a strength without its own
+    // branch would silently reuse another's geometry) with an
+    // explicit error arm, and (?s) makes '.' consume line terminators
+    // — exact parity with the oracle's per-char CASE rewrite even on
+    // newline-bearing text.
+    val variantRewrite = strengthVals.map(k =>
+        s"when strength = $k then regexp_replace(text, '(?s)(.{${k - 1}}).', '$$1z')")
+      .mkString("case ",
+        " ", " else raise_error(concat('mm9: no variant branch for strength ', strength)) end")
     val vari = base.select(col("strength"), (col("doc_id") + off).as("doc_id"),
-      expr("ahash_bits(if(strength = 3, regexp_replace(text, '(.{2}).', '$1z'), " +
-        "regexp_replace(text, '(.{6}).', '$1z')), w, h)").as("phash"))
+      expr(s"ahash_bits($variantRewrite, w, h)").as("phash"))
     // pack the 64-bit hash string into two longs ONCE per row: the
     // shuffle then moves 16 bytes instead of a 64-char string, and the
     // Hamming verify is 2 xor + 2 bit_count instead of 64 substrings

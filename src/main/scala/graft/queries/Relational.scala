@@ -34,6 +34,35 @@ object Relational {
   private def money(c: Column): Column = (sum(dec(c)) * 100).cast("long")
   private def money4(c: Column): Column = (sum(c) * 10000).cast("long")
 
+  /** Scratch dirs for the physical-layout queries (q83/q84/q85/q88):
+    * one STABLE directory per (tag, source dir) instead of a fresh
+    * createTempDirectory per invocation — repeated bench passes at
+    * sf1+ leaked a full layout copy into /tmp per pass. Each
+    * invocation wipes and rebuilds its dir (the layout build IS part
+    * of the query under test), capping disk at one copy per query;
+    * the whole scratch root is removed at JVM exit. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-layout-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+  private def scratchDir(tag: String, src: String): String = {
+    val dir = scratchRoot.resolve(
+      tag + "-" + java.lang.Integer.toHexString(src.hashCode))
+    deleteRecursively(dir)
+    java.nio.file.Files.createDirectories(dir)
+    dir.toString
+  }
+
   // ── P1/A-family: scan → filter → project → hash aggregate ──────────
   // TPC-H Q1 shape (partial agg map-side, 2-col group key; the scan
   // reads only 6 of 16 lineitem columns — check ReadSchema).
@@ -1978,7 +2007,7 @@ object Relational {
       vl.cast("string").as("v"), vl.cast("long").as("v_long"),
       lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
     val state = dat("order/price", c).unionByName(dat("order/bucket", pmod(k, lit(1000))))
-    val path = java.nio.file.Files.createTempDirectory("avet").toString
+    val path = scratchDir("avet", d)
     IndexLayout.materializeAvet(state, path, buckets = 16)
     IndexLayout.avetRange(s, path, "order/price", 5000000L, 6000000L)
       .agg(count(lit(1)).as("n_datoms"),
@@ -2007,7 +2036,7 @@ object Relational {
   def q84_inverted_fulltext(s: SparkSession, d: String): DataFrame = {
     import graft.store.IndexLayout
     val terms = Seq("spark", "join")
-    val path = java.nio.file.Files.createTempDirectory("postings").toString
+    val path = scratchDir("postings", d)
     IndexLayout.materializePostings(documents(s, d), "doc_id", "text", path,
       buckets = 16)
     IndexLayout.postingsLookup(s, path, terms)
@@ -2054,7 +2083,7 @@ object Relational {
   def q85_zorder_events(s: SparkSession, d: String): DataFrame = {
     import graft.store.IndexLayout
     val minuteNs = 60L * 1000 * 1000 * 1000
-    val path = java.nio.file.Files.createTempDirectory("zorder").toString
+    val path = scratchDir("zorder", d)
     IndexLayout.materializeZorder(
       events(s, d).withColumn("ts_min", expr(s"ts div $minuteNs")),
       "user_id", "ts_min", path, buckets = 16)
@@ -2142,15 +2171,28 @@ object Relational {
     * rounds follow, in INTEGER basis points (scale 1e6, floor
     * division at exactly the same points on both engines — the d51
     * float-parity discipline, so the gate is exact, not tolerance-
-    * based). Shape per round: ranks ⋈ edges (ranks is |nodes| rows —
-    * broadcast), one groupBy(dst) agg — the Pregel/GraphX economics
-    * re-expressed as keyed re-aggs of a static edge relation. The
+    * based). Shape per round: ranks ⋈ edges (ranks is |nodes| rows),
+    * one groupBy(dst) agg — the Pregel/GraphX economics re-expressed
+    * as keyed re-aggs of a static edge relation. The
     * edge build is one window pass over events (user-partitioned);
     * rounds are BOUNDED (fixed 3) and never collect — at 100 TB the
     * per-round cost is one shuffle of |edges| contributions.
+    *
+    * The rank/out-degree tables are ∝ |nodes|, which is DATA-
+    * DEPENDENT: small here (a bounded page universe), unbounded on an
+    * arbitrary event log. So the broadcast is a size-GUARDED hint,
+    * not unconditional (the [[graft.store.Store.retractEntityTx]]
+    * `broadcastDeadMaxRows` discipline): node count is measured once
+    * (one cheap distinct-count over the edge keys, amortized across
+    * all 3 rounds) and oversize graphs fall back to shuffle joins —
+    * rank-partitioned SortMergeJoin per round, correct at any scale.
     * Dangling-node leakage is accepted identically on both engines
     * (the standard simplification). */
-  def q87_pagerank(s: SparkSession, d: String): DataFrame = {
+  def q87_pagerank(s: SparkSession, d: String): DataFrame =
+    q87_pagerankGuarded(s, d, broadcastRanksMaxRows = 5000000L)
+
+  def q87_pagerankGuarded(s: SparkSession, d: String,
+      broadcastRanksMaxRows: Long): DataFrame = {
     val scale = 1000000L
     val ev = events(s, d).select(col("user_id"),
       regexp_extract(col("props"), "([0-9]+)", 1).cast("long").as("page"),
@@ -2161,14 +2203,20 @@ object Relational {
       .filter(col("src").isNotNull)
       .groupBy(col("src"), col("page").as("dst"))
       .agg(count(lit(1)).as("w"))
+      // rounds re-probe a static relation: materialize it once
+      .localCheckpoint(false)
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val nNodes = nodes.count() // feeds the broadcast-size guard
+    def hinted(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastRanksMaxRows) broadcast(df) else df
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to 3) {
       val contrib = edges
-        .join(broadcast(ranks), edges("src") === ranks("node"))
-        .join(broadcast(outW), "src")
+        .join(hinted(ranks), edges("src") === ranks("node"))
+        .join(hinted(outW), "src")
         .select(col("dst"),
           expr("rank * w div wout").as("c")) // integral div: exact, both engines
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
@@ -2240,7 +2288,7 @@ object Relational {
       lit(false).as("is_ref"), lit(1L).as("tx"), lit(true).as("op"))
     val base = all.filter(col("e").cast("long") % 5 =!= 0)
     val tail = all.filter(col("e").cast("long") % 5 === 0)
-    val path = java.nio.file.Files.createTempDirectory("avetc").toString
+    val path = scratchDir("avetc", d)
     IndexLayout.materializeAvetBucketed(base, path, buckets = 16)
     IndexLayout.compactTail(s, path, tail)
     IndexLayout.avetRangeBucketed(s, path, "order/price", 5000000L, 6000000L)

@@ -360,4 +360,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains(">= 1704067200000000000") && p.contains("< 1704672000000000000"),
       s"time window must reach the scan:\n${p.take(1200)}")
   }
+
+  test("q87: rank broadcast is size-guarded — oversize node sets fall back to shuffle joins") {
+    // threshold -1 removes estimation-based broadcasts so the plans
+    // reflect ONLY the guard's decision (hint vs no hint)
+    TestSpark.withConfs(Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
+      val hinted = plan(Relational.q87_pagerankGuarded(spark, sf, broadcastRanksMaxRows = 5000000L))
+      assert(hinted.contains("BroadcastHashJoin"), hinted.take(800))
+      val guarded = plan(Relational.q87_pagerankGuarded(spark, sf, broadcastRanksMaxRows = 0L))
+      assert(!guarded.contains("BroadcastHashJoin"), guarded.take(800))
+      assert(guarded.contains("SortMergeJoin"), guarded.take(800))
+    }
+  }
 }
