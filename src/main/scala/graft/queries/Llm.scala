@@ -1721,4 +1721,13 @@ object Llm {
         (col("est") >= col("cnt")).as("lb_ok"),
         ((col("est") - col("cnt")) * lit(w / 2) <= col("n_total")).as("bound_ok"))
   }
+
+  // ── d65: quality-classifier TRAINING (the d44 learning half) ──────
+  /** Learn the hashed-linear-classifier weights in-engine — bounded
+    * batch-perceptron rounds of keyed integer gradient aggregations,
+    * then evaluate the learned model through the d44 margin shape.
+    * Algorithm, constants, and the bit-exact DuckDB replay live in
+    * [[graft.ops.ClassifierTrain]] / [[XxhOracle.d65Sql]]. */
+  def d65_classifier_train(s: SparkSession, d: String): DataFrame =
+    graft.ops.ClassifierTrain.train(s, documents(s, d))
 }

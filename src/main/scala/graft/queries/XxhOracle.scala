@@ -402,4 +402,78 @@ object XxhOracle {
        |  (est - cnt) * 512 <= (SELECT n FROM tot) AS bound_ok
        |FROM est""".stripMargin
   }
+
+  /** d65: the classifier TRAINING loop replayed bit-exactly — hashed
+    * feature ids via unsigned % 1024 (≡ Spark's pmod: 1024 divides
+    * 2^64) over the distinct-token set, then
+    * [[graft.ops.ClassifierTrain.Rounds]] unrolled batch-perceptron
+    * stages (margins → mistakes → normalized integer gradient step;
+    * DuckDB `//` and Spark `div` both truncate toward zero) plus the
+    * final-eval row. Round count, label rule K, and the lr schedule
+    * come from [[graft.ops.ClassifierTrain]] so the two engines
+    * cannot drift. */
+  def d65Sql: String = {
+    import graft.ops.ClassifierTrain.{D, K, Rounds, lr}
+    val g = new Gen("c")
+    val hu = g.hashStr15("w")
+    val tjBody = g.wrap("SELECT w FROM tuniq")
+    def marginCte(name: String, wPrev: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, CAST(sum(f.cnt * coalesce(wp.w, 0)) AS BIGINT) AS margin
+         |  FROM feats f LEFT JOIN $wPrev wp USING (j) GROUP BY 1, 2)""".stripMargin
+    def statCte(name: String, t: Int, nmCte: String, wCte: String): String =
+      s"""$name AS (
+         |  SELECT CAST($t AS BIGINT) AS round, nm.nm AS n_mistakes,
+         |    (n.n_docs - nm.nm) * 10000 // greatest(n.n_docs, 1) AS acc_bp,
+         |    ws.w_l1, ws.w_sum
+         |  FROM $nmCte nm CROSS JOIN n CROSS JOIN
+         |    (SELECT CAST(sum(abs(w)) AS BIGINT) AS w_l1,
+         |       CAST(sum(w) AS BIGINT) AS w_sum FROM $wCte) ws)""".stripMargin
+    val rounds = (1 to Rounds).map { t =>
+      s"""${marginCte(s"m$t", s"w${t - 1}")},
+         |nm$t AS MATERIALIZED (
+         |  SELECT CAST(sum(CASE WHEN y * margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nm
+         |  FROM m$t),
+         |g$t AS (
+         |  SELECT f.j, CAST(sum(f.y * f.cnt) AS BIGINT) AS g
+         |  FROM feats f JOIN m$t m USING (doc_id)
+         |  WHERE m.y * m.margin <= 0 GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT wp.j,
+         |    wp.w + CASE WHEN nm.nm > 0
+         |      THEN (coalesce(g.g, 0) * ${lr(t)}) // nm.nm ELSE 0 END AS w
+         |  FROM w${t - 1} wp LEFT JOIN g$t g USING (j) CROSS JOIN nm$t nm),
+         |${statCte(s"s$t", t, s"nm$t", s"w$t")}""".stripMargin
+    }.mkString(",\n")
+    val unioned = ((1 to Rounds).map(t => s"SELECT * FROM s$t") :+ "SELECT * FROM sf")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS w
+       |  FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    CASE WHEN $K * coalesce(t.n_the, 0) >= coalesce(t.n_tok, 0)
+       |      THEN 1 ELSE -1 END AS y
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |      CAST(sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS n_the
+       |    FROM tok GROUP BY 1) t USING (doc_id)),
+       |tuniq AS (SELECT DISTINCT w FROM tok),
+       |tj AS (SELECT w, ($hu % $D)::BIGINT AS j FROM $tjBody),
+       |feats AS MATERIALIZED (
+       |  SELECT t.doc_id, l.y, tj.j, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok t JOIN tj USING (w) JOIN lab l USING (doc_id)
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, $D, 1 FROM lab),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |w0 AS (SELECT range::BIGINT AS j, CAST(0 AS BIGINT) AS w FROM range(${D + 1})),
+       |$rounds,
+       |${marginCte("mf", s"w$Rounds")},
+       |nmf AS (
+       |  SELECT CAST(sum(CASE WHEN y * margin <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nm
+       |  FROM mf),
+       |${statCte("sf", Rounds + 1, "nmf", s"w$Rounds")}
+       |$unioned""".stripMargin
+  }
 }

@@ -557,4 +557,26 @@ class LlmSpec extends AnyFunSuite {
       "equal counts order by span ascending")
     assert(top.length == 3 && top.drop(1).forall(_._2 == 1L))
   }
+
+  test("d65: classifier training converges on a separable fixture") {
+    import graft.ops.ClassifierTrain
+    // wide-margin fixture: 20 "good" docs (heavy 'the' — stopword
+    // ratio well over 1/K) vs 20 "bad" docs (no 'the' at all), with
+    // distinct content words so the hashed features separate cleanly
+    val docs = ((0 until 20).map(i =>
+        (i.toLong, "the quick data " + s"word$i table the scan the merge")) ++
+      (20 until 40).map(i =>
+        (i.toLong, s"slow batch word$i filter window group sort column hash join")))
+      .toDF("doc_id", "text")
+    val stats = ClassifierTrain.train(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(stats.length == ClassifierTrain.Rounds + 1)
+    val (_, m1, _) = stats.head
+    val (_, mFinal, accFinal) = stats.last
+    assert(m1 == 40L, s"round 1 starts from w=0: every doc is a mistake, got $m1")
+    assert(mFinal < m1, s"training must reduce mistakes: $m1 -> $mFinal")
+    assert(mFinal == 0L && accFinal == 10000L,
+      s"separable fixture must converge to zero mistakes, got $mFinal (acc $accFinal)")
+  }
 }
