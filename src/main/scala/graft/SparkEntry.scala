@@ -174,6 +174,7 @@ object SparkEntry {
     "d63_blocklist"          -> (Curate.d63_blocklist _),
     "d64_cms_heavy_users"    -> (Llm.d64_cms_heavy_users _),
     "d65_classifier_train"   -> (Llm.d65_classifier_train _),
+    "d66_substring_dedup_cut" -> (Llm.d66_substring_dedup_cut _),
     "mm7_keyframes"          -> (Multimodal.mm7_keyframes _),
     "mm8_shot_segments"      -> (Multimodal.mm8_shot_segments _),
     "mm1_binary_meta"        -> (Multimodal.mm1_binary_meta _),
@@ -1390,6 +1391,7 @@ object SparkEntry {
     "d63_blocklist" -> Curate.d63OracleSql,
     "d64_cms_heavy_users" -> XxhOracle.d64Sql,
     "d65_classifier_train" -> XxhOracle.d65Sql,
+    "d66_substring_dedup_cut" -> Llm.d66OracleSql,
     // q69: the same two-attribute AVET union, seek from
     // (order/cust, 1490) to the index end — the 200-row page crosses
     // the attribute boundary into order/price

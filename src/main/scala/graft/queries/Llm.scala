@@ -915,6 +915,108 @@ object Llm {
       |       ELSE coalesce(pd.n_dup, 0) * 10000 // pd.n_windows END AS BIGINT) AS dup_bp
       |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  // ── d66: exact-substring dedup REMOVAL (d37's second half) ────────
+  /** Emit the DEDUPLICATED corpus: d37 censuses duplicated spans;
+    * this operator CUTS them (Lee et al. 2022's suffix-array dedup,
+    * windowed form — remove every verbatim extent that exists
+    * elsewhere, keeping one canonical copy). Policy, deterministic on
+    * both engines: a length-`window` word span's canonical occurrence
+    * set is the MINIMUM doc_id containing it (first-occurrence-wins,
+    * the d25 discipline); every occurrence in a higher doc_id is
+    * removable, and a token is cut iff some removable window covers
+    * it — so overlapping duplicated windows merge into MAXIMAL cut
+    * extents by construction, and unique text is never touched.
+    *
+    * Shape: window explode (∝ corpus tokens) → span census keyed on
+    * the span STRING (groupBy min(doc_id); the string key — not the
+    * d37 hash lane — because the CUT TEXT depends on span equality
+    * and the oracle replays string semantics) → join-back marks
+    * removable occurrences → coverage explode (window × removable
+    * occurrences, ∝ text actually removed) → one left join onto the
+    * token-position relation and an ordered per-doc fold. Every
+    * shuffle is keyed (span, then (doc, pos)); nothing is ever
+    * docs² and nothing collects. A production cut at 100 TB would
+    * merge removable intervals per doc before exploding coverage;
+    * at window=8 the explode is a bounded 8× of removed-text volume,
+    * the simpler plan. */
+  def d66_substring_dedup_cut(s: SparkSession, d: String): DataFrame =
+    substringDedupCut(documents(s, d), window = 8)
+
+  /** Core of d66 over any (doc_id, text) frame. */
+  def substringDedupCut(docs: DataFrame, window: Int): DataFrame = {
+    graft.functions.HashExprs.register(docs.sparkSession)
+    val w = window
+    val wins = docs
+      .select(col("doc_id"), posexplode(expr(s"word_ngrams(lower(text), $w)")))
+      .toDF("doc_id", "p", "span")
+    val census = wins.groupBy(col("span")).agg(min(col("doc_id")).as("first_doc"))
+    val removable = wins.join(census, "span")
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), col("p"))
+    val covered = removable
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${w - 1})")).as("q"))
+      .distinct()
+    val tokens = docs
+      .select(col("doc_id"), posexplode(expr("word_ngrams(lower(text), 1)")))
+      .toDF("doc_id", "q", "tok")
+    val perDoc = tokens
+      .join(covered.withColumn("rm", lit(1)), Seq("doc_id", "q"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // kept tokens reassembled in position order: collect_list
+        // skips the NULLed-out removed tokens, struct sort is by q
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN rm IS NULL THEN struct(q, tok) END)), x -> x.tok), ' ')")
+          .as("text_kept"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        expr("(coalesce(n_tokens, 0) - coalesce(n_removed, 0)) * 10000" +
+          " div greatest(coalesce(n_tokens, 0), 1)").as("kept_bp"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  def d66OracleSql: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |w AS MATERIALIZED (
+      |  SELECT doc_id, u['p'] AS p, u['span'] AS span FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+      |      ELSE list_transform(range(1, len(ws) - 6), i ->
+      |        {'p': CAST(i - 1 AS BIGINT),
+      |         'span': array_to_string(list_slice(ws, i, i + 7), ' ')}) END) AS u
+      |    FROM t)),
+      |census AS (SELECT span, min(doc_id) AS first_doc FROM w GROUP BY 1),
+      |rem AS (
+      |  SELECT w.doc_id, w.p FROM w JOIN census c USING (span)
+      |  WHERE w.doc_id > c.first_doc),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p + r.o AS q
+      |  FROM rem, (SELECT unnest(range(0, 8)) AS o) r),
+      |tok AS (
+      |  SELECT doc_id, u['q'] AS q, u['tok'] AS tok FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i ->
+      |      {'q': CAST(i - 1 AS BIGINT), 'tok': ws[i]})) AS u
+      |    FROM t)),
+      |pd AS (
+      |  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN cov.q IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |    string_agg(CASE WHEN cov.q IS NULL THEN tk.tok END, ' ' ORDER BY tk.q)
+      |      AS text_kept
+      |  FROM tok tk LEFT JOIN cov USING (doc_id, q) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(pd.n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST((coalesce(pd.n_tokens, 0) - coalesce(pd.n_removed, 0)) * 10000
+      |    // greatest(coalesce(pd.n_tokens, 0), 1) AS BIGINT) AS kept_bp,
+      |  coalesce(pd.text_kept, '') AS text_kept
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   /** Exact all-pairs variant on a deterministic sample — the recall
     * baseline d15 is measured against in LlmSpec; NOT a gated query
     * (a BroadcastNestedLoopJoin is quadratic work however you sample). */

@@ -558,6 +558,43 @@ class LlmSpec extends AnyFunSuite {
     assert(top.length == 3 && top.drop(1).forall(_._2 == 1L))
   }
 
+  test("d66: substring cut removes later occurrences, reassembles in order, matches brute force") {
+    val extent = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, extent + " iota kappa"),                     // canonical first occurrence
+      (1L, "intro words here " + extent + " closing words"),
+      (2L, "completely unrelated unique content with no shared extents at all today"),
+      (3L, extent + " iota kappa plus unique tail words")) // overlapping windows -> maximal extent
+      .toDF("doc_id", "text")
+    val out = Llm.substringDedupCut(docs, window = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+
+    // first occurrence + unique text untouched
+    assert(out(0L) === ((10L, 0L, extent + " iota kappa")))
+    assert(out(2L)._2 == 0L && out(2L)._3.nonEmpty)
+    // doc 1: exactly the duplicated extent cut, prefix/suffix reassembled
+    assert(out(1L) === ((13L, 8L, "intro words here closing words")))
+    // doc 3: overlapping duplicated windows merge into ONE maximal cut
+    // extent (tokens 0..9 all covered by windows shared with doc 0)
+    assert(out(3L) === ((14L, 10L, "plus unique tail words")))
+
+    // blocking-free quadratic reference: same policy, no census — for
+    // every window occurrence, scan ALL docs for an earlier holder
+    val toks = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector).toMap
+    def windows(ts: Vector[String]) =
+      if (ts.length < 8) Vector.empty else (0 to ts.length - 8).map(p => p -> ts.slice(p, p + 8).mkString(" "))
+    for ((id, ts) <- toks) {
+      val cut = windows(ts).collect { case (p, sp)
+        if toks.exists { case (oid, ots) => oid < id && windows(ots).exists(_._2 == sp) } =>
+          (p until p + 8)
+      }.flatten.toSet
+      val expected = ts.zipWithIndex.collect { case (t, q) if !cut(q) => t }.mkString(" ")
+      assert(out(id)._3 === expected, s"doc $id vs brute force")
+      assert(out(id)._2 === cut.size.toLong, s"doc $id n_removed vs brute force")
+    }
+  }
+
   test("d65: classifier training converges on a separable fixture") {
     import graft.ops.ClassifierTrain
     // wide-margin fixture: 20 "good" docs (heavy 'the' — stopword
