@@ -91,24 +91,21 @@ object Curate {
     val docs = documents(s, d)
     val grams = docs.select(col("doc_id"), explode(expr("ngram_set(text)")).as("gram"))
     // (doc_id, gram) is already distinct (ngram_set de-dups per doc),
-    // so count(*) per gram IS the distinct-doc count
-    val boiler = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("gram"), lit(1L).as("is_boiler"))
-    // one aggregation yields BOTH the per-doc gram count and the
-    // boilerplate count (a second corpus-wide gram evaluation just for
-    // size(ngram_set) would triple the most expensive expression);
-    // the docs left join only restores zero-gram documents.
-    // No broadcast hint on `boiler`: its size is DATA-DEPENDENT (every
-    // gram frequent across ≥ minDocs docs — on a 100 TB corpus that is
-    // every common phrase, far past driver memory). The join key is
-    // the gram both sides are already shuffled on, and AQE picks a
-    // broadcast at runtime when the aggregated set is actually small.
-    val perDoc = grams.join(boiler, Seq("gram"), "left")
+    // so count(*) per gram IS the distinct-doc count — computed with a
+    // whole-partition window over the gram-shuffled set, not a census
+    // groupBy + join-back (the d37 rework shape): the join-back plan
+    // evaluated the ngram_set explode TWICE (census build + probe
+    // side) and left the boilerplate-set size as a data-dependent
+    // broadcast decision; this shape evaluates the corpus' most
+    // expensive expression once and moves each gram row exactly once
+    // per stage (gram exchange, then doc exchange). The docs left
+    // join below only restores zero-gram documents.
+    val withNDocs = grams.withColumn("n_docs",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+    val perDoc = withNDocs
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(

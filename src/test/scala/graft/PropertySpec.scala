@@ -172,6 +172,13 @@ class PropertySpec extends AnyFunSuite {
       val inc = toSet(graft.store.Store.resolveIncremental(
         snap, basis, df.filter(col("tx") > basis), Seq("many1")))
       assert(inc === full, s"log: $rows")
+      // same contract through the no-snapshot-shuffle merge (the
+      // deltas here are mergeable by construction, so the fast path's
+      // anti-join formulation must agree with the generic re-resolve)
+      val incFast = toSet(graft.store.Store.resolveIncremental(
+        snap, basis, df.filter(col("tx") > basis), Seq("many1"),
+        deltaMayRetractCardOne = false))
+      assert(incFast === full, s"fast-path log: $rows")
     }
   }
 
