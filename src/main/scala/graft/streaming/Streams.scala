@@ -449,6 +449,116 @@ object Streams {
     })
   }
 
+  /** One completed transaction's POINTER — the no-driver-rows report:
+    * basis `t`, its datom count, and the report-table partition
+    * holding its datoms (`reportDir/tx=<t>`, full Store.schema). */
+  final case class TxReportPointer(t: Long, nDatoms: Long, path: String)
+
+  /** [[txReportQueue]] with the DRIVER REMOVED from the data path —
+    * the deployment shape for large transactions: completed txes'
+    * datoms are written EXECUTOR-SIDE into a report TABLE
+    * (`reportDir`, partitioned by tx; dynamic partition overwrite
+    * makes trigger replays idempotent), and the subscriber receives
+    * only [[TxReportPointer]]s. No `maxDatomsPerReport` cap exists in
+    * this mode because no datom ever reaches the driver — a
+    * multi-M-datom tx streams straight from log scan to report
+    * partition; the only driver traffic is the per-tx COUNT map
+    * (bounded by txes-per-trigger, metadata scale) and the pointers.
+    * The boundary-tx holdback stash is likewise written and merged as
+    * DataFrames (never collected). Same completeness/ordering/replay
+    * contract as [[txReportQueue]]. */
+  def txReportQueueToTable(spark: SparkSession, store: graft.store.Store,
+      basis: Long, reportDir: String, maxFilesPerTrigger: Int = 1000)(
+      checkpoint: String)(onReport: TxReportPointer => Unit): TxReportQueue = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val stashRoot = Paths.get(checkpoint, "graft-tx-holdback")
+    def stashIds(): Seq[Long] =
+      if (!Files.isDirectory(stashRoot)) Seq.empty
+      else Files.list(stashRoot).iterator().asScala
+        .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
+        .toSeq.sorted
+    def readMeta(id: Long): Option[(Long, Long)] = { // (tx, cnt)
+      val m = stashRoot.resolve(s"$id/meta")
+      if (!Files.exists(m)) None else {
+        val parts = new String(Files.readAllBytes(m), "UTF-8").trim.split(" ")
+        Some((parts(0).toLong, parts(1).toLong))
+      }
+    }
+    def stashDf(id: Long): Option[org.apache.spark.sql.DataFrame] = {
+      val p = stashRoot.resolve(s"$id/rows.parquet")
+      if (!Files.exists(p)) None
+      else Some(spark.read.schema(graft.store.Store.schema).parquet(p.toString))
+    }
+    def deleteStash(id: Long): Unit = {
+      val d = stashRoot.resolve(s"$id")
+      if (Files.exists(d))
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    // executor-side publish: append-by-overwrite of exactly the txes'
+    // partitions (replay rewrites identical bytes — idempotent)
+    def publish(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tx").parquet(reportDir)
+    def pointer(t: Long, cnt: Long): Unit =
+      onReport(TxReportPointer(t, cnt, s"$reportDir/tx=$t"))
+    val q = spark.readStream.schema(graft.store.Store.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"${store.dir}/eav")
+      .filter(col("tx") > basis)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (rawBatch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val batch = rawBatch.select(
+          graft.store.Store.schema.fieldNames.toSeq.map(col): _*)
+        val prevId = stashIds().filter(_ < batchId).lastOption
+        val holdback = prevId.flatMap(readMeta)
+        val counts = batch.groupBy(col("tx")).count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val totals = holdback.foldLeft(counts) { case (m, (htx, hcnt)) =>
+          m.updated(htx, m.getOrElse(htx, 0L) + hcnt)
+        }
+        if (totals.nonEmpty) {
+          val boundary = totals.keys.max
+          val completes = totals.keys.filter(_ < boundary).toSeq.sorted
+          if (completes.nonEmpty) {
+            val fromBatch = batch.filter(col("tx").isin(completes: _*))
+            val fromStash = holdback.toSeq.collect {
+              case (htx, _) if htx < boundary => prevId.flatMap(stashDf)
+            }.flatten
+            publish(fromStash.foldLeft(fromBatch)(_ unionByName _))
+            completes.foreach(t => pointer(t, totals(t)))
+          }
+          // stash the boundary tx for the next trigger — as a
+          // DataFrame write, never a collect (overwrite on replay)
+          deleteStash(batchId)
+          Files.createDirectories(stashRoot.resolve(s"$batchId"))
+          val bBatch = batch.filter(col("tx") === boundary)
+          val bAll = holdback.toSeq.collect {
+            case (htx, _) if htx == boundary => prevId.flatMap(stashDf)
+          }.flatten.foldLeft(bBatch)(_ unionByName _)
+          bAll.write.mode("overwrite")
+            .parquet(stashRoot.resolve(s"$batchId/rows.parquet").toString)
+          Files.write(stashRoot.resolve(s"$batchId/meta"),
+            s"$boundary ${totals(boundary)}".getBytes("UTF-8"))
+          stashIds().filter(id => id < prevId.getOrElse(batchId)).foreach(deleteStash)
+        }
+        ()
+      }
+      .start()
+    new TxReportQueue(q, () => {
+      stashIds().lastOption.foreach { id =>
+        readMeta(id).foreach { case (t, cnt) =>
+          stashDf(id).foreach(publish)
+          pointer(t, cnt)
+        }
+      }
+      stashIds().foreach(deleteStash)
+    })
+  }
+
   /** LIVE db-stats — the first consumer every tx-report subscriber
     * builds: a continuously-maintained per-attribute datom count over
     * the store, expressed as a plain streaming aggregation over the

@@ -253,6 +253,36 @@ class StreamingSpec extends AnyFunSuite {
       "the fragmented tx's report carries BOTH files' datoms")
   }
 
+  test("tx-report table mode: pointers only, datoms land in the report table, split txes complete") {
+    import spark.implicits._
+    val store = new graft.store.Store(spark,
+      java.nio.file.Files.createTempDirectory("txtblstore").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("txtblckpt").toString
+    val reportDir = java.nio.file.Files.createTempDirectory("txtblout").toString
+    def datoms(rows: (String, String, String, Long)*) =
+      rows.toDF("e", "a", "v", "tx")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+    // tx 1 fragments across triggers (two attrs × maxFilesPerTrigger=1)
+    store.append(datoms(("e1", "x/a", "v1", 1L), ("e1", "x/b", "v2", 1L)))
+    store.append(datoms(("e2", "x/a", "v3", 2L)))
+    val ptrs = new java.util.concurrent.ConcurrentLinkedQueue[Streams.TxReportPointer]()
+    val q = Streams.txReportQueueToTable(spark, store, basis = 0L, reportDir,
+      maxFilesPerTrigger = 1)(ckpt)(ptrs.add(_))
+    try q.processAllAvailable() finally q.close()
+    val seen = ptrs.toArray(Array.empty[Streams.TxReportPointer])
+    assert(seen.map(_.t).toSeq == Seq(1L, 2L),
+      s"one pointer per tx, in order: ${seen.map(_.t).mkString(",")}")
+    assert(seen.map(_.nDatoms).toSeq == Seq(2L, 1L))
+    assert(seen.map(_.path).toSeq == Seq(s"$reportDir/tx=1", s"$reportDir/tx=2"))
+    // the report TABLE carries the datoms — including the fragmented
+    // tx's rows from BOTH triggers — and the driver callback never saw a row
+    val table = spark.read.parquet(reportDir)
+      .select("tx", "a", "v").collect()
+      .map(r => (r.getAs[Long]("tx"), r.getString(1), r.getString(2))).toSet
+    assert(table == Set((1L, "x/a", "v1"), (1L, "x/b", "v2"), (2L, "x/a", "v3")))
+  }
+
   test("tx-report-queue: an over-cap tx degrades to an anomaly report, stream survives") {
     import spark.implicits._
     val store = new graft.store.Store(spark,
