@@ -916,14 +916,16 @@ object Relational {
       .withColumn("tx", lit(1L)).withColumn("op", lit(true))
     val targets = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
       .select(concat(lit("o"), col("o_orderkey").cast("string")).as("e"))
-    // materialize the retraction batch ONCE: the hybrid merge below
-    // probes it from five places (touched keys, safe-branch anti
-    // joins, delta resolution, full-log union) and each would re-run
-    // the state scan + dedupe without the checkpoint; a production
-    // store reads the committed tx batch here
+    // materialize the retraction batch ONCE and EAGERLY: the hybrid
+    // merge below probes it from five places (touched keys, safe-
+    // branch anti joins, delta resolution, full-log union), and a
+    // lazy checkpoint would run the state scan + dedupe INSIDE the
+    // merge job, stacking its aggregation maps onto the merge
+    // stage's execution memory; a production store reads the
+    // committed tx batch here
     val retractions = graft.store.Store.retractEntityTx(
       log, targets, componentAttrs = Seq("order/line"), tx = 2L)
-      .localCheckpoint(false)
+      .localCheckpoint()
     val manyAttrs = Seq("order/line", "cust/order")
     // Post-retraction state via the LIVE-INDEX path, not a full
     // re-resolve: the synthesized log (all asserts at tx 1, unique per
@@ -939,30 +941,34 @@ object Relational {
     val resolved = graft.store.Store.resolveIncrementalHybrid(
       snapshot = log, basisTx = 1L, delta = retractions,
       fullLog = log.unionByName(retractions), manyAttrs = manyAttrs)
+      .select(col("a"), col("e"), col("v_long"))
     val isMany = col("a").isInCollection(manyAttrs)
-    // Per-attr stats exploiting resolve's POSTCONDITION instead of
-    // re-shuffling everything: card-ONE output is unique per (e, a)
-    // by construction (resolve's second agg groups on exactly that
-    // key), so its entity count IS its row count — a map-side-partial
-    // aggregate over 2 groups, zero wide shuffle. Only the card-MANY
-    // rows (unique per (e, a, v)) still need the (a, e) hop to count
-    // entities without a countDistinct Expand. The old shape shuffled
-    // ALL resolved rows on (a, e) with the long entity-id strings;
-    // this halves the post-resolve shuffle volume.
-    val oneStats = resolved.filter(!isMany)
-      .groupBy(col("a"))
-      .agg(count(lit(1)).as("n_datoms"),
-        count(lit(1)).as("n_entities"),
-        coalesce(sum(col("v_long")), lit(0L)).cast("long").as("total_v"))
-    val manyStats = resolved.filter(isMany)
-      .groupBy(col("a"), col("e"))
+    // Per-attr stats in ONE pass over the merged state, exploiting
+    // resolve's postcondition (card-one unique per (e, a), card-many
+    // unique per (e, a, v)): group on (a, entity-key-if-many) — all
+    // card-one rows of an attr collapse into a single null-key group
+    // whose count IS both the datom and entity count; card-many rows
+    // take the (a, e) hop their entity count genuinely needs. The
+    // previous two-branch shape consumed `resolved` TWICE, running
+    // the whole merge DAG concurrently for both branches. The
+    // explicit repartition is a FUSION BREAK, not a semantic shuffle:
+    // without it the state scan + broadcast probes + this agg's
+    // partial hash maps fuse into one stage whose per-task execution
+    // memory OOMed at sf10 under the 32-partition local harness;
+    // with it the merge stage streams (near-zero memory) and the
+    // aggregation owns its stage. Same key as the groupBy, so no
+    // second exchange appears.
+    resolved
+      .select(col("a"), when(isMany, col("e")).as("ek"), col("v_long"))
+      .repartition(col("a"), col("ek"))
+      .groupBy(col("a"), col("ek"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("v_long")), lit(0L)).as("sv"))
       .groupBy(col("a"))
       .agg(sum(col("n")).cast("long").as("n_datoms"),
-        count(lit(1)).as("n_entities"),
+        when(col("a").isInCollection(manyAttrs), count(lit(1)))
+          .otherwise(sum(col("n"))).cast("long").as("n_entities"),
         sum(col("sv")).cast("long").as("total_v"))
-    oneStats.unionByName(manyStats)
   }
 
   // ── d/with: speculative transaction ───────────────────────────────

@@ -476,7 +476,8 @@ object Store {
     * for any delta, but at 100 TB it re-shuffles the entire live
     * state per merge, which is exactly what a live index must not do. */
   def resolveIncremental(snapshot: DataFrame, basisTx: Long, delta: DataFrame,
-      manyAttrs: Seq[String], deltaMayRetractCardOne: Boolean): DataFrame = {
+      manyAttrs: Seq[String], deltaMayRetractCardOne: Boolean,
+      broadcastDeltaKeysMaxRows: Long = 5000000L): DataFrame = {
     val snapState = snapshot
       .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
     val withOp =
@@ -490,14 +491,26 @@ object Store {
     } else {
       val manyCol =
         if (manyAttrs.isEmpty) lit(false) else col("a").isInCollection(manyAttrs)
+      // size-guarded broadcast pin on the key probes (the
+      // retractEntityTx discipline): the fast path's contract is a
+      // batch-sized delta, so one count (∝ batch) buys map-side
+      // anti-joins — without the pin AQE abandons the conversion past
+      // its ~10 MB threshold and plans SortMergeJoin shuffles of the
+      // full snapshot, the exact cost this path exists to remove
+      // (measured at sf10: +2 state shuffles, execution OOM
+      // in-suite). Outsize deltas fall back to shuffle joins, which
+      // stay correct at any scale.
+      val nDelta = deltaLog.count()
+      def hinted(df: DataFrame): DataFrame =
+        if (nDelta <= broadcastDeltaKeysMaxRows) broadcast(df) else df
       val oneTouched = deltaLog.filter(!manyCol)
         .select(col("e"), col("a")).distinct()
       val manyTouched = deltaLog.filter(manyCol)
         .select(col("e"), col("a"), col("v")).distinct()
       val snapKept = snapState.filter(!manyCol)
-        .join(oneTouched, Seq("e", "a"), "left_anti")
+        .join(hinted(oneTouched), Seq("e", "a"), "left_anti")
         .unionByName(snapState.filter(manyCol)
-          .join(manyTouched, Seq("e", "a", "v"), "left_anti"))
+          .join(hinted(manyTouched), Seq("e", "a", "v"), "left_anti"))
       snapKept.unionByName(resolveCore(deltaLog, Seq.empty, manyAttrs))
     }
   }
@@ -516,7 +529,8 @@ object Store {
     * key set's attrs — bounded by the schema's card-one attr count),
     * so re-resolution reads the touched attrs' history, not the log. */
   def resolveIncrementalHybrid(snapshot: DataFrame, basisTx: Long, delta: DataFrame,
-      fullLog: DataFrame, manyAttrs: Seq[String]): DataFrame = {
+      fullLog: DataFrame, manyAttrs: Seq[String],
+      broadcastTouchedMaxRows: Long = 5000000L): DataFrame = {
     val withOp =
       if (delta.columns.contains("op")) delta else delta.withColumn("op", lit(true))
     val manyCol =
@@ -527,17 +541,28 @@ object Store {
     // name few attributes, the log partitions on `a`
     val touchedAttrs = touchedKeys.select(col("a")).distinct()
       .collect().map(_.getString(0)).toSeq
+    // size-GUARDED broadcast of the touched keys (the retractEntityTx
+    // broadcastDeadMaxRows discipline): the set is ∝ the tx batch, so
+    // pin map-side probes while it is measurably small — the count is
+    // free (the attr collect above already materialized the
+    // checkpoint) — and fall back to shuffle joins for outsize
+    // batches. Without the pin, AQE's conversion threshold (~10 MB)
+    // abandons the broadcast on larger batches and plans SortMergeJoin
+    // shuffles of the full snapshot — measured at sf10: two extra
+    // state shuffles and an execution-memory OOM in-suite.
+    val tk = if (touchedKeys.count() <= broadcastTouchedMaxRows)
+      broadcast(touchedKeys) else touchedKeys
     // the safe branch's delta has NO card-one retractions BY
     // CONSTRUCTION (exactly those keys were carved out above) → the
     // no-snapshot-shuffle merge applies: the live state is scanned
     // once with anti-join probes, never re-shuffled
     val safe = resolveIncremental(
-      snapshot.join(touchedKeys, Seq("e", "a"), "left_anti"), basisTx,
-      withOp.join(touchedKeys, Seq("e", "a"), "left_anti"), manyAttrs,
+      snapshot.join(tk, Seq("e", "a"), "left_anti"), basisTx,
+      withOp.join(tk, Seq("e", "a"), "left_anti"), manyAttrs,
       deltaMayRetractCardOne = false)
     val touched = resolve(
       fullLog.filter(col("a").isInCollection(touchedAttrs))
-        .join(touchedKeys, Seq("e", "a"), "left_semi"), manyAttrs)
+        .join(tk, Seq("e", "a"), "left_semi"), manyAttrs)
     safe.unionByName(touched)
   }
 
