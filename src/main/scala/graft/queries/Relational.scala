@@ -868,14 +868,19 @@ object Relational {
     * count() had pruned the final aggregate's values): ~3.6–4.9 s
     * isolated, ~6.4 s in-suite under memory pressure. At sf1
     * (15 M-datom log): r9 42.6 s → r10 ~32.5 s (broadcast(dead) pin +
-    * the stats split below) → r11 ~26 s by replacing the full
-    * re-resolve with the live-index merge: the r10 remainder was
-    * ~21 s of resolve re-shuffling every datom through two keyed
-    * string aggregations; resolveIncrementalHybrid's
-    * no-snapshot-shuffle branch turns that into broadcast anti-join
+    * a stats split) → r11 ~27 s by replacing the full re-resolve
+    * with the live-index merge: the r10 remainder was ~21 s of
+    * resolve re-shuffling every datom through two keyed string
+    * aggregations; resolveIncrementalHybrid's no-snapshot-shuffle
+    * branch turns that into size-guard-pinned broadcast anti-join
     * probes of the batch against a never-reshuffled state scan, plus
-    * an attr-pruned re-resolve of the card-one touched keys. What
-    * remains: ~5 s narrow checkpoint (a real store reads parquet
+    * an attr-pruned re-resolve of the card-one touched keys. At sf10
+    * (150 M datoms): 263 → ~220 s, and the decade run is what forced
+    * the final shape — the one-pass stats below behind an explicit
+    * same-key repartition (fusing scan + probes + partial aggregation
+    * maps into one stage OOMed execution memory under the
+    * 32-partition local harness) and the EAGER retraction checkpoint.
+    * What remains: ~5 s narrow checkpoint (a real store reads parquet
     * here), ~8 s retract closure + dead-datom scan + batch dedupe,
     * and the merged-state stats aggregation. */
   def q49_retract_entity(s: SparkSession, d: String): DataFrame = {
