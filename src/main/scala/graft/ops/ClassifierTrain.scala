@@ -116,20 +116,32 @@ object ClassifierTrain {
       .localCheckpoint(true)
     val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (t <- 1 to Rounds) {
-      val m = margins(w)
+      // ONE margins pass per round: the mistake doc set (≤ |docs|
+      // rows of one long) and the 1-row mistake count derived from it
+      // are lazily checkpointed, so the gradient's semi-join, the
+      // weight update's divisor, and the stat row all reuse the same
+      // executed margins DAG instead of re-running the broadcast join
+      // + aggregation over feats three times — each round is exactly
+      // two feature-table scans (margins, gradient)
+      val mistakes = margins(w).filter(col("y") * col("margin") <= 0)
+        .select(col("doc_id"))
+        .localCheckpoint(false)
+      // lazy too: the weight update's broadcast below is the first
+      // consumer and materializes both caches — no extra job
+      val nm = mistakes.agg(count(lit(1)).cast("long").as("nm"))
+        .localCheckpoint(false)
       val grad = feats
-        .join(m.filter(col("y") * col("margin") <= 0).select("doc_id"),
-          Seq("doc_id"), "left_semi")
+        .join(mistakes, Seq("doc_id"), "left_semi")
         .groupBy(col("j")).agg(sum(col("y") * col("cnt")).as("g"))
       // eager checkpoint: the model is 1025 rows; materializing per
       // round keeps the plan flat instead of Rounds-deep
       w = w.join(grad, Seq("j"), "left")
-        .crossJoin(broadcast(mistakeCount(m)))
+        .crossJoin(broadcast(nm))
         .select(col("j"), (col("w") + when(col("nm") > 0,
             expr(s"(coalesce(g, 0L) * ${lr(t)}L) div nm")).otherwise(0L))
           .as("w"))
         .localCheckpoint(true)
-      stats += statRow(t, mistakeCount(m), wStats(w))
+      stats += statRow(t, nm, wStats(w))
     }
     // final eval: the learned weights through the inference margin
     stats += statRow(Rounds + 1, mistakeCount(margins(w)), wStats(w))

@@ -89,23 +89,31 @@ object Curate {
   def d20_boilerplate(s: SparkSession, d: String, minDocs: Int = 3): DataFrame = {
     graft.functions.HashExprs.register(s)
     val docs = documents(s, d)
-    val grams = docs.select(col("doc_id"), explode(expr("ngram_set(text)")).as("gram"))
     // (doc_id, gram) is already distinct (ngram_set de-dups per doc),
-    // so count(*) per gram IS the distinct-doc count — computed with a
-    // whole-partition window over the gram-shuffled set, not a census
-    // groupBy + join-back (the d37 rework shape): the join-back plan
-    // evaluated the ngram_set explode TWICE (census build + probe
-    // side) and left the boilerplate-set size as a data-dependent
-    // broadcast decision; this shape evaluates the corpus' most
-    // expensive expression once and moves each gram row exactly once
-    // per stage (gram exchange, then doc exchange). The docs left
-    // join below only restores zero-gram documents.
-    val withNDocs = grams.withColumn("n_docs",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
-    val perDoc = withNDocs
+    // so count(*) per gram IS the distinct-doc count. The census is a
+    // hash groupBy: partial aggregation combines map-side, so a hot
+    // boilerplate gram present in most documents contributes one row
+    // per map task to the shuffle — unlike a count-over-window on
+    // gram, which forms one window partition per gram that a single
+    // task must sort and stream, and which AQE's skew splitting
+    // cannot divide. The corpus' most expensive expression (the
+    // ngram_set explode) is evaluated once: `grams` is locally
+    // checkpointed and feeds both the census and the probe. The
+    // boilerplate set joins back unhinted — small by construction
+    // (only grams frequent across docs), so AQE broadcasts it at
+    // runtime; if on some corpus it isn't, the fallback is a
+    // sort-merge join whose skewed partitions AQE CAN split. The docs
+    // left join below only restores zero-gram documents.
+    val grams = docs.select(col("doc_id"), explode(expr("ngram_set(text)")).as("gram"))
+      .localCheckpoint(false)
+    val boiler = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"), lit(1L).as("is_boiler"))
+    val perDoc = grams.join(boiler, Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(

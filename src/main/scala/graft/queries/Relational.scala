@@ -55,9 +55,18 @@ object Relational {
       finally walk.close()
     }
   }
+  /** One scratch dir per (query tag, source dir). Keyed on SHA-256 of
+    * the full source path — a 32-bit hashCode can collide, and since
+    * each invocation wipes its dir first, a collision would let two
+    * concurrent invocations of the same tag against DIFFERENT datasets
+    * delete each other's layout mid-build. (Same tag + same dataset
+    * concurrently is still racy by design: the layout build is part of
+    * the query under test and owns its dir exclusively.) */
   private def scratchDir(tag: String, src: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.getBytes("UTF-8"))
     val dir = scratchRoot.resolve(
-      tag + "-" + java.lang.Integer.toHexString(src.hashCode))
+      tag + "-" + sha.take(16).map("%02x".format(_)).mkString)
     deleteRecursively(dir)
     java.nio.file.Files.createDirectories(dir)
     dir.toString

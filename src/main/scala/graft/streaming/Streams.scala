@@ -321,6 +321,32 @@ object Streams {
     }
   }
 
+  /** Stash-directory listing shared by both tx-report modes.
+    * `Files.list` returns a stream holding an open directory FD and
+    * this runs ~3x per trigger — close it eagerly, or a long-lived
+    * subscription leaks one FD per call until GC. */
+  private def listStashIds(stashRoot: java.nio.file.Path): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(stashRoot)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(stashRoot)
+      try s.iterator().asScala
+        .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Recursive delete with the `Files.walk` stream closed before the
+    * deletes run (same FD concern as [[listStashIds]]). */
+  private def deleteStashDir(d: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(d)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** Datomic `d/tx-report-queue` analog — SUBSCRIBE to committed
     * transactions: a readStream over the store's append-only log
     * delivers every tx with `tx > basis` as ONE [[TxReport]], in tx
@@ -359,11 +385,7 @@ object Streams {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val stashRoot = Paths.get(checkpoint, "graft-tx-holdback")
-    def stashIds(): Seq[Long] =
-      if (!Files.isDirectory(stashRoot)) Seq.empty
-      else Files.list(stashRoot).iterator().asScala
-        .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
-        .toSeq.sorted
+    def stashIds(): Seq[Long] = listStashIds(stashRoot)
     def readMeta(id: Long): Option[(Long, Long)] = { // (tx, cnt)
       val m = stashRoot.resolve(s"$id/meta")
       if (!Files.exists(m)) None else {
@@ -376,11 +398,7 @@ object Streams {
       if (!Files.exists(p)) Seq.empty
       else spark.read.schema(graft.store.Store.schema).parquet(p.toString).collect().toSeq
     }
-    def deleteStash(id: Long): Unit = {
-      val d = stashRoot.resolve(s"$id")
-      if (Files.exists(d))
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    def deleteStash(id: Long): Unit = deleteStashDir(stashRoot.resolve(s"$id"))
     def emit(t: Long, cnt: Long, rows: Seq[org.apache.spark.sql.Row]): Unit =
       if (cnt > maxDatomsPerReport)
         onReport(TxReport(t, Seq.empty, Some(
@@ -471,13 +489,8 @@ object Streams {
       basis: Long, reportDir: String, maxFilesPerTrigger: Int = 1000)(
       checkpoint: String)(onReport: TxReportPointer => Unit): TxReportQueue = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val stashRoot = Paths.get(checkpoint, "graft-tx-holdback")
-    def stashIds(): Seq[Long] =
-      if (!Files.isDirectory(stashRoot)) Seq.empty
-      else Files.list(stashRoot).iterator().asScala
-        .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
-        .toSeq.sorted
+    def stashIds(): Seq[Long] = listStashIds(stashRoot)
     def readMeta(id: Long): Option[(Long, Long)] = { // (tx, cnt)
       val m = stashRoot.resolve(s"$id/meta")
       if (!Files.exists(m)) None else {
@@ -490,11 +503,7 @@ object Streams {
       if (!Files.exists(p)) None
       else Some(spark.read.schema(graft.store.Store.schema).parquet(p.toString))
     }
-    def deleteStash(id: Long): Unit = {
-      val d = stashRoot.resolve(s"$id")
-      if (Files.exists(d))
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    def deleteStash(id: Long): Unit = deleteStashDir(stashRoot.resolve(s"$id"))
     // executor-side publish: append-by-overwrite of exactly the txes'
     // partitions (replay rewrites identical bytes — idempotent)
     def publish(df: org.apache.spark.sql.DataFrame): Unit =
