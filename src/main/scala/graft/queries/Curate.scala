@@ -965,9 +965,11 @@ object Curate {
     * URL, the representative is the smallest doc_id (deterministic),
     * and each domain keeps its top-`cap` pages by (quality =
     * max n_chars desc, rep doc_id asc). Scale shape: one groupBy on
-    * canonical URL (map-side combine collapses re-crawls early), one
-    * groupBy domain with a bounded in-group top-k — shuffle keys are
-    * url/domain, never corpus². */
+    * canonical URL (map-side combine collapses re-crawls early),
+    * skew-immune per-domain totals, and a TWO-PHASE bounded top-k for
+    * the kept set (rank within (domain, input split) first, then
+    * re-rank the bounded survivors) — shuffle keys are url/domain,
+    * never corpus², and no single task ever owns a mega-domain. */
   def d54_url_dedup(s: SparkSession, d: String, cap: Int = 2): DataFrame = {
     val docs = documents(s, d)
     val url = concat(
@@ -991,16 +993,42 @@ object Curate {
       .groupBy(col("domain"), col("canon"))
       .agg(count(lit(1)).as("n_crawls"), min(col("doc_id")).as("rep_doc"),
         max(col("n_chars")).as("quality"))
-    val ranked = pages.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
-        .orderBy(col("quality").desc, col("rep_doc"))))
-    ranked.groupBy(col("domain"))
+      .localCheckpoint(false) // one canon collapse feeds totals + top-k
+    // Per-domain totals need no rank — a plain partial-aggregated
+    // groupBy, immune to domain skew.
+    val totals = pages.groupBy(col("domain"))
       .agg(sum(col("n_crawls")).cast("long").as("n_urls"),
         count(lit(1)).as("n_pages"),
-        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("rk") <= cap, col("rep_doc")).otherwise(0L)).cast("long")
-          .as("kept_docs_sum"),
         max(col("quality")).cast("long").as("max_quality"))
+    // TWO-PHASE top-k for the kept set: a crawl corpus is dominated by
+    // a few mega-domains, and a single row_number window partitioned
+    // on domain would hand one task the whole domain to sort (AQE
+    // cannot split a window partition). Phase 1 ranks within each
+    // (domain, physical input partition) — window partitions are
+    // bounded by the input split, and any global top-cap page is
+    // by definition within the top-cap of its slice — keeping at most
+    // cap survivors per slice; phase 2 re-ranks the ≤ numPartitions ×
+    // cap survivors per domain, a bounded set. The (quality desc,
+    // rep_doc asc) order is total within a domain (rep_doc is a min
+    // over disjoint doc sets), so the result is partitioning-
+    // independent and the oracle gate cannot flap.
+    val local = pages
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rk1", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain"), col("pid"))
+          .orderBy(col("quality").desc, col("rep_doc"))))
+      .filter(col("rk1") <= cap)
+    val kept = local.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+          .orderBy(col("quality").desc, col("rep_doc"))))
+      .filter(col("rk") <= cap)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("rep_doc")).cast("long").as("kept_docs_sum"))
+    totals.join(kept, Seq("domain")) // every domain has >= 1 kept page
+      .select(col("domain"), col("n_urls"), col("n_pages"), col("n_kept"),
+        col("kept_docs_sum"), col("max_quality"))
   }
 
   def d54OracleSql: String =

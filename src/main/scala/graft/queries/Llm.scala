@@ -869,21 +869,31 @@ object Llm {
     val wins =
       if (hashSpans) spans.select(col("doc_id"), xxhash64(col("span")).as("span"))
       else spans
-    // Three wide ops, no join-back: collapse to (doc, span, cnt)
-    // first (distinct-with-multiplicity — in-doc repeats carry cnt),
-    // count docs per span with a whole-partition window over that
-    // UNIQUE-per-(doc,span) set (≡ the old distinct→groupBy census),
-    // then fold per doc. The old shape shuffled the window set twice
-    // more (distinct, then the census join-back re-hashing every
-    // occurrence); this moves each row once per stage — censused span
-    // counts never meet raw occurrences in a join at all.
+    // Collapse to (doc, span, cnt) first (distinct-with-multiplicity
+    // — in-doc repeats carry cnt), then census docs per span with a
+    // hash groupBy over that UNIQUE-per-(doc,span) set and join the
+    // duplicated-span set back. The census's partial aggregation
+    // combines map-side, so a hot span (an 8-word boilerplate line
+    // shared by a large share of the corpus) contributes one row per
+    // map task to the shuffle — unlike the earlier count-over-window
+    // on span, which formed one window partition per span that a
+    // single task had to sort and stream, and which AQE's skew
+    // splitting cannot divide. The explode + first groupBy (the
+    // corpus-scale work) runs once: perDocSpan is locally
+    // checkpointed and feeds both census and probe. The join is
+    // unhinted — AQE broadcasts the dup-span set when it is small and
+    // otherwise sort-merges with skew splitting available.
     val perDocSpan = wins.groupBy(col("doc_id"), col("span"))
       .agg(count(lit(1)).as("cnt"))
-    val withNDocs = perDocSpan.withColumn("n_docs",
-      count(lit(1)).over(Window.partitionBy(col("span"))))
-    val perDoc = withNDocs.groupBy(col("doc_id"))
+      .localCheckpoint(false)
+    val dupSpans = perDocSpan.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span"), lit(1L).as("is_dup"))
+    val perDoc = perDocSpan.join(dupSpans, Seq("span"), "left")
+      .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_windows"),
-        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("n_dup_windows"))
+        sum(when(col("is_dup").isNotNull, col("cnt")).otherwise(0L)).as("n_dup_windows"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -124,18 +124,27 @@ object Multimodal {
     // graft.functions.AHash) — the HOF history is in FrameEnergy's
     // docstring; same value semantics, oracle unchanged
     graft.functions.HashExprs.register(s)
+    // single evaluation of the (interpreted higher-order) hash
+    // expression: the fingerprinted scan is locally checkpointed and
+    // feeds both the cluster census and the probe — the naive
+    // groupBy+join-back diamond evaluated the whole scan twice
     val hashed = documents(s, d)
       .withColumn("w", greatest(col("n_chars") % 640, lit(1L)))
       .withColumn("h", greatest(col("doc_id") % 480, lit(1L)))
       .select(col("doc_id"), expr("ahash_bits(text, w, h)").as("phash"))
-    // cluster stats via a phash-partitioned window: ONE shuffle and a
-    // single evaluation of the (interpreted higher-order) hash
-    // expression — the groupBy+join-back diamond evaluated the whole
-    // scan twice and shuffled twice
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
-    hashed.select(col("doc_id"), col("phash"),
-      min(col("doc_id")).over(w).as("canonical_id"),
-      count(lit(1)).over(w).as("n_copies"))
+      .localCheckpoint(false)
+    // cluster stats via a partial-aggregated hash groupBy + join-back,
+    // NOT a phash-partitioned window: a hyper-duplicated payload (the
+    // same logo in millions of documents) would form one window
+    // partition that a single task must sort and stream, and AQE's
+    // skew splitting cannot divide a window partition — the census
+    // groupBy map-side-combines the hot fingerprint and the unhinted
+    // join-back broadcasts when the cluster table is small, falling
+    // back to a skew-splittable sort-merge join when it is not
+    val clusters = hashed.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    hashed.join(clusters, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("canonical_id"), col("n_copies"))
   }
 
   /** Deterministic frame-sampling shape: every k-th fixed-size slice of

@@ -207,12 +207,16 @@ class PlanSpec extends AnyFunSuite {
     // the doc_id shuffles belong to the per-doc rollup + left join)
     assert(p.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning") && l.contains("span")), p.take(800))
-    // the hashed lane moves a bigint key, not the string: no span
-    // STRING column survives into any exchange
+    // the hashed lane moves a bigint key, not the string: the span
+    // attribute entering the post-checkpoint exchanges prints with
+    // the L (LongType) suffix (xxhash64 itself runs upstream of the
+    // checkpointed (doc, span, cnt) collapse, inside its lineage)
     val ph = plan(graft.queries.Llm.duplicateSpans(
       graft.sources.Tables.documents(spark, sf), window = 8, hashSpans = true))
     assert(!ph.contains("CartesianProduct") && !ph.contains("BroadcastNestedLoopJoin"))
-    assert(ph.contains("xxhash64"), ph.take(400))
+    assert(ph.linesIterator.exists(l => l.matches(""".*\bspan#\d+L\b.*""")), ph.take(800))
+    assert(!ph.linesIterator.exists(l =>
+      l.contains("Exchange") && l.matches(""".*\bspan#\d+\b(?!L).*""")), ph.take(800))
   }
 
   test("q66: the log scans once per union leg, NOT once per horizon") {
