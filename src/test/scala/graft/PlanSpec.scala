@@ -219,6 +219,29 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange") && l.matches(""".*\bspan#\d+\b(?!L).*""")), ph.take(800))
   }
 
+  test("census queries never window-partition on a content key (unsplittable under skew)") {
+    // a hot value (boilerplate span/gram, hyper-duplicated image,
+    // mega-domain) makes a content-keyed window partition that ONE
+    // task must sort and stream — AQE cannot split a window
+    // partition. These four compute per-key stats via partial-
+    // aggregated groupBy + join-back instead; pin Window out of the
+    // plan entirely (d54's bounded two-phase rank is windowed, but
+    // its phase-1 partitions are capped by the input split — assert
+    // the salt column rides every window there)
+    for (q <- Seq(graft.queries.Curate.d20_boilerplate(spark, sf),
+                  graft.queries.Llm.d37_duplicate_spans(spark, sf),
+                  graft.queries.Multimodal.mm5_perceptual_hash(spark, sf))) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"content-keyed window present:\n${p.take(600)}")
+    }
+    val p54 = plan(graft.queries.Curate.d54_url_dedup(spark, sf))
+    val windows = p54.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, "d54's two-phase rank should remain windowed")
+    // phase-1 (the only window over unbounded input) carries the
+    // partition-id salt; phase-2's input is already cap-bounded
+    assert(windows.exists(_.contains("pid")), windows.mkString("\n"))
+  }
+
   test("q66: the log scans once per union leg, NOT once per horizon") {
     val p = plan(Relational.q66_since(spark, sf))
     // the horizon fan-out is a generator (explode) over the scanned
