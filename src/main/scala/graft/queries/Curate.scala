@@ -104,7 +104,14 @@ object Curate {
     // runtime; if on some corpus it isn't, the fallback is a
     // sort-merge join whose skewed partitions AQE CAN split. The docs
     // left join below only restores zero-gram documents.
-    val grams = docs.select(col("doc_id"), explode(expr("ngram_set(text)")).as("gram"))
+    // hashed gram keys (the d37 discipline): the output carries
+    // per-doc COUNTS only, so the census/join-back key can be the
+    // gram's XXH64 — the ~25-byte gram strings stay out of the
+    // checkpoint and both shuffles (a collision that could merge two
+    // grams is ~1e-9 at this gram volume and the hash is
+    // deterministic, so the oracle gate cannot flap on it)
+    val grams = docs.select(col("doc_id"), explode(expr("ngram_set(text)")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
       .localCheckpoint(false)
     val boiler = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
