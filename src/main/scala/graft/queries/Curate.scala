@@ -977,8 +977,14 @@ object Curate {
     * the kept set (rank within (domain, input split) first, then
     * re-rank the bounded survivors) — shuffle keys are url/domain,
     * never corpus², and no single task ever owns a mega-domain. */
-  def d54_url_dedup(s: SparkSession, d: String, cap: Int = 2): DataFrame = {
-    val docs = documents(s, d)
+  def d54_url_dedup(s: SparkSession, d: String, cap: Int = 2): DataFrame =
+    urlDedup(documents(s, d), cap)
+
+  /** Core of d54 over any (doc_id, n_chars) frame — separated so the
+    * partitioning-independence of the two-phase top-k is directly
+    * testable (CurateSpec runs it under different input
+    * partitionings and asserts identical output). */
+  def urlDedup(docs: DataFrame, cap: Int): DataFrame = {
     val url = concat(
       when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
       lit("host"), (col("doc_id") % 7).cast("string"), lit(".example.com"),

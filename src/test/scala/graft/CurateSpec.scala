@@ -11,6 +11,21 @@ class CurateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("d54: two-phase top-k output is independent of input partitioning") {
+    // the phase-1 rank salts on spark_partition_id(), so the proof
+    // that ANY partitioning yields the same kept set (the per-domain
+    // order is total: quality desc, then rep_doc — a min over
+    // disjoint doc sets) must hold observationally too
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Curate.urlDedup(df, cap = 2).orderBy("domain").collect().map(_.toString).toSeq
+    val one = run(docs.repartition(1))
+    val many = run(docs.repartition(17, col("doc_id")))
+    val skew = run(docs.repartition(5, (col("doc_id") % 2).cast("int")))
+    assert(one === many)
+    assert(one === skew)
+  }
+
   test("writeShards: deterministic layout — re-run from a re-partitioned input is byte-order identical") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val d1 = java.nio.file.Files.createTempDirectory("shards1").toString
