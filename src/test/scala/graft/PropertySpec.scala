@@ -364,4 +364,38 @@ class PropertySpec extends AnyFunSuite {
       assert(nhKept.length === visibleNh.size, s"log: $rows")
     }
   }
+
+  test("duplicateSpans matches a brute-force reference over random corpora (both key variants)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // tiny lowercase-alnum vocab so spans actually collide across docs
+    // and the Scala tokenizer below agrees with word_ngrams(lower, 1)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e1", "f2", "gg", "h3")
+    val genDoc = for {
+      len <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val w = 2
+    samples(Gen.listOfN(8, genDoc), 6).foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val wins = texts.map(_.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+        .zipWithIndex.map { case (ts, i) =>
+          (i.toLong, ts.sliding(w).filter(_.size == w).map(_.mkString(" ")).toSeq)
+        }
+      val census = wins.flatMap { case (i, ss) => ss.distinct.map(s => (s, i)) }
+        .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).distinct.size) }
+      val expected = wins.map { case (i, ss) =>
+        val n = ss.size.toLong
+        val dup = ss.count(s => census(s) >= 2).toLong
+        i -> ((n, dup, if (n == 0) 0L else dup * 10000 / n))
+      }.toMap
+      def run(hash: Boolean) = graft.queries.Llm
+        .duplicateSpans(docs, window = w, hashSpans = hash)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(run(false) === expected, s"texts: $texts")
+      assert(run(true) === expected, s"hashed lane, texts: $texts")
+    }
+  }
 }
