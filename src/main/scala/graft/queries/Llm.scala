@@ -1604,6 +1604,15 @@ object Llm {
     * way. */
   def d60_bigram_logprob(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExprs.register(s)
+    // the per-doc bigram census is consumed THREE times (bigram-count
+    // model, history-count model, and the scored join's probe side);
+    // unmaterialized, each consumer re-ran the tokenize + bigram
+    // explode + census over the corpus — 3 corpus passes for 1 scan's
+    // worth of information (this was the d60 sf1 drift flagged in
+    // round 11's verdict: plan fingerprint identical, cost 3x the
+    // census). One eager localCheckpoint = one corpus pass; the model
+    // censuses become re-aggs of the materialized (already collapsed)
+    // tf relation.
     val tfb = spread(documents(s, d))
       .withColumn("ws",
         expr("word_ngrams(lower(text), 1)"))
@@ -1613,6 +1622,7 @@ object Llm {
           "'bg', concat(element_at(ws, i), ' ', element_at(ws, i + 1))))")).as("s"))
       .select(col("doc_id"), col("s.w1").as("w1"), col("s.bg").as("bg"))
       .groupBy(col("doc_id"), col("w1"), col("bg")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val bgc = tfb.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
     val hist = tfb.groupBy(col("w1")).agg(sum(col("tf")).as("cw"))
     tfb.join(bgc, "bg").join(hist, "w1")
