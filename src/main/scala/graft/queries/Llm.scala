@@ -645,7 +645,11 @@ object Llm {
     val docs = documents(s, d)
     val tokens = spread(docs).select(col("doc_id"),
         explode(expr("word_ngrams(lower(text), 1)")).as("term"))
+    // tf is consumed twice (df census + scored-join probe); without
+    // materialization each consumer re-ran tokenize + explode + census
+    // over the corpus — the d60 pattern. One pass, then re-aggs.
     val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
@@ -689,9 +693,12 @@ object Llm {
   def d30_unigram_logprob(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val docs = documents(s, d)
+    // tf consumed twice (vocabulary census chain + scored-join probe):
+    // materialize the one corpus pass, as in d60/d28
     val tf = spread(docs).select(col("doc_id"),
         explode(expr("word_ngrams(lower(text), 1)")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
     tf.join(vocab, "term").crossJoin(broadcast(total))
@@ -1067,9 +1074,13 @@ object Llm {
       .withColumn("toks",
         expr("word_ngrams(lower(text), 1)"))
       .withColumn("dl", size(col("toks")).cast("long"))
+    // consumed twice (corpus stats + scoring pass); materialized, the
+    // tokenize runs once and the second consumer reads a narrow
+    // (doc_id, dl, tf0..tf2) table ∝ docs (the d60 pattern)
     val withTf = terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
       df.withColumn(s"tf$i", expr(s"cast(size(filter(toks, w -> w = '$t')) as bigint)"))
-    }.drop("toks")
+    }.drop("toks", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
     val aggs = Seq(sum(col("dl")).as("total_len")) ++
       terms.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
     val stats = withTf.agg(count(lit(1)).as("n_docs"), aggs: _*)
@@ -1272,7 +1283,13 @@ object Llm {
     * occupancy cap. */
   def semDedup(embIn: DataFrame, centLo: Int, centHi: Int, tau: Double,
       maxCellSize: Int): DataFrame = {
-    val assigned = semDedupKeyed(semDedupAssign(embIn, centLo, centHi), maxCellSize)
+    // the cell assignment (centroid crossJoin + argmax groupBy over
+    // the corpus) is consumed by the occupancy census, both self-join
+    // sides, and the final verdict join — materialize the one pass
+    // (d60 pattern); the keyed sub-split then rejoins only the tiny
+    // broadcast hot-cell census per consumer
+    val assigned = semDedupKeyed(
+      semDedupAssign(embIn, centLo, centHi).localCheckpoint(), maxCellSize)
     val a = assigned.select(col("cell"), col("sub"), col("vec_id").as("a_id"),
       col("embedding").as("a_vec"), col("norm").as("a_norm"))
     val b = assigned.select(col("cell"), col("sub"), col("vec_id").as("b_id"),
@@ -1662,10 +1679,15 @@ object Llm {
     * |sources| rows. */
   def d61_source_drift(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExprs.register(s)
+    // the (source, term) census is consumed FOUR ways (corpus
+    // marginals, per-source totals, the grand total via vocab, and
+    // the KL join's probe side) — materialize the one tokenize pass
+    // (d60 pattern); every marginal is then a re-agg of the census
     val stf = spread(documents(s, d))
       .select(col("source"), explode(expr(
         "word_ngrams(lower(text), 1)")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val vocab = stf.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
     val stot = stf.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))

@@ -537,20 +537,25 @@ object Store {
       if (manyAttrs.isEmpty) lit(false) else col("a").isInCollection(manyAttrs)
     val touchedKeys = withOp.filter(!col("op") && !manyCol)
       .select(col("e"), col("a")).distinct().localCheckpoint(false)
-    // attr-level pruning for the history re-read: retraction batches
-    // name few attributes, the log partitions on `a`
-    val touchedAttrs = touchedKeys.select(col("a")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // ONE driver job answers both bounded questions: the attr list
+    // (attr-level pruning for the history re-read — retraction
+    // batches name few attributes, the log partitions on `a`) and the
+    // key count for the broadcast size guard. The per-attr rollup is
+    // bounded by the schema's card-one attr count, so the collect
+    // stays driver-safe; it also materializes the checkpoint.
+    // Previously these were two jobs (attrs distinct + count).
+    val attrCounts = touchedKeys.groupBy(col("a"))
+      .agg(count(lit(1)).as("n")).collect()
+    val touchedAttrs = attrCounts.map(_.getString(0)).toSeq
     // size-GUARDED broadcast of the touched keys (the retractEntityTx
     // broadcastDeadMaxRows discipline): the set is ∝ the tx batch, so
-    // pin map-side probes while it is measurably small — the count is
-    // free (the attr collect above already materialized the
-    // checkpoint) — and fall back to shuffle joins for outsize
-    // batches. Without the pin, AQE's conversion threshold (~10 MB)
-    // abandons the broadcast on larger batches and plans SortMergeJoin
-    // shuffles of the full snapshot — measured at sf10: two extra
-    // state shuffles and an execution-memory OOM in-suite.
-    val tk = if (touchedKeys.count() <= broadcastTouchedMaxRows)
+    // pin map-side probes while it is measurably small, and fall back
+    // to shuffle joins for outsize batches. Without the pin, AQE's
+    // conversion threshold (~10 MB) abandons the broadcast on larger
+    // batches and plans SortMergeJoin shuffles of the full snapshot —
+    // measured at sf10: two extra state shuffles and an
+    // execution-memory OOM in-suite.
+    val tk = if (attrCounts.map(_.getLong(1)).sum <= broadcastTouchedMaxRows)
       broadcast(touchedKeys) else touchedKeys
     // the safe branch's delta has NO card-one retractions BY
     // CONSTRUCTION (exactly those keys were carved out above) → the
