@@ -948,14 +948,12 @@ object Llm {
     * the span STRING (groupBy min(doc_id); the string key — not the
     * d37 hash lane — because the CUT TEXT depends on span equality
     * and the oracle replays string semantics) → join-back marks
-    * removable occurrences → coverage explode (window × removable
-    * occurrences, ∝ text actually removed) → one left join onto the
-    * token-position relation and an ordered per-doc fold. Every
-    * shuffle is keyed (span, then (doc, pos)); nothing is ever
-    * docs² and nothing collects. A production cut at 100 TB would
-    * merge removable intervals per doc before exploding coverage;
-    * at window=8 the explode is a bounded 8× of removed-text volume,
-    * the simpler plan. */
+    * removable occurrences → per-doc INTERVAL MERGE of the removable
+    * windows into maximal disjoint extents → coverage explode of the
+    * merged extents (each removed position exactly once, no distinct)
+    * → one left join onto the token-position relation and an ordered
+    * per-doc fold. Every shuffle is keyed (span, then doc, then
+    * (doc, pos)); nothing is ever docs² and nothing collects. */
   def d66_substring_dedup_cut(s: SparkSession, d: String): DataFrame =
     substringDedupCut(documents(s, d), window = 8)
 
@@ -970,9 +968,31 @@ object Llm {
     val removable = wins.join(census, "span")
       .filter(col("doc_id") > col("first_doc"))
       .select(col("doc_id"), col("p"))
+    // INTERVAL MERGE before the coverage explode (the production plan
+    // the original docstring promised): overlapping removable windows
+    // [p, p+w-1] merge into maximal disjoint extents per doc first —
+    // sorted by p with equal lengths, a window starts a new extent
+    // iff it clears the previous start by more than w-1 — and only
+    // then explode token positions. The old shape exploded w
+    // positions per removable window and dropped overlap duplicates
+    // with a distinct: shuffle ∝ w × removable windows (8× the
+    // removed text on long duplicated runs). Now the explode emits
+    // each removed position exactly once (extents are disjoint, so
+    // no distinct), and the only w-free shuffles are the per-doc
+    // window pass over removable WINDOW STARTS (rows ∝ removable
+    // windows, partitioned by doc_id — never content-keyed) and the
+    // (doc, pos) join itself. LlmSpec pins the explode-volume shrink
+    // on a long duplicated block; the per-doc window partition is
+    // bounded by document token counts, the d37 discipline.
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val covered = removable
-      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${w - 1})")).as("q"))
-      .distinct()
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1, -w).over(wd) > w - 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("lo"), (max(col("p")) + (w - 1)).as("hi"))
+      .select(col("doc_id"), explode(expr("sequence(lo, hi)")).as("q"))
     val tokens = docs
       .select(col("doc_id"), posexplode(expr("word_ngrams(lower(text), 1)")))
       .toDF("doc_id", "q", "tok")

