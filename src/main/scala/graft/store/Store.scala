@@ -507,20 +507,10 @@ object Store {
         .select(col("e"), col("a")).distinct()
       val manyTouched = deltaLog.filter(manyCol)
         .select(col("e"), col("a"), col("v")).distinct()
-      // ONE scan of the snapshot, not a card-one/card-many filter
-      // split: the old shape unioned two anti-joins, each re-scanning
-      // the full live state (measured at sf0.1 on q49: the state
-      // checkpoint was read twice here, 2 × 1.5 M rows). Both probe
-      // sets are distinct on their keys, so two left joins cannot
-      // fan out, and a row survives exactly when its own branch's
-      // probe misses — identical to the anti-join pair. Broadcast
-      // probes fuse into the single scan's codegen stage.
-      val snapKept = snapState
-        .join(hinted(oneTouched.withColumn("__hit1", lit(1))), Seq("e", "a"), "left")
-        .join(hinted(manyTouched.withColumn("__hitm", lit(1))),
-          Seq("e", "a", "v"), "left")
-        .filter(when(manyCol, col("__hitm").isNull).otherwise(col("__hit1").isNull))
-        .drop("__hit1", "__hitm")
+      val snapKept = snapState.filter(!manyCol)
+        .join(hinted(oneTouched), Seq("e", "a"), "left_anti")
+        .unionByName(snapState.filter(manyCol)
+          .join(hinted(manyTouched), Seq("e", "a", "v"), "left_anti"))
       snapKept.unionByName(resolveCore(deltaLog, Seq.empty, manyAttrs))
     }
   }
