@@ -506,11 +506,18 @@ object Multimodal {
           "slice(energies, 1, size(energies) - 1), " +
           "(x, y) -> if(x > y, '1', '0')), '')"))
       .filter(length(col("bs")) >= 16)
+    // the fingerprint-window relation is consumed FOUR ways (the
+    // reference side, its frequency census, the query side's match
+    // join, and the query count) — unmaterialized, the frame_energies
+    // kernel + bit-string window explode re-ran per consumer (the d60
+    // pattern). One eager pass; every consumer reads the narrow
+    // (doc_id, is_q, pos, w) table.
     val win = bits.select(col("doc_id"), col("is_q"),
         explode(expr("transform(sequence(1, length(bs) - 15), " +
           "i -> named_struct('pos', i, 'w', substring(bs, i, 16)))")).as("pw"))
       .select(col("doc_id"), col("is_q"),
         col("pw.pos").as("pos"), col("pw.w").as("w"))
+      .localCheckpoint()
     val refs = win.filter(col("is_q") === 0)
       .select(col("doc_id").as("r_id"), col("pos").as("r_pos"), col("w"))
     val qrys = win.filter(col("is_q") === 1)
