@@ -1353,22 +1353,18 @@ object Relational {
     def dat(a: String, v: Column, vl: Column, tx: Long, op: Boolean, src: DataFrame) =
       src.select(oe.as("e"), lit(a).as("a"), v.cast("string").as("v"),
         vl.as("v_long"), lit(false).as("is_ref"), lit(tx).as("tx"), lit(op).as("op"))
-    // materialize the synthesized log halves ONCE (the q49 narrow-
-    // checkpoint discipline — a production store reads committed
-    // parquet here): unmaterialized, `hist` re-derived its 4
-    // filtered orders scans for the snapshot AND the full log, and
-    // `delta` re-derived its 4 scans in every hybrid consumer
-    // (touched-key set, size-guard count, the safe branch's two key
-    // probes, delta resolution) — ~5 passes of 4 scans each, measured
-    // as the dominant share of this query's 8 M input records at
-    // sf0.1 against a 150 K-row orders table
+    // NOTE (round 12): materializing hist/delta here was tried and
+    // REVERTED — recomputing these scan-rooted projection unions per
+    // hybrid consumer is CHEAPER than one checkpoint write + wide
+    // block re-reads (sf1 matched A/B: checkpointed q75 ran ~20%
+    // slower). Materialization pays only for expensive-per-row or
+    // data-collapsing subtrees (see d60/d28/mm10).
     val hist = dat("order/price", c, c, 1L, op = true, o)
       .unionByName(dat("order/price", c * 2, c * 2, 2L, op = true,
         o.filter(pmod(k, lit(4)) === 0)))
       .unionByName(dat("order/tag", lit("t1"), lit(null).cast("long"), 1L, op = true, o))
       .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 2L, op = true,
         o.filter(pmod(k, lit(3)) === 0)))
-      .localCheckpoint()
     val delta = dat("order/price", c * 3, c * 3, 3L, op = true,
         o.filter(pmod(k, lit(5)) === 0 && pmod(k, lit(20)) =!= 0))
       .unionByName(dat("order/price", c * 2, c * 2, 3L, op = false,
@@ -1377,7 +1373,6 @@ object Relational {
         o.filter(pmod(k, lit(6)) === 0)))
       .unionByName(dat("order/tag", lit("t3"), lit(null).cast("long"), 3L, op = true,
         o.filter(pmod(k, lit(7)) === 0)))
-      .localCheckpoint()
     val many = Seq("order/tag")
     val snapshot = Store.resolve(hist, many).localCheckpoint()
     val full = hist.unionByName(delta)
@@ -1916,18 +1911,15 @@ object Relational {
       o.filter(pred).select(oe.as("e"), lit(a).as("a"), v.cast("string").as("v"),
         vl.as("v_long"), lit(false).as("is_ref"), lit(tx).as("tx"), lit(op).as("op"))
     val t = lit(true)
-    // materialized ONCE each (the q49 narrow-checkpoint discipline):
-    // `hist` feeds the snapshot and the full log, `delta` is consumed
-    // by resolve(full), the hybrid's touched-key derivation, its
-    // size-guard count, and the safe branch's key probes —
-    // unmaterialized, its 8 filtered orders scans re-derived in each
-    // (measured ~54 scan-equivalents / 8 M input records at sf0.1)
+    // NOTE (round 12): hist/delta materialization tried and REVERTED
+    // (see q75's note — recompute of scan-rooted unions beat the
+    // checkpoint at sf1; ~8 M sf0.1 input records re-read is cheaper
+    // than it looks next to a wide block write)
     val hist = dat("order/price", c, c, 1L, op = true, t)
       .unionByName(dat("order/price", c * 2, c * 2, 2L, op = true, pmod(k, lit(4)) === 0))
       .unionByName(dat("order/tag", lit("t1"), lit(null).cast("long"), 1L, op = true, t))
       .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 2L, op = true,
         pmod(k, lit(3)) === 0))
-      .localCheckpoint()
     val delta = dat("order/price", c * 3, c * 3, 3L, op = true,
         pmod(k, lit(5)) === 0 && pmod(k, lit(20)) =!= 0)
       .unionByName(dat("order/price", c * 2, c * 2, 3L, op = false,
@@ -1944,7 +1936,6 @@ object Relational {
         pmod(k, lit(18)) === 0))                     // t1 back for some retractees
       .unionByName(dat("order/tag", lit("t2"), lit(null).cast("long"), 4L, op = true,
         pmod(k, lit(12)) === 0))                     // mix of resurrect + set no-op
-      .localCheckpoint()
     val many = Seq("order/tag")
     val full = hist.unionByName(delta)
     val restored = Store.resolve(full, many)                       // cold path
