@@ -424,7 +424,7 @@ object Store {
     // not pay the audit machinery
     val withOp =
       if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
-    resolveCore(withOp, Seq.empty, manyAttrs)
+    resolveCore(withOp, manyAttrs)
   }
 
   /** INCREMENTAL resolution — Datomic's live-index model: merge an
@@ -487,7 +487,7 @@ object Store {
     if (deltaMayRetractCardOne) {
       val snapAsLog = snapState
         .withColumn("tx", lit(basisTx)).withColumn("op", lit(true))
-      resolveCore(snapAsLog.unionByName(deltaLog), Seq.empty, manyAttrs)
+      resolveCore(snapAsLog.unionByName(deltaLog), manyAttrs)
     } else {
       val manyCol =
         if (manyAttrs.isEmpty) lit(false) else col("a").isInCollection(manyAttrs)
@@ -511,7 +511,7 @@ object Store {
         .join(hinted(oneTouched), Seq("e", "a"), "left_anti")
         .unionByName(snapState.filter(manyCol)
           .join(hinted(manyTouched), Seq("e", "a", "v"), "left_anti"))
-      snapKept.unionByName(resolveCore(deltaLog, Seq.empty, manyAttrs))
+      snapKept.unionByName(resolveCore(deltaLog, manyAttrs))
     }
   }
 
@@ -582,10 +582,7 @@ object Store {
     require(horizons.nonEmpty, "need at least one horizon")
     val withOp =
       if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
-    val tagged = withOp
-      .select(col("*"), explode(lit(horizons.toArray)).as("asof_tx"))
-      .filter(col("tx") <= col("asof_tx"))
-    resolveCore(tagged, Seq("asof_tx"), manyAttrs)
+    resolveCoreHorizons(withOp, horizons, "asof_tx", since = false, manyAttrs)
   }
 
   /** `d/since` resolution at several horizons in one pass — the
@@ -601,41 +598,105 @@ object Store {
     require(horizons.nonEmpty, "need at least one horizon")
     val withOp =
       if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
-    val tagged = withOp
-      .select(col("*"), explode(lit(horizons.toArray)).as("since_tx"))
-      .filter(col("tx") > col("since_tx"))
-    resolveCore(tagged, Seq("since_tx"), manyAttrs)
+    resolveCoreHorizons(withOp, horizons, "since_tx", since = true, manyAttrs)
   }
 
-  /** The shared two-aggregation core; `prefix` names extra grouping
-    * key columns (the multi-horizon path's `asof_tx`).
-    * Tiebreaks are EXPLICIT in both max_by orderings — max_by alone
+  /** The shared two-aggregation core.
+    * Tiebreaks are EXPLICIT in both pick orderings — a bare max_by
     * keeps the first-encountered row among ties, which is partition-
     * order-dependent (caught by PropertySpec's reference model):
     *  - same-tx assert+retract of one datom → assert wins (op=true
     *    sorts above false); Datomic rejects that tx shape outright,
     *    we resolve it deterministically;
-    *  - same-tx double-assert on a card-one attr → max v wins. */
-  private def resolveCore(tagged: DataFrame, prefix: Seq[String],
+    *  - same-tx double-assert on a card-one attr → max v wins.
+    *
+    * Plan shape (round 13): the old form aggregated with
+    * `max_by(struct(op, v_long, is_ref), struct(tx, op))` — struct-typed
+    * aggregation buffers are not UnsafeRow-mutable, so BOTH aggregations
+    * planned as SortAggregate (a full sort of the log by (e, a, v) and a
+    * second sort of the collapsed state by (e, a)), behind two separate
+    * exchanges. Decomposed as below, every first-aggregation buffer is a
+    * mutable primitive — HashAggregate, no sort — and the explicit
+    * repartition on `e` (a subset of BOTH aggregations' grouping keys;
+    * NOT (e, a) — single-attr logs constant-fold `a` to a literal,
+    * which breaks the exchange/grouping semantic match and re-inserts
+    * the second exchange) satisfies both distributions, so the whole
+    * resolve runs behind ONE exchange; only the card-one pick still
+    * sorts, over the collapsed state rather than the raw log. Semantics are unchanged:
+    *  - visible iff latest event by (tx, op) is an assert ⇔
+    *    max assert-tx ≥ max retract-tx (tie → assert, as before);
+    *  - the surviving (v_long, is_ref) ride a max_by ordered by the
+    *    (tx, op) pair packed into one long — exact, not an assumption
+    *    of per-(e,a,v) constancy. Store txs are non-negative and far
+    *    below 2^62 (Datomic t's fit in 2^42), so the shift is safe. */
+  private def resolveCore(tagged: DataFrame,
       manyAttrs: Seq[String]): DataFrame = {
-    val p = prefix.map(col)
-    val latest = tagged
-      .groupBy(p ++ Seq(col("e"), col("a"), col("v")): _*)
+    val ord = shiftleft(col("tx"), 1) + col("op").cast("long")
+    val latest = tagged.repartition(col("e"))
+      .groupBy(col("e"), col("a"), col("v"))
       .agg(
-        max_by(struct(col("op"), col("v_long"), col("is_ref")),
-          struct(col("tx"), col("op"))).as("s"),
-        max(when(col("op"), col("tx"))).as("assert_tx"))
-      .filter(col("s.op"))
-      .select(p ++ Seq(col("e"), col("a"), col("v"), col("s.v_long").as("v_long"),
-        col("s.is_ref").as("is_ref"), col("assert_tx")): _*)
+        max(when(col("op"), col("tx"))).as("assert_tx"),
+        max(when(!col("op"), col("tx"))).as("retract_tx"),
+        max_by(col("v_long"), ord).as("v_long"),
+        max_by(col("is_ref"), ord).as("is_ref"))
+      .filter(col("assert_tx").isNotNull &&
+        (col("retract_tx").isNull || col("assert_tx") >= col("retract_tx")))
     val one = latest.filter(!col("a").isInCollection(manyAttrs))
-      .groupBy(p ++ Seq(col("e"), col("a")): _*)
+      .groupBy(col("e"), col("a"))
       .agg(max_by(struct(col("v"), col("v_long"), col("is_ref")),
         struct(col("assert_tx"), col("v"))).as("s"))
-      .select(p ++ Seq(col("e"), col("a"), col("s.v").as("v"),
-        col("s.v_long").as("v_long"), col("s.is_ref").as("is_ref")): _*)
+      .select(col("e"), col("a"), col("s.v").as("v"),
+        col("s.v_long").as("v_long"), col("s.is_ref").as("is_ref"))
     val many = latest.filter(col("a").isInCollection(manyAttrs))
-      .select(p ++ Seq(col("e"), col("a"), col("v"), col("v_long"), col("is_ref")): _*)
+      .select(col("e"), col("a"), col("v"), col("v_long"), col("is_ref"))
+    one.unionByName(many)
+  }
+
+  /** Multi-horizon resolution WITHOUT the horizon explode: the old
+    * shape fanned every log row out to its visible horizons BEFORE the
+    * first aggregation, so N horizons shuffled and aggregated N× the
+    * log. Here the single (e, a, v) collapse computes each horizon's
+    * latest-event state as N conditional aggregate columns (all
+    * primitive buffers — HashAggregate), the card-one pick runs per
+    * horizon inside one sorted pass keyed (e, a), and the horizon
+    * column materializes by exploding the COLLAPSED state at the very
+    * end. One exchange total (see [[resolveCore]]), shuffle ∝ the log,
+    * not N× the log. `since = true` flips the visibility predicate to
+    * `tx > h` (d/since); duplicate horizons collapse as the explode
+    * form did. Output and tiebreak semantics are byte-identical. */
+  private def resolveCoreHorizons(withOp: DataFrame, horizons: Seq[Long],
+      hname: String, since: Boolean, manyAttrs: Seq[String]): DataFrame = {
+    val hs = horizons.distinct.zipWithIndex
+    def vis(h: Long) = if (since) col("tx") > h else col("tx") <= h
+    val ord = shiftleft(col("tx"), 1) + col("op").cast("long")
+    val aggs = hs.flatMap { case (h, i) => Seq(
+      max(when(col("op") && vis(h), col("tx"))).as(s"at$i"),
+      max(when(!col("op") && vis(h), col("tx"))).as(s"rt$i"),
+      max_by(col("v_long"), when(vis(h), ord)).as(s"vl$i"),
+      max_by(col("is_ref"), when(vis(h), ord)).as(s"ir$i")) }
+    val grouped = withOp.repartition(col("e"))
+      .groupBy(col("e"), col("a"), col("v"))
+      .agg(aggs.head, aggs.tail: _*)
+    def visible(i: Int) = col(s"at$i").isNotNull &&
+      (col(s"rt$i").isNull || col(s"at$i") >= col(s"rt$i"))
+    def state(i: Int) = struct(col("v").as("v"),
+      col(s"vl$i").as("v_long"), col(s"ir$i").as("is_ref"))
+    def unpack(df: DataFrame) = df
+      .filter(col("x.s").isNotNull)
+      .select(col("x.h").as(hname), col("e"), col("a"),
+        col("x.s.v").as("v"), col("x.s.v_long").as("v_long"),
+        col("x.s.is_ref").as("is_ref"))
+    val onePicks = hs.map { case (_, i) =>
+      max_by(when(visible(i), state(i)),
+        when(visible(i), struct(col(s"at$i"), col("v")))).as(s"pick$i") }
+    val one = unpack(grouped.filter(!col("a").isInCollection(manyAttrs))
+      .groupBy(col("e"), col("a"))
+      .agg(onePicks.head, onePicks.tail: _*)
+      .select(col("e"), col("a"), explode(array(hs.map { case (h, i) =>
+        struct(lit(h).as("h"), col(s"pick$i").as("s")) }: _*)).as("x")))
+    val many = unpack(grouped.filter(col("a").isInCollection(manyAttrs))
+      .select(col("e"), col("a"), explode(array(hs.map { case (h, i) =>
+        struct(lit(h).as("h"), when(visible(i), state(i)).as("s")) }: _*)).as("x")))
     one.unionByName(many)
   }
 
@@ -651,21 +712,53 @@ object Store {
     val withOp =
       if (log.columns.contains("op")) log else log.withColumn("op", lit(true))
     val cols = withOp.columns
-    def all = struct(cols.map(col): _*)
     val nhRows = withOp.filter(col("a").isInCollection(nhAttrs))
-    val perValue = nhRows
-      .groupBy(col("e"), col("a"), col("v"))
-      .agg(max_by(all, struct(col("tx"), col("op"))).as("s"))
-      .select(col("s.*"))
-      .filter(col("op"))
     val isMany =
       if (nhManyAttrs.isEmpty) lit(false) else col("a").isInCollection(nhManyAttrs)
-    val kept = perValue.filter(isMany)
-      .unionByName(perValue
-        .filter(!isMany)
-        .groupBy(col("e"), col("a"))
-        .agg(max_by(all, struct(col("tx"), col("v"))).as("s"))
-        .select(col("s.*")))
+    // Fast shape for the standard datom schema (see resolveCore's plan
+    // note): primitive-buffer aggregates → HashAggregate for the
+    // per-value collapse, one shared (e, a) exchange for both
+    // aggregations. The surviving row's tx is its last assert-tx (the
+    // visible winner by (tx, op) IS the latest assert) and its op is
+    // true by construction, so the row reconstructs exactly. Logs with
+    // extra caller columns keep the generic struct-pick shape.
+    val kept = if (cols.toSet == Set("e", "a", "v", "v_long", "is_ref", "tx", "op")) {
+      val ord = shiftleft(col("tx"), 1) + col("op").cast("long")
+      val perValue = nhRows.repartition(col("e"))
+        .groupBy(col("e"), col("a"), col("v"))
+        .agg(
+          max(when(col("op"), col("tx"))).as("assert_tx"),
+          max(when(!col("op"), col("tx"))).as("retract_tx"),
+          max_by(col("v_long"), ord).as("v_long"),
+          max_by(col("is_ref"), ord).as("is_ref"))
+        .filter(col("assert_tx").isNotNull &&
+          (col("retract_tx").isNull || col("assert_tx") >= col("retract_tx")))
+      def restore(df: DataFrame) = df.select(
+        col("e"), col("a"), col("v"), col("v_long"), col("is_ref"),
+        col("assert_tx").as("tx"), lit(true).as("op"))
+      restore(perValue.filter(isMany))
+        .unionByName(restore(perValue
+          .filter(!isMany)
+          .groupBy(col("e"), col("a"))
+          .agg(max_by(struct(col("v"), col("v_long"), col("is_ref"),
+            col("assert_tx")), struct(col("assert_tx"), col("v"))).as("s"))
+          .select(col("e"), col("a"), col("s.v").as("v"),
+            col("s.v_long").as("v_long"), col("s.is_ref").as("is_ref"),
+            col("s.assert_tx").as("assert_tx"))))
+    } else {
+      def all = struct(cols.map(col): _*)
+      val perValue = nhRows
+        .groupBy(col("e"), col("a"), col("v"))
+        .agg(max_by(all, struct(col("tx"), col("op"))).as("s"))
+        .select(col("s.*"))
+        .filter(col("op"))
+      perValue.filter(isMany)
+        .unionByName(perValue
+          .filter(!isMany)
+          .groupBy(col("e"), col("a"))
+          .agg(max_by(all, struct(col("tx"), col("v"))).as("s"))
+          .select(col("s.*")))
+    }
     withOp.filter(!col("a").isInCollection(nhAttrs)).unionByName(kept)
   }
 

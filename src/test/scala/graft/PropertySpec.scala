@@ -141,6 +141,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-horizon resolve/since equal per-horizon full resolution on 60 random logs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // resolveAtHorizons/sinceAtHorizons collapse all horizons into one
+    // pass (round-13 shape: conditional per-horizon aggregates, no
+    // horizon explode before the shuffle) — pin that the collapsed form
+    // equals running the single-horizon resolve per filtered log slice,
+    // which PropertySpec already gates against the brute-force model.
+    val genDatom: Gen[(String, String, String, Long, Boolean)] = for {
+      e <- Gen.oneOf("e1", "e2", "e3")
+      a <- Gen.oneOf("one1", "one2", "many1")
+      v <- Gen.oneOf("v1", "v2", "v3", "v4")
+      tx <- Gen.choose(1L, 5L)
+      op <- Gen.oneOf(true, false)
+    } yield (e, a, v, tx, op)
+    val genLog = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, genDatom))
+    val horizons = Seq(1L, 3L, 4L)
+    samples(genLog, 60).foreach { rows =>
+      val df = rows.toDF("e", "a", "v", "tx", "op")
+        .withColumn("v_long", lit(null).cast("long"))
+        .withColumn("is_ref", lit(false))
+      def toSet(d: org.apache.spark.sql.DataFrame, h: String) =
+        d.select(col(h), col("e"), col("a"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+          .toSet
+      val asof = toSet(
+        graft.store.Store.resolveAtHorizons(df, horizons, Seq("many1")), "asof_tx")
+      val asofRef = horizons.flatMap { h =>
+        graft.store.Store.resolve(df.filter(col("tx") <= h), Seq("many1"))
+          .select("e", "a", "v").collect()
+          .map(r => (h, r.getString(0), r.getString(1), r.getString(2)))
+      }.toSet
+      assert(asof === asofRef, s"as-of log: $rows")
+      val since = toSet(
+        graft.store.Store.sinceAtHorizons(df, horizons, Seq("many1")), "since_tx")
+      val sinceRef = horizons.flatMap { h =>
+        graft.store.Store.resolve(df.filter(col("tx") > h), Seq("many1"))
+          .select("e", "a", "v").collect()
+          .map(r => (h, r.getString(0), r.getString(1), r.getString(2)))
+      }.toSet
+      assert(since === sinceRef, s"since log: $rows")
+    }
+  }
+
   test("incremental resolve equals full resolve on 60 random logs (safe deltas)") {
     val spark = TestSpark.spark
     import spark.implicits._
