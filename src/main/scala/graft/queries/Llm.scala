@@ -964,8 +964,27 @@ object Llm {
     val wins = docs
       .select(col("doc_id"), posexplode(expr(s"word_ngrams(lower(text), $w)")))
       .toDF("doc_id", "p", "span")
-    val census = wins.groupBy(col("span")).agg(min(col("doc_id")).as("first_doc"))
-    val removable = wins.join(census, "span")
+      .withColumn("h", xxhash64(col("span")))
+    // Hash pre-filter before the string census (round 13): a span can
+    // only have a removable occurrence if it appears in ≥ 2 distinct
+    // docs, and equal strings hash equal — so census the narrow XXH64
+    // key first (8-byte shuffle rows, min≠max of doc_id answers
+    // "≥ 2 distinct docs" with primitive aggregates) and run the
+    // STRING census, which the cut's exactness genuinely needs, over
+    // the surviving candidates only. A hash collision can only WIDEN
+    // the candidate set (the string census still computes the true
+    // first_doc, so a unique span that sneaks in is never removable) —
+    // semantics stay exact while the two corpus-wide span-string
+    // shuffles shrink to the duplicated subset. The candidate-hash set
+    // joins un-hinted: AQE broadcasts it while duplication is rare and
+    // falls back to a skew-splittable narrow-key SMJ when it is not.
+    val candH = wins.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("h"))
+    val cand = wins.join(candH, Seq("h"), "left_semi")
+    val census = cand.groupBy(col("span")).agg(min(col("doc_id")).as("first_doc"))
+    val removable = cand.join(census, "span")
       .filter(col("doc_id") > col("first_doc"))
       .select(col("doc_id"), col("p"))
     // INTERVAL MERGE before the coverage explode (the production plan
