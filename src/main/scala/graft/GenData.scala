@@ -32,7 +32,8 @@ object GenData {
     date_from_unix_date((unix_date(lit(base).cast("date")) + days).cast("int"))
       .cast("timestamp_ntz")
 
-  def generate(spark: SparkSession, sf: Double, outDir: String): Unit = {
+  def generate(spark: SparkSession, sf: Double, outDir: String,
+      skew: Boolean = false): Unit = {
     val nCust = (150000 * sf).toLong max 10
     val nSupp = (10000 * sf).toLong max 5
     val nPart = (200000 * sf).toLong max 10
@@ -125,12 +126,25 @@ object GenData {
       "table", "the", "value", "vector", "window")
     val vocabArr = array(vocab.map(lit): _*)
     val nWords = (hmod(k, "dlen", 100) + 8).cast("int")
+    // skew mode (round-13 fixture, NOT driver testdata): EVERY doc
+    // opens with one shared ~120-word boilerplate block (the chrome a
+    // crawler re-crawls on every page of a template site), so each
+    // boilerplate span/gram key owns n_docs rows — the hot-key
+    // distribution a content-keyed window partition cannot split
+    // (guide §2.5: AQE skew handling applies to joins, never to a
+    // single window key) and a partial-aggregated census absorbs
+    // map-side.
+    val randomText = array_join(transform(sequence(lit(1), nWords),
+      j => element_at(vocabArr,
+        (pmod(xxhash64(k * 1000 + j, lit("dword")), lit(vocab.size.toLong)) + 1)
+          .cast("int"))), " ")
+    val hotPrefix = (1 to 120).map(j =>
+      vocab((j * 2654435761L % vocab.size.toLong).toInt)).mkString(" ")
+    val docText =
+      if (skew) concat(lit(hotPrefix), lit(" "), randomText) else randomText
     write(outDir, "documents", id(nDocs)
       .select(k.as("doc_id"),
-        array_join(transform(sequence(lit(1), nWords),
-          j => element_at(vocabArr,
-            (pmod(xxhash64(k * 1000 + j, lit("dword")), lit(vocab.size.toLong)) + 1)
-              .cast("int"))), " ").as("text"),
+        docText.as("text"),
         // en-heavy language mix (~40/15/15/15/15, the measured shape)
         element_at(array(Seq("en", "en", "en", "de", "en", "es", "fr", "en", "zh", "en")
           .map(lit): _*), (hmod(k, "dlang", 10) + 1).cast("int")).as("lang"),
@@ -147,11 +161,20 @@ object GenData {
 
   /** Single flat file per table (`<out>/<name>.parquet`) — the
     * driver's layout, which both `sources.Tables` and the DuckDB
-    * oracle's `read_parquet` expect. */
+    * oracle's `read_parquet` expect. Row groups are capped at 8 MB
+    * (default 128 MB): a single-file table with ONE row group can
+    * only ever be scanned by one task no matter how small the input
+    * splits are, which serializes every scan-side tokenize/explode at
+    * sf1+; 8 MB row groups keep the single-file layout the oracle
+    * needs while letting Spark's splits actually parallelize — the
+    * realistic posture, since a production corpus arrives as many
+    * files. Layout only; bytes of data are identical. */
   private def write(outDir: String, name: String, df: DataFrame): Unit = {
     val spark = df.sparkSession
     val tmp = s"$outDir/__tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val fs = tmpPath.getFileSystem(conf)
@@ -166,9 +189,11 @@ object GenData {
   }
 
   def main(args: Array[String]): Unit = {
-    val (sf, out) = args match {
-      case Array(s, o) => (s.toDouble, o)
-      case _ => throw new IllegalArgumentException("usage: GenData <sf> <outDir>")
+    val (sf, out, skew) = args match {
+      case Array(s, o) => (s.toDouble, o, false)
+      case Array(s, o, "skew") => (s.toDouble, o, true)
+      case _ => throw new IllegalArgumentException(
+        "usage: GenData <sf> <outDir> [skew]")
     }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -177,7 +202,7 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, out)
+    generate(spark, sf, out, skew)
     spark.stop()
   }
 }
